@@ -1,0 +1,79 @@
+"""Query registry: the ``queries()`` / ``oracle_sql()`` surface.
+
+Every implemented operator from SURVEY.md §2 (plus the north-star
+LLM-pipeline operators) registers here as a named query:
+
+* a Spark callable ``(spark, sf_dir) -> DataFrame`` — the engine's
+  implementation, and
+* (where SQL-expressible) an ANSI-SQL oracle string DuckDB runs over the
+  same parquet tables, used by the driver's correctness gate.
+
+Column names are part of the contract: every computed column is aliased
+identically on both sides (the driver sorts columns by name before
+hashing values).
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+
+* floating aggregates are ``round()``-ed (parallel vs serial summation
+  differs in the low bits; rounding collapses both to the same value);
+* DuckDB ``SUM(BIGINT)`` returns HUGEINT — oracles cast back to BIGINT;
+* hash-based operators (fingerprints, MinHash, SimHash) use ``md5``,
+  the one hash primitive with identical output in both engines;
+* top-k queries always order by a unique tiebreaker key.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query implementation and (optionally) its DuckDB oracle.
+
+    The registered callable may be handed a SparkSession built by an
+    external harness (the driver builds its own), so each call first pins
+    the engine's semantic confs (non-ANSI casts, UTC, nanos handling) on
+    that session — see :data:`..session.RUNTIME_SEMANTICS`.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        from .session import apply_runtime_semantics
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_semantics(spark)
+            return fn(spark, sf_dir)
+
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from .plans import analytics, tpch  # noqa: F401
+    from .operators import dedup, multimodal, similarity, text  # noqa: F401
+    from .streaming import windows  # noqa: F401
+
+
+def all_queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)

@@ -1,0 +1,132 @@
+"""SparkSession construction with the engine's pinned semantics.
+
+Replaces the reference's bootstrap (``/root/reference/src/main.py:13-26``)
+with one module owning every semantics-bearing config:
+
+* ``spark.sql.ansi.enabled=false`` — the reference's casts are lenient
+  (``pd.to_numeric(..., errors='coerce')`` at
+  ``/root/reference/src/transform.py:63,114-117,121``): unparseable values
+  become NULL, never errors.  Spark 4 defaults ANSI **on**, so this must be
+  pinned off explicitly and is load-bearing for cast parity.
+* UTC session timezone — testdata parquet carries naive timestamps; UTC
+  makes Spark and the DuckDB oracle read identical wall-clock values.
+* AQE on (+ coalesce partitions, skew-join) — runtime re-planning is the
+  100 TB posture for skewed keys and over-partitioned shuffles.
+* Arrow on — every pandas interop (Excel ingest, Pandas UDFs) goes through
+  Arrow batches, never per-row pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Shuffle partitions for local mode: match cores, not the 200 default.
+#: On a real cluster this is sized so that (input bytes / partitions)
+#: stays in the 64-256 MB range, or left to AQE coalescing.
+_LOCAL_SHUFFLE_PARTITIONS = "32"
+
+
+#: SQL confs that carry engine *semantics* (not tuning). These must hold
+#: on ANY session executing engine queries — including sessions built by
+#: an external harness — so they are (re-)applied at query-call time via
+#: :func:`apply_runtime_semantics`. All are runtime-settable.
+RUNTIME_SEMANTICS: dict[str, str] = {
+    # lenient casts: errors='coerce' parity (Spark 4 defaults ANSI on)
+    "spark.sql.ansi.enabled": "false",
+    # naive testdata timestamps must read as the same wall-clock in
+    # Spark and the DuckDB oracle
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries TIMESTAMP(NANOS); read as long, convert in
+    # read_table()
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def apply_runtime_semantics(spark: SparkSession) -> None:
+    """Pin the engine's semantic confs on an externally built session."""
+    for k, v in RUNTIME_SEMANTICS.items():
+        spark.conf.set(k, v)
+
+
+def build_spark(
+    app_name: str = "python_sql_etl_project_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    for local runs; on a cluster, leave it unset and let spark-submit
+    provide the master.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # -- optimizer / execution posture --
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", _LOCAL_SHUFFLE_PARTITIONS)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # broadcast threshold: dims in this engine are KB-MB scale; 64 MB
+        # keeps every dim join a broadcast-hash join even at sf100.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_SEMANTICS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver testdata table as a temp view named after it.
+
+    Mirrors the reference's dict-of-DataFrames handoff
+    (``/root/reference/src/transform.py:128-134``) as catalog views, which
+    is the Spark-native equivalent (SURVEY §1.4).
+    """
+    for name in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Lazy parquet scan of one testdata table (column-pruned, pushdown-able).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), surfaced as a long via
+    ``nanosAsLong``; convert to a microsecond timestamp with integer
+    division (``div`` — a double round-trip would lose precision above
+    2^53 ns). Floor-truncation to µs matches DuckDB's read of the same
+    column.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
