@@ -125,6 +125,13 @@ def coercion_filter(df: DataFrame, col: str, target_type: str = "int") -> DataFr
     then ``astype(int)`` (``/root/reference/src/transform.py:61-64``).
     Requires the session's non-ANSI cast (null-on-failure) — pinned in
     :mod:`..session`.
+
+    The parse goes through DOUBLE first so float-shaped strings ('7.0')
+    coerce like ``pd.to_numeric`` does, then narrows to ``target_type``.
+    (Caveat: integral keys above 2^53 would lose precision on this path —
+    catalog-dimension scale in practice; use a direct cast for bigint PKs.)
     """
-    casted = F.col(col).cast(target_type)
-    return df.filter(casted.isNotNull()).withColumn(col, casted)
+    parsed = F.col(col).cast("double")
+    return df.filter(parsed.isNotNull()).withColumn(
+        col, parsed.cast(target_type)
+    )
