@@ -1,1 +1,396 @@
-"""(registrations added in a later milestone)"""
+"""Deduplication operators over ``documents`` (north-star §7.2.8).
+
+Four dedup families, all expressed as distributed DataFrame plans with no
+driver-side materialization:
+
+* **exact** — fingerprint group-by (one shuffle on the hash)
+* **n-gram Jaccard** — shingle-blocking self-join + set-overlap verify
+* **MinHash LSH** — banded minhash signatures → bucket join → verify
+* **SimHash** — 16-bit md5-derived simhash + nibble-blocked Hamming join
+
+Determinism across engines is load-bearing for the oracle gate: every
+hash is ``md5`` (identical hex in Spark and DuckDB) and MinHash takes the
+lexicographic MIN of md5 strings per seed — no engine-native hash (xxhash,
+murmur) appears anywhere.
+
+Scale notes (100 TB posture): candidate generation is always *blocked*
+(shingle equality, LSH band, simhash nibble) — never an all-pairs cross
+join; hot blocks are capped (``MAX_SHINGLE_DF``) exactly as production
+MinHash pipelines drop ultra-frequent shingles; verification joins touch
+candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import read_table
+from .text import tokens
+
+SHINGLE_K = 3
+N_MINHASH = 8
+N_BANDS = 4  # 2 signature rows per band
+JACCARD_THRESHOLD = 0.8
+#: Shingles occurring in more docs than this are dropped from blocking —
+#: the standard hot-key cap that keeps the self-join skew-free at scale.
+MAX_SHINGLE_DF = 100
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+#: Distinct k=3 word shingles per document (DuckDB CTE; 1-based lists).
+_SHINGLES_CTE = f"""
+    tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    sh_raw AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM tok
+    ),
+    sh_all AS (SELECT DISTINCT doc_id, s FROM sh_raw),
+    sh AS (
+        SELECT doc_id, s FROM sh_all
+        WHERE s IN (SELECT s FROM sh_all GROUP BY s
+                    HAVING count(*) <= {MAX_SHINGLE_DF})
+    ),
+    sh_n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct k-word shingles per doc, hot shingles capped (Spark side)."""
+    w = tokens()
+    shingle_arr = F.when(
+        F.size(w) >= SHINGLE_K,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - SHINGLE_K),
+            lambda i: F.concat_ws(
+                " ", *[F.get(w, i + j) for j in range(SHINGLE_K)]
+            ),
+        ),
+    )
+    sh = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(shingle_arr).alias("s"))
+        .distinct()
+    )
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("s")
+    )
+    return sh.join(F.broadcast(hot), "s", "left_anti")
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """True Jaccard for candidate pairs only (never all pairs)."""
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "s")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "s")
+    shared = (
+        cand.join(s1, "d1").join(s2, ["d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(n.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(n.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "dd_exact_text",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+    )
+    SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def dd_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (north-star 'exact hash-groupBy'): md5 over normalized
+    text → group. Keeping ``min(doc_id)`` per group is the deterministic
+    canonical-row rule (same principle as dedupe_first, SURVEY §2.4 A5)."""
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+@query(
+    "dd_shingle_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d1, d2,
+               round(CAST(shared AS DOUBLE) / (n1.n + n2.n - shared), 4) AS jaccard
+        FROM pairs
+        JOIN sh_n n1 ON n1.doc_id = d1
+        JOIN sh_n n2 ON n2.doc_id = d2
+    )
+    SELECT d1, d2, jaccard FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dd_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-word-shingle Jaccard ≥ 0.8 (north-star 'n-gram
+    Jaccard'). Candidates come from a shingle-equality self-join (blocked,
+    hot shingles capped), then exact set-overlap scoring — the shuffle
+    keys are shingles and pairs, never a cross join."""
+    sh = shingles(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        pairs.join(n.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(n.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 4
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def _minhash_aggs_sql() -> str:
+    return ",\n".join(
+        f"min(md5('{s}:' || s)) AS mh{s}" for s in range(N_MINHASH)
+    )
+
+
+def _band_selects_sql() -> str:
+    rows_per_band = N_MINHASH // N_BANDS
+    selects = []
+    for b in range(N_BANDS):
+        parts = " || ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_key FROM sig"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+@query(
+    "dd_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+        SELECT doc_id, {_minhash_aggs_sql()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_band_selects_sql()}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    shared AS (
+        SELECT c.d1, c.d2, count(*) AS shared
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.d1
+        JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+        GROUP BY 1, 2
+    )
+    SELECT sh0.d1, sh0.d2,
+           round(CAST(shared AS DOUBLE) / (n1.n + n2.n - shared), 4) AS jaccard
+    FROM shared sh0
+    JOIN sh_n n1 ON n1.doc_id = sh0.d1
+    JOIN sh_n n2 ON n2.doc_id = sh0.d2
+    WHERE round(CAST(shared AS DOUBLE) / (n1.n + n2.n - shared), 4)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs (north-star 'MinHash+LSH').
+
+    shingle → 8 deterministic minhashes (lexicographic min of
+    ``md5(seed:shingle)``) → 4 bands of 2 → band-bucket equality join →
+    exact Jaccard verify on candidates only. This is the shape that holds
+    at 100 TB: signature agg is one shuffle on doc_id, the bucket join
+    shuffles on band keys (collision-bounded), verification touches
+    candidate pairs only. Deterministic md5 minhashes (rather than
+    MLlib's seeded MinHashLSH) make the result engine-portable.
+    """
+    sh = shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("s")))).alias(f"mh{s}")
+            for s in range(N_MINHASH)
+        ]
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat(
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("band_key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    a = bands.select(F.col("doc_id").alias("d1"), "band_id", "band_key")
+    b = bands.select(F.col("doc_id").alias("d2"), "band_id", "band_key")
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def _simhash_bit_sums_sql(engine: str) -> str:
+    """SUM(±1) expression per simhash bit; md5-hex-digit derived."""
+    exprs = []
+    for j in range(4):  # hex digit position (1-based substr)
+        for b in range(4):  # bit inside the digit
+            i = j * 4 + b
+            digit = f"(instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1)"
+            exprs.append(
+                f"sum(CASE WHEN (({digit} >> {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+                f" AS s{i}"
+            )
+    return ",\n".join(exprs)
+
+
+def _simhash_assemble_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+
+
+_SIMHASH_CTE = f"""
+    tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(t) AS h FROM tok),
+    bitsums AS (
+        SELECT doc_id, {_simhash_bit_sums_sql('duckdb')}
+        FROM hashed GROUP BY doc_id
+    ),
+    simhashed AS (
+        SELECT doc_id, CAST({_simhash_assemble_sql()} AS BIGINT) AS simhash
+        FROM bitsums
+    )
+"""
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("t")).withColumn(
+        "h", F.md5("t")
+    )
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN (((instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1)"
+                f" >> {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+            ).alias(f"s{j * 4 + b}")
+            for j in range(4)
+            for b in range(4)
+        ]
+    )
+    assemble = sum(
+        (F.when(F.col(f"s{i}") > 0, 1 << i).otherwise(0) for i in range(16)),
+        start=F.lit(0),
+    )
+    return bit_sums.select("doc_id", assemble.cast("bigint").alias("simhash"))
+
+
+@query(
+    "dd_simhash",
+    oracle=f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM simhashed",
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit frequency-weighted SimHash per document (north-star
+    'SimHash'): per-token md5 bits vote ±1 per position, sign → bit. All
+    arithmetic on md5 hex digits, so Spark and DuckDB produce identical
+    values. One shuffle (doc_id)."""
+    return _simhash_df(spark, sf_dir)
+
+
+@query(
+    "dd_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM simhashed a
+    JOIN simhashed b
+      ON a.doc_id < b.doc_id
+     AND (((a.simhash >> 12) & 15) = ((b.simhash >> 12) & 15)
+       OR ((a.simhash >> 8)  & 15) = ((b.simhash >> 8)  & 15)
+       OR ((a.simhash >> 4)  & 15) = ((b.simhash >> 4)  & 15)
+       OR ( a.simhash        & 15) = ( b.simhash        & 15))
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ 3 over the 16-bit
+    simhash. Candidates are generated by FOUR nibble-equality equi-joins
+    (pigeonhole: ≤3 flipped bits leave at least one of 4 nibbles intact),
+    unioned and deduped — the Spark plan is 4 shuffled equi-joins, never
+    an OR-condition nested-loop join."""
+    s = _simhash_df(spark, sf_dir)
+    a = s.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
+    b = s.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"))
+
+    def nibble(col, shift):
+        return F.shiftright(col, shift).bitwiseAND(F.lit(15))
+
+    cands = None
+    for shift in (12, 8, 4, 0):
+        aa = a.withColumn("nib", nibble(F.col("h1"), shift))
+        bb = b.withColumn("nib", nibble(F.col("h2"), shift))
+        c = aa.join(bb, "nib").filter(F.col("d1") < F.col("d2")).drop("nib")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("bigint")
+    return cands.select("d1", "d2", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )

@@ -1,1 +1,245 @@
-"""(registrations added in a later milestone)"""
+"""Text-analysis operators over the ``documents`` table (north-star §7.2.8).
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` — higher-
+order array functions (``transform``/``filter``/``aggregate``) over the
+token array, never a Python UDF — so the whole stage stays inside
+whole-stage codegen and scales linearly with executors.
+
+Cross-engine determinism: fingerprints use ``md5`` (identical hex output
+in Spark and DuckDB); ratios are rounded; top-k orderings carry unique
+tiebreakers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import read_table
+
+#: Marker-token profiles for the deterministic language-id heuristic.
+#: (The synthetic corpus draws from one engine-vocabulary; the heuristic
+#: classifies by *domain profile* — the real-world shape is identical:
+#: score per language from marker n-gram hits, argmax with a fixed
+#: tie-break order.)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "relational": ("table", "join", "scan", "merge", "sort", "hash", "key"),
+    "streaming": ("stream", "window", "batch", "event", "row"),
+    "vectorized": ("vector", "column", "value", "data"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens(col: str = "text"):
+    """Whitespace tokenizer as a JVM expression (no UDF)."""
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "txt_token_stats",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, n_chars, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+           n_chars,
+           round(CAST(len(list_filter(w, t -> t IN ({_sql_list(STOPWORDS)})))
+                      AS DOUBLE) / len(w), 4) AS stopword_ratio
+    FROM tok
+    """,
+)
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north-star 'token counting'): whitespace tokens,
+    distinct tokens, stopword ratio — one narrow map stage, no shuffle."""
+    w = tokens()
+    stop_hits = F.filter(w, lambda t: t.isin(*STOPWORDS))
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct_tokens"),
+        "n_chars",
+        F.round(F.size(stop_hits) / F.size(w), 4).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "txt_quality_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, n_chars, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               len(w) AS n_tokens,
+               CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+               CAST(len(list_filter(w, t -> t IN ({_sql_list(STOPWORDS)})))
+                    AS DOUBLE) / len(w) AS stop_ratio,
+               CAST(n_chars AS DOUBLE) / len(w) AS avg_token_len
+        FROM tok
+    )
+    SELECT doc_id,
+           round(ttr, 4)            AS type_token_ratio,
+           round(stop_ratio, 4)     AS stopword_ratio,
+           round(avg_token_len, 4)  AS avg_token_len,
+           CAST(n_tokens >= 20 AND ttr >= 0.2 AS BOOLEAN) AS passes_quality
+    FROM feat
+    """,
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (north-star 'quality scoring'): type-token ratio,
+    stopword ratio, average token length, and a pass/fail gate — the
+    standard pre-training corpus filters, all codegen'd expressions."""
+    w = tokens()
+    n_tokens = F.size(w)
+    ttr = F.size(F.array_distinct(w)) / n_tokens
+    stop_ratio = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS))) / n_tokens
+    avg_len = F.col("n_chars") / n_tokens
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(ttr, 4).alias("type_token_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        ((n_tokens >= 20) & (ttr >= 0.2)).alias("passes_quality"),
+    )
+
+
+def _profile_scores_sql() -> str:
+    return ",\n".join(
+        f"CAST(len(list_filter(w, t -> t IN ({_sql_list(words)}))) AS BIGINT)"
+        f" AS score_{name}"
+        for name, words in LANG_PROFILES.items()
+    )
+
+
+@query(
+    "txt_lang_profile",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, {_profile_scores_sql()}
+        FROM tok
+    )
+    SELECT doc_id, lang, score_relational, score_streaming, score_vectorized,
+           CASE
+             WHEN score_relational >= score_streaming
+              AND score_relational >= score_vectorized THEN 'relational'
+             WHEN score_streaming >= score_vectorized THEN 'streaming'
+             ELSE 'vectorized'
+           END AS predicted_profile
+    FROM scored
+    """,
+)
+def txt_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language/domain-id heuristic (north-star 'language-ID'): marker-token
+    scores per profile, argmax with a fixed tie-break order."""
+    w = tokens()
+    docs = read_table(spark, sf_dir, "documents")
+
+    def profile_score(words: tuple[str, ...]):
+        # NB: the lambda must take exactly one parameter — F.filter passes
+        # (element, index) to two-parameter lambdas, so a captured-default
+        # second parameter would silently receive the index column
+        return F.size(F.filter(w, lambda t: t.isin(*words))).cast("bigint")
+
+    scores = {name: profile_score(words) for name, words in LANG_PROFILES.items()}
+    rel, st, vec = (scores[k] for k in ("relational", "streaming", "vectorized"))
+    predicted = (
+        F.when((rel >= st) & (rel >= vec), "relational")
+        .when(st >= vec, "streaming")
+        .otherwise("vectorized")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        scores["relational"].alias("score_relational"),
+        scores["streaming"].alias("score_streaming"),
+        scores["vectorized"].alias("score_vectorized"),
+        predicted.alias("predicted_profile"),
+    )
+
+
+@query(
+    "txt_fingerprint",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(t) AS fingerprint,
+           substr(md5(t), 1, 8) AS fp_prefix,
+           md5(array_to_string(string_split(t, ' ')[1:5], ' ')) AS head_shingle_fp
+    FROM norm
+    """,
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (north-star 'document fingerprinting'):
+    md5 over whitespace-normalized text + a head-shingle fingerprint.
+    md5 is the one hash primitive with identical output across engines,
+    so fingerprints are portable warehouse keys."""
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    head5 = F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 5))
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 8).alias("fp_prefix"),
+        F.md5(head5).alias("head_shingle_fp"),
+    )
+
+
+@query(
+    "txt_top_bigrams",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS bigram
+        FROM tok
+    )
+    SELECT bigram, count(*) AS n
+    FROM bg
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def txt_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram profile: adjacent-token bigrams via a
+    higher-order ``transform`` over the token array (zero UDFs), exploded
+    and counted. The group-by is the only shuffle; the top-20 is a
+    TakeOrdered, not a global sort."""
+    w = tokens()
+    # guard: Spark's sequence(0, -1) would produce a DESCENDING sequence
+    # for single-token docs, not an empty one
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1)),
+        ),
+    )
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
