@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine queries at sf0.1 (driver contract).
+
+Runs a representative slice of the registry — TPC-H-style analytics, the
+reference's report queries, windows, dedup, text, similarity — on
+``local[$SPARK_GRAFT_CPUS]`` against ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) and prints ONE JSON line::
+
+    {"metric": "...", "value": <total>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with a ``noop``-format write — the
+whole plan runs distributed (scan → shuffle → sink) with zero driver
+collection, which is the honest cost at cluster scale; ``collect()``
+would add a driver bottleneck that a real pipeline doesn't have.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # TPC-H-style analytics (scan → filter → join → agg shapes)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "rollup_status_priority",
+    # reference parity: the bot report + incremental-load anti-join
+    "ref_distributor_report",
+    "ref_daily_cumulative_metrics",
+    "ref_incremental_antijoin",
+    # window functions
+    "win_running_revenue",
+    "win_top3_orders_per_customer",
+    # LLM-pipeline operators
+    "txt_token_stats",
+    "txt_quality_score",
+    "dd_exact_text",
+    "dd_minhash_lsh_pairs",
+    "dd_simhash",
+]
+
+#: Registered after the first bench commit; tolerated if absent so bench
+#: never breaks mid-build.
+OPTIONAL = [
+    "sim_knn_brute",
+    "sim_ann_band_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from python_sql_etl_project_spark import registry
+    from python_sql_etl_project_spark.session import build_spark
+
+    spark = build_spark(app_name="bench", master=f"local[{cpus}]")
+    queries = registry.all_queries()
+
+    names = HEADLINE + [n for n in OPTIONAL if n in queries]
+    missing = [n for n in names if n not in queries]
+    if missing:
+        print(f"FATAL: unknown bench queries: {missing}", file=sys.stderr)
+        sys.exit(1)
+
+    # warm-up: JVM/codegen/parquet-footer caches on the smallest table so
+    # per-query timings measure the plan, not first-touch JIT
+    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
