@@ -51,6 +51,7 @@ HEADLINE = [
 OPTIONAL = [
     "sim_knn_brute",
     "sim_ann_band_lsh",
+    "mm_feature_extract",
 ]
 
 

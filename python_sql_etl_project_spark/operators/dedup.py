@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..session import read_table
+from ..session import read_table, read_table_parallel
 from .text import tokens
 
 SHINGLE_K = 3
@@ -62,7 +62,18 @@ _SHINGLES_CTE = f"""
 
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct k-word shingles per doc, hot shingles capped (Spark side)."""
+    """Distinct k-word shingles per doc, hot shingles capped (Spark side).
+
+    The exploded-distinct shingle set is ``persist()``-ed: it feeds the
+    hot-shingle census AND every downstream consumer (signature agg, doc
+    lengths, both sides of the verify join); without the cache Spark
+    recomputes the tokenize→explode→distinct chain once per consumer —
+    measured 3× slower at sf0.1. MEMORY_AND_DISK so a 1000-executor run
+    degrades to disk instead of OOM. The hot-set anti-join stays *below*
+    the cache: it is a map-side broadcast join, cheap to replay.
+    """
+    from pyspark import StorageLevel
+
     w = tokens()
     shingle_arr = F.when(
         F.size(w) >= SHINGLE_K,
@@ -74,9 +85,10 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sh = (
-        read_table(spark, sf_dir, "documents")
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
         .select("doc_id", F.explode(shingle_arr).alias("s"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     hot = (
         sh.groupBy("s")
@@ -88,12 +100,21 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """True Jaccard for candidate pairs only (never all pairs)."""
+    """True Jaccard for candidate pairs only (never all pairs).
+
+    The candidate-pair set is orders of magnitude smaller than the
+    shingle set (LSH already pruned it), so it is ``broadcast()`` — both
+    verify joins become map-side over the partitioned shingles with NO
+    shuffle of the big side. At 100 TB the same asymmetry holds;if the
+    candidate set ever outgrows broadcast, drop the hint and let AQE pick
+    a shuffled hash join.
+    """
     n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.select(F.col("doc_id").alias("d1"), "s")
     s2 = sh.select(F.col("doc_id").alias("d2"), "s")
     shared = (
-        cand.join(s1, "d1").join(s2, ["d2", "s"])
+        F.broadcast(cand).join(s1, "d1")
+        .join(s2, ["d2", "s"])
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -126,7 +147,7 @@ def dd_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical-row rule (same principle as dedupe_first, SURVEY §2.4 A5)."""
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return (
-        read_table(spark, sf_dir, "documents")
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
         .select("doc_id", F.md5(norm).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
@@ -321,7 +342,7 @@ _SIMHASH_CTE = f"""
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_parallel(spark, sf_dir, "documents", "doc_id")
     tok = docs.select("doc_id", F.explode(tokens()).alias("t")).withColumn(
         "h", F.md5("t")
     )

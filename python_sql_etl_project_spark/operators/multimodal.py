@@ -1,1 +1,224 @@
-"""(registrations added in a later milestone)"""
+"""Multimodal (binary) column operators (north-star §7.2.8).
+
+The engine models image/audio/video as **opaque ``BINARY`` payloads with
+a typed metadata struct** — the lakehouse-standard layout for multimodal
+training data. The container has no image/audio codecs, so *decode* is a
+clearly marked stub (:func:`decode_image`), while everything Spark-side —
+binary columns, metadata structs, Arrow-batched ``mapInPandas`` feature
+extraction, frame-sampling expansion, partitioning — is real and tested.
+
+The synthetic asset table is derived deterministically from
+``documents``: ``payload = unhex(md5(text))`` (16 opaque bytes standing
+in for encoded media) plus doc_id-derived mime/width/height/n_frames.
+Both engines build it identically, so every query below is oracle-checked
+— including the ``mapInPandas`` one, whose byte-level features the oracle
+recomputes from hex digits in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..session import read_table_parallel
+
+MIMES = ("image/png", "image/jpeg", "audio/wav", "video/mp4")
+FRAME_STEP = 5  # sample every 5th frame
+
+#: asset-table CTE shared by every oracle (DuckDB side of the contract)
+_ASSETS_CTE = """
+    assets AS (
+        SELECT doc_id AS asset_id,
+               unhex(md5(text)) AS payload,
+               md5(text) AS payload_hex,
+               ['image/png', 'image/jpeg', 'audio/wav', 'video/mp4']
+                 [CAST(doc_id % 4 AS INT) + 1] AS mime,
+               CAST(32 + doc_id % 97 AS INT) AS width,
+               CAST(32 + doc_id % 53 AS INT) AS height,
+               CAST(10 + doc_id % 20 AS INT) AS n_frames
+        FROM documents
+    )
+"""
+
+
+def assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal asset table: opaque binary payload + typed metadata.
+
+    Schema: ``asset_id BIGINT, payload BINARY, meta STRUCT<mime STRING,
+    width INT, height INT, n_frames INT>`` — payload is never parsed by
+    the engine (opaque bytes), metadata is first-class and prunable.
+    """
+    d = F.col("doc_id")
+    mime = F.element_at(
+        F.array(*[F.lit(m) for m in MIMES]), (d % 4).cast("int") + 1
+    )
+    return read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        d.alias("asset_id"),
+        F.unhex(F.md5("text")).alias("payload"),
+        F.struct(
+            mime.alias("mime"),
+            (F.lit(32) + d % 97).cast("int").alias("width"),
+            (F.lit(32) + d % 53).cast("int").alias("height"),
+            (F.lit(10) + d % 20).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Decode an encoded image to (width, height) — STUB.
+
+    Real implementation requires an image codec (Pillow/libvips), which
+    this environment does not ship. The engine treats payloads as opaque;
+    anything needing true pixel access must run where codecs exist.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - no codec in container
+        raise NotImplementedError(
+            "image decode needs Pillow/libvips; payloads are opaque here"
+        ) from exc
+    raise NotImplementedError("real decode path not wired in this build")
+
+
+@query(
+    "mm_asset_catalog",
+    oracle=f"""
+    WITH {_ASSETS_CTE}
+    SELECT asset_id, mime, width, height,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           payload_hex,
+           CAST(width * height AS BIGINT) AS n_pixels
+    FROM assets
+    """,
+)
+def mm_asset_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset catalog: binary payload size + metadata projection. The
+    binary column round-trips through the plan (unhex → octet_length →
+    hex) proving BINARY-type plumbing; metadata fields project without
+    touching payload bytes (column pruning keeps payloads unread when
+    only metadata is queried — the property that matters at 100 TB of
+    media)."""
+    a = assets(spark, sf_dir)
+    return a.select(
+        "asset_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.lower(F.hex("payload")).alias("payload_hex"),
+        (F.col("meta.width").cast("bigint") * F.col("meta.height")).alias(
+            "n_pixels"
+        ),
+    )
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH {_ASSETS_CTE}
+    SELECT asset_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(f * octet_length(payload) AS BIGINT) AS byte_offset
+    FROM assets, unnest(range(0, n_frames, {FRAME_STEP})) AS t(f)
+    WHERE mime = 'video/mp4'
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video assets: expand each video into every
+    {FRAME_STEP}th frame index with its byte offset — the generate/
+    explode shape a real frame extractor hangs off (the per-frame decode
+    itself is the :func:`decode_image`-class stub). Metadata-only filter
+    runs before the explode, so non-video payloads are never expanded."""
+    a = assets(spark, sf_dir).filter(F.col("meta.mime") == "video/mp4")
+    frames = F.sequence(
+        F.lit(0), F.col("meta.n_frames") - 1, F.lit(FRAME_STEP)
+    )
+    return a.select(
+        "asset_id",
+        F.explode(frames).alias("frame_idx"),
+        (F.col("frame_idx").cast("bigint") * F.length("payload")).alias(
+            "byte_offset"
+        ),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("max_byte", T.IntegerType()),
+        T.StructField("head_byte", T.IntegerType()),
+    ]
+)
+
+
+def _extract_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched byte-level feature extraction (runs on executors).
+
+    This is the real multimodal hot path shape: payload bytes arrive as
+    Arrow binary arrays, features are computed per batch in numpy — the
+    same signature a true pixel/audio featurizer would use, with the
+    codec call swapped in where :func:`decode_image` is stubbed.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        feats = []
+        for asset_id, mime, payload in zip(
+            pdf["asset_id"], pdf["mime"], pdf["payload"]
+        ):
+            b = np.frombuffer(payload, dtype=np.uint8)
+            feats.append(
+                (
+                    asset_id,
+                    mime,
+                    round(float(b.mean()), 4),
+                    int(b.max()),
+                    int(b[0]),
+                )
+            )
+        yield pd.DataFrame(
+            feats, columns=["asset_id", "mime", "mean_byte", "max_byte", "head_byte"]
+        )
+
+
+@query(
+    "mm_feature_extract",
+    oracle=f"""
+    WITH {_ASSETS_CTE},
+    bytes_expl AS (
+        SELECT asset_id, mime, j,
+               (instr('0123456789abcdef', substring(payload_hex, 2*j + 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substring(payload_hex, 2*j + 2, 1)) - 1)
+               AS byte_val
+        FROM assets, unnest(range(0, 16)) AS t(j)
+    )
+    SELECT asset_id, any_value(mime) AS mime,
+           round(avg(byte_val), 4) AS mean_byte,
+           CAST(max(byte_val) AS INT) AS max_byte,
+           CAST(max(CASE WHEN j = 0 THEN byte_val END) AS INT) AS head_byte
+    FROM bytes_expl
+    GROUP BY asset_id
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas`` — the
+    one deliberate Python hot path in the engine, because byte/pixel
+    featurization has no JVM expression. Arrow moves payloads in columnar
+    batches (never per-row pickling); the UDF is stateless per batch so
+    it scales with partitions. The oracle recomputes the same features
+    from hex digits in SQL, so even the Pandas-UDF path is hash-checked.
+    """
+    a = assets(spark, sf_dir).select(
+        "asset_id", F.col("meta.mime").alias("mime"), "payload"
+    )
+    return a.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)

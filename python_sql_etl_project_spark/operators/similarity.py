@@ -1,1 +1,315 @@
-"""(registrations added in a later milestone)"""
+"""Similarity search over the ``embeddings`` table (north-star §7.2.8).
+
+``embeddings(vec_id BIGINT, embedding ARRAY<FLOAT> [64-dim], label INT)``.
+
+Two ANN strategies plus supporting analytics, all pure JVM-side plans:
+
+* **brute-force cosine top-k** — the exactness baseline: broadcast the
+  (small) query set against the corpus, rank per query. At 100 TB the
+  corpus side stays partitioned and is scanned once; only the query set
+  is broadcast — never a corpus×corpus cross join.
+* **band-LSH ANN** — the scale path: bit-sampling LSH (sign bit per
+  dimension, 4 bands of 8 sign bits). Candidates come from band-equality
+  equi-joins (shuffle on band key), cosine is computed on candidates
+  only. This is the IVF-style "probe a bucket, not the corpus" shape.
+
+Cross-engine determinism: dot products and norms are computed as
+*sequential left folds in index order* on float32 values cast to double
+(both engines do exact float32→double conversion, then identical
+double-op sequences → bit-identical sums). Cosines are rounded before
+ranking so rank ties break on ``vec_id`` identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import read_table
+
+N_QUERIES = 8  # vec_id < 8 are the "query" vectors
+TOP_K = 5
+N_BANDS = 4
+BITS_PER_BAND = 8  # sign bits of dims [band*8, band*8+8)
+
+#: DuckDB: cosine(a, b) with double accumulation in index order.
+#: list_* lambdas evaluate per element; list_sum aggregates in list
+#: order — matching Spark's F.aggregate left fold.
+_COS_SQL = """
+    round(
+      list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+      / sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))
+    , 6)
+"""
+
+
+def _dot(a, b):
+    """Sequential-fold dot product of two float arrays, in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a, b):
+    return F.round(_dot(a, b) / F.sqrt(_dot(a, a)) / F.sqrt(_dot(b, b)), 6)
+
+
+def _band_code(emb, band: int):
+    """8 sign bits of dims [band*8, band*8+8) packed into an int.
+
+    Sign-bit comparison (> 0) is exact on float32 in both engines — no
+    arithmetic, so no precision risk in the blocking key.
+    """
+    code = F.lit(0)
+    for b in range(BITS_PER_BAND):
+        bit = F.when(F.get(emb, band * BITS_PER_BAND + b) > 0, 1 << b).otherwise(0)
+        code = code + bit
+    return code
+
+
+def _band_code_sql(side: str, band: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {side}.embedding[{band * BITS_PER_BAND + b + 1}] > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(BITS_PER_BAND)
+    )
+    return f"({terms})"
+
+
+@query(
+    "sim_knn_brute",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               b.label AS neighbor_label,
+               {_COS_SQL} AS cosine
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, neighbor_label, cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN baseline (north-star 'brute-force cosine top-k').
+
+    The query set (``vec_id < {N_QUERIES}``) is tiny → ``broadcast()``;
+    the corpus is scanned exactly once, partitioned, with the per-pair
+    cosine fused into the scan stage. Ranking is a window per query_id
+    (shuffle on the small scored set). At 100 TB: same plan — broadcast
+    queries, one corpus pass, top-k via per-query window.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            _cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "neighbor_label", "cosine")
+    )
+
+
+def _band_blocked_candidates(emb: DataFrame) -> DataFrame:
+    """Self-join candidates sharing ≥1 LSH band (4 equi-joins, deduped)."""
+    a = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
+    cands = None
+    for band in range(N_BANDS):
+        aa = a.withColumn("code", _band_code(F.col("e1"), band)).withColumn(
+            "band", F.lit(band)
+        )
+        bb = b.withColumn("code", _band_code(F.col("e2"), band)).withColumn(
+            "band", F.lit(band)
+        )
+        c = (
+            aa.join(bb, ["band", "code"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2", "e1", "e2")
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    return cands.dropDuplicates(["d1", "d2"])
+
+
+@query(
+    "sim_ann_band_lsh",
+    oracle=f"""
+    WITH bands AS (SELECT unnest(range(0, {N_BANDS})) AS band),
+    coded AS (
+        SELECT band, e.vec_id, e.embedding,
+               CASE band
+                 WHEN 0 THEN {_band_code_sql('e', 0)}
+                 WHEN 1 THEN {_band_code_sql('e', 1)}
+                 WHEN 2 THEN {_band_code_sql('e', 2)}
+                 WHEN 3 THEN {_band_code_sql('e', 3)}
+               END AS code
+        FROM embeddings e CROSS JOIN bands
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+        FROM coded x JOIN coded y
+          ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id
+    ),
+    scored AS (
+        SELECT c.d1, c.d2, {_COS_SQL} AS cosine
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.d1
+        JOIN embeddings b ON b.vec_id = c.d2
+    ),
+    sym AS (
+        SELECT d1 AS query_id, d2 AS neighbor_id, cosine FROM scored
+        UNION ALL
+        SELECT d2, d1, cosine FROM scored
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sym
+    )
+    SELECT query_id, rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim_ann_band_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN for EVERY vector via bit-sampling LSH (north-star
+    'IVF/LSH-bucketed variant').
+
+    Blocking: 4 bands of 8 sign bits; two vectors are candidates iff
+    they agree on at least one full band. The plan is 4 shuffled
+    equi-joins on (band, code) — collision-bounded bucket joins, never a
+    corpus×corpus cross join — then cosine on candidates only, then a
+    per-vector top-k window. This is the shape that scales: bucket
+    population, not corpus size, bounds the join fan-out.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    scored = _band_blocked_candidates(emb).select(
+        "d1", "d2", _cosine(F.col("e1"), F.col("e2")).alias("cosine")
+    )
+    sym = scored.select(
+        F.col("d1").alias("query_id"), F.col("d2").alias("neighbor_id"), "cosine"
+    ).unionByName(
+        scored.select(
+            F.col("d2").alias("query_id"), F.col("d1").alias("neighbor_id"), "cosine"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+@query(
+    "sim_cosine_neardup_pairs",
+    oracle=f"""
+    WITH bands AS (SELECT unnest(range(0, {N_BANDS})) AS band),
+    coded AS (
+        SELECT band, e.vec_id, e.embedding,
+               CASE band
+                 WHEN 0 THEN {_band_code_sql('e', 0)}
+                 WHEN 1 THEN {_band_code_sql('e', 1)}
+                 WHEN 2 THEN {_band_code_sql('e', 2)}
+                 WHEN 3 THEN {_band_code_sql('e', 3)}
+               END AS code
+        FROM embeddings e CROSS JOIN bands
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+        FROM coded x JOIN coded y
+          ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id
+    )
+    SELECT c.d1, c.d2, {_COS_SQL} AS cosine
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.d1
+    JOIN embeddings b ON b.vec_id = c.d2
+    WHERE {_COS_SQL} >= 0.35
+    """,
+)
+def sim_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (north-star dedup family
+    'embedding-cosine near-dup'): band-LSH blocked candidates with
+    cosine ≥ 0.35 (calibrated to the synthetic corpus, whose max
+    off-diagonal cosine is ~0.51). Same blocked shape as
+    :func:`sim_ann_band_lsh` — candidate pairs only, never all pairs.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    scored = _band_blocked_candidates(emb).select(
+        "d1", "d2", _cosine(F.col("e1"), F.col("e2")).alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= 0.35)
+
+
+@query(
+    "sim_label_centroid_dist",
+    oracle="""
+    WITH expl AS (
+        SELECT label, generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, dim, avg(v) AS c FROM expl GROUP BY label, dim
+    ),
+    norms AS (
+        SELECT label,
+               round(sqrt(sum(c * c)), 6) AS centroid_norm,
+               CAST(count(*) AS BIGINT) AS n_dims
+        FROM cent GROUP BY label
+    ),
+    sizes AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM embeddings GROUP BY label
+    )
+    SELECT n.label, s.n_vecs, n.n_dims, n.centroid_norm
+    FROM norms n JOIN sizes s ON s.label = n.label
+    """,
+)
+def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm — the aggregation shape of one k-means
+    step (assign is a broadcast-join cosine; update is exactly this
+    posexplode → groupBy(label, dim) → avg). Shuffle key (label, dim)
+    distributes the reduce across cores; a driver-side numpy mean would
+    not. ``avg`` is rounded post-sqrt (parallel vs serial sum, low bits).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = expl.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    norms = cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+    )
+    sizes = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    return norms.join(sizes, "label").select(
+        "label", "n_vecs", "n_dims", "centroid_norm"
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..session import read_table
+from ..session import read_table, read_table_parallel
 
 #: Marker-token profiles for the deterministic language-id heuristic.
 #: (The synthetic corpus draws from one engine-vocabulary; the heuristic
@@ -236,7 +236,7 @@ def txt_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        read_table(spark, sf_dir, "documents")
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
         .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
