@@ -1,1 +1,306 @@
-"""(registrations added in a later milestone)"""
+"""Structured Streaming operators over the ``events`` table.
+
+The reference has no streaming at all (SURVEY §2.10) — its closest analog
+is the daily-cron batch + incremental append. These operators are the
+Spark-native upgrade path the north-star asks for: a **file-source
+stream** (``readStream``) over the events parquet, **watermarked
+event-time windows** (tumbling / sliding / session), and a **custom
+stateful operator** via ``applyInPandasWithState``.
+
+Every query runs the stream to completion with ``Trigger.AvailableNow``
+and returns the memory-sink table — so the result is a deterministic
+DataFrame the DuckDB oracle can check, making streaming correctness part
+of the same hash gate as batch. On a real cluster the identical plan
+tails a landing directory / Kafka topic with a periodic or continuous
+trigger; ``AvailableNow`` is the batch-replay mode of the same program.
+
+Scale posture: windowed aggregations carry ``withWatermark`` so state is
+bounded (late rows beyond the watermark are dropped, state for closed
+windows is evicted); the stateful operator keys by user_id (state scales
+with distinct keys, not events); shuffle partitions = session setting.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..registry import query
+
+#: Parquet-declared schema under ``nanosAsLong`` (ts arrives as raw ns).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+SESSION_GAP = "30 minutes"
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """Stage events.parquet behind a directory (the file stream source
+    requires a directory to monitor — in production this IS the landing
+    directory new files arrive into; testdata is a single static file, so
+    a symlink in a temp dir stands in for it)."""
+    if sf_dir not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(d, "events.parquet"),
+        )
+        _STREAM_DIRS[sf_dir] = d
+    return _STREAM_DIRS[sf_dir]
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet (ns → µs, like read_table)."""
+    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(
+        _events_stream_dir(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_table(
+    spark: SparkSession, df: DataFrame, name: str, mode: str
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink.
+
+    ``AvailableNow`` processes everything currently in the source then
+    stops — the streaming equivalent of the reference's daily batch. The
+    memory sink is driver-local and test-sized by design; production
+    sinks are ``writeStream.format("delta"/"parquet"/"kafka")`` with the
+    same query body.
+    """
+    checkpoint = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "strm_tumbling_daily_counts",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def strm_tumbling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows per event_type, with a 1-hour
+    watermark. Complete output mode so the single AvailableNow batch
+    yields every window; the watermark still bounds state on an unbounded
+    run. Partial aggregation happens map-side before the (window, type)
+    shuffle — same as batch."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_table(spark, agg, "strm_tumbling_daily_counts", "complete")
+
+
+@query(
+    "strm_sliding_2d_activity",
+    oracle="""
+    WITH offs AS (SELECT unnest([0, 1]) AS o),
+    expanded AS (
+        SELECT date_trunc('day', ts) - o * INTERVAL 1 DAY AS window_start,
+               user_id, value
+        FROM events, offs
+    )
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value,
+           round(avg(value), 4) AS avg_value
+    FROM expanded
+    GROUP BY 1
+    """,
+)
+def strm_sliding_2d_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows — 2-day length, 1-day slide — global activity
+    profile. Each event lands in exactly two windows (the oracle expands
+    the same assignment relationally). Watermarked; complete mode.
+    (No distinct aggregate here: streaming aggregation cannot hold exact
+    per-window distinct sets in bounded state — that's what
+    approx_count_distinct / HLL sketches are for at scale.)"""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "2 days", "1 day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+    return _run_to_table(spark, agg, "strm_sliding_2d_activity", "complete")
+
+
+@query(
+    "strm_session_windows",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL {SESSION_GAP}
+                       THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    islands AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, prev_ts
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL {SESSION_GAP} AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM islands
+    GROUP BY user_id, session_no
+    """,
+)
+def strm_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows: per-user sessions closed by a {SESSION_GAP} gap
+    (``F.session_window`` — Spark's native merging session state). The
+    oracle derives identical sessions with a gaps-and-islands window
+    chain; Spark's session end is last-event + gap, mirrored in SQL.
+    State is per (user, open session) and evicted at watermark — the
+    bounded-state sessionization a 100 TB event stream needs."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_table(spark, agg, "strm_session_windows", "complete")
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+_STATEFUL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+def _user_profile_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: running per-user activity profile.
+
+    State survives across micro-batches (count / sum / max per user), so
+    on a live stream each trigger emits the user's updated lifetime
+    profile — the accumulator pattern ``applyInPandasWithState`` exists
+    for, which windowed aggregation cannot express.
+    """
+    (user_id,) = key
+    n, total, vmax = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        vmax = max(vmax, float(pdf["value"].max()))
+    state.update((n, total, vmax))
+    yield pd.DataFrame(
+        [(user_id, n, round(total, 4), round(vmax, 4))],
+        columns=["user_id", "n_events", "total_value", "max_value"],
+    )
+
+
+@query(
+    "strm_stateful_user_profile",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value,
+           round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def strm_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming via ``applyInPandasWithState``:
+    per-user lifetime profile maintained in explicit GroupState, keyed by
+    user_id (state size = distinct users, not events). AvailableNow
+    replays the whole source, so the emitted profiles equal the batch
+    aggregate — which is exactly what the oracle checks."""
+    ev = stream_events(spark, sf_dir)
+    profiles = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_profile_update,
+            outputStructType=_STATEFUL_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_table(spark, profiles, "strm_stateful_user_profile", "update")
