@@ -49,6 +49,8 @@ HEADLINE = [
 #: Registered after the first bench commit; tolerated if absent so bench
 #: never breaks mid-build.
 OPTIONAL = [
+    "q6_revenue_forecast",
+    "q18_large_volume_customers",
     "sim_knn_brute",
     "sim_ann_band_lsh",
     "mm_feature_extract",
