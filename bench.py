@@ -73,11 +73,16 @@ def main() -> None:
         print(f"FATAL: unknown bench queries: {missing}", file=sys.stderr)
         sys.exit(1)
 
-    # warm-up: JVM/codegen/parquet-footer caches on the smallest table so
-    # per-query timings measure the plan, not first-touch JIT
+    # warm-up: JVM/codegen/parquet-footer caches + the Python worker pool
+    # (mapInPandas spawns workers on first use — infra cost, not plan
+    # cost) on the smallest SF so per-query timings measure the plan
     queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    if "mm_feature_extract" in queries:
+        queries["mm_feature_extract"](
+            spark, "/root/testdata/sf0.001"
+        ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -84,10 +84,12 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+    # per-doc dedup happens INSIDE the array (array_distinct) before the
+    # explode — semantically identical to explode→DISTINCT but with zero
+    # shuffle: the whole shingle derivation is a narrow map stage
     sh = (
         read_table_parallel(spark, sf_dir, "documents", "doc_id")
-        .select("doc_id", F.explode(shingle_arr).alias("s"))
-        .distinct()
+        .select("doc_id", F.explode(F.array_distinct(shingle_arr)).alias("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     hot = (
@@ -276,21 +278,28 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     rows_per_band = N_MINHASH // N_BANDS
-    band_frames = [
-        sig.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat(
-                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                )
-            ).alias("band_key"),
-        )
-        for b in range(N_BANDS)
-    ]
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+    # all 4 band keys in ONE pass over the signatures: explode an array
+    # of (band_id, band_key) structs instead of unioning 4 frames, which
+    # would re-run the signature aggregation once per band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat(
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band_id", "bk.band_key"
+    )
     a = bands.select(F.col("doc_id").alias("d1"), "band_id", "band_key")
     b = bands.select(F.col("doc_id").alias("d2"), "band_id", "band_key")
     cand = (

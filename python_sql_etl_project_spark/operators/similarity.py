@@ -135,24 +135,39 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _band_blocked_candidates(emb: DataFrame) -> DataFrame:
-    """Self-join candidates sharing ≥1 LSH band (4 equi-joins, deduped)."""
-    a = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
-    b = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
-    cands = None
-    for band in range(N_BANDS):
-        aa = a.withColumn("code", _band_code(F.col("e1"), band)).withColumn(
-            "band", F.lit(band)
-        )
-        bb = b.withColumn("code", _band_code(F.col("e2"), band)).withColumn(
-            "band", F.lit(band)
-        )
-        c = (
-            aa.join(bb, ["band", "code"])
-            .filter(F.col("d1") < F.col("d2"))
-            .select("d1", "d2", "e1", "e2")
-        )
-        cands = c if cands is None else cands.unionByName(c)
-    return cands.dropDuplicates(["d1", "d2"])
+    """Self-join candidates sharing ≥1 LSH band.
+
+    All band codes are derived in ONE scan (explode of (band, code)
+    structs), then a single self-equi-join on (band, code) — one shuffle
+    on the bucket key instead of four unioned joins re-scanning the
+    corpus. Pairs colliding in several bands are deduped after."""
+    coded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        _band_code(F.col("embedding"), band).alias("code"),
+                    )
+                    for band in range(N_BANDS)
+                ]
+            )
+        ).alias("bc"),
+    ).select("vec_id", "embedding", "bc.band", "bc.code")
+    a = coded.select(
+        F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), "band", "code"
+    )
+    b = coded.select(
+        F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"), "band", "code"
+    )
+    return (
+        a.join(b, ["band", "code"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "e1", "e2")
+        .dropDuplicates(["d1", "d2"])
+    )
 
 
 @query(
