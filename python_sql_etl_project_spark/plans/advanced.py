@@ -1,0 +1,195 @@
+"""Advanced relational operators absent from the reference.
+
+The reference's surface stops at equi-joins, plain group-bys and one
+ORDER BY (SURVEY §2.3–2.6). These queries add the operator families a
+real warehouse needs — as-of (temporal) join, pivot, exact quantiles,
+cube — each expressed so Catalyst keeps the heavy side distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import read_table
+
+PIVOT_STATUSES = ("F", "O", "P")
+
+
+@query(
+    "asof_last_order_before_event",
+    oracle="""
+    WITH tagged AS (
+        SELECT o_custkey AS user_id, o_orderdate AS t, o_orderkey,
+               NULL::BIGINT AS event_id, 1 AS is_order
+        FROM orders
+        UNION ALL
+        SELECT user_id, ts AS t, NULL::BIGINT AS o_orderkey,
+               event_id, 0 AS is_order
+        FROM events
+    ),
+    filled AS (
+        SELECT *,
+               max(CASE WHEN is_order = 1 THEN o_orderkey END)
+                 OVER (PARTITION BY user_id
+                       ORDER BY t, is_order DESC, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS last_any,
+               last_value(CASE WHEN is_order = 1 THEN o_orderkey END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY t, is_order DESC, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS asof_orderkey,
+               last_value(CASE WHEN is_order = 1 THEN t END IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY t, is_order DESC, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS asof_orderdate
+        FROM tagged
+    )
+    SELECT event_id, user_id, t AS ts, asof_orderkey, asof_orderdate
+    FROM filled WHERE is_order = 0
+    """,
+)
+def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (temporal) join: for every event, the customer's most recent
+    order at-or-before the event time.
+
+    Implemented with the scalable union-merge pattern, NOT a range join:
+    tag orders and events into one relation, sort per user by (time,
+    order-first, orderkey), and carry the last seen order forward with
+    ``last(..., ignorenulls)``. One shuffle on user_id + one sort —
+    O(n log n) per key — where a naive inequality join is O(events ×
+    orders-per-user) and a cluster-killer at 100 TB. Equal-timestamp ties
+    resolve order-before-event (<= semantics) and highest orderkey,
+    deterministically in both engines.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(1).alias("is_order"),
+    )
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        "event_id",
+        F.lit(0).alias("is_order"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", F.desc("is_order"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    order_key = F.when(F.col("is_order") == 1, F.col("o_orderkey"))
+    order_t = F.when(F.col("is_order") == 1, F.col("t"))
+    return (
+        o.unionByName(e)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("ts"),
+            "is_order",
+            F.last(order_key, ignorenulls=True).over(w).alias("asof_orderkey"),
+            F.last(order_t, ignorenulls=True).over(w).alias("asof_orderdate"),
+        )
+        .filter(F.col("is_order") == 0)
+        .drop("is_order")
+    )
+
+
+@query(
+    "pivot_monthly_status_revenue",
+    oracle=f"""
+    SELECT date_trunc('month', o_orderdate) AS month,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+             AS status_F,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+             AS status_O,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)
+             AS status_P
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def pivot_monthly_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation — the generalization of the
+    reference's A1 CASE-sum): monthly revenue per order status as
+    columns. Pivot values are pinned explicitly ({PIVOT_STATUSES}) so
+    Spark skips the extra distinct-values job AND the output schema is
+    stable — both load-bearing at scale."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    pv = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .pivot("o_orderstatus", list(PIVOT_STATUSES))
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return pv.select(
+        "month",
+        *[F.col(s).alias(f"status_{s}") for s in PIVOT_STATUSES],
+    )
+
+
+@query(
+    "agg_price_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles per group (``percentile`` — linear interpolation,
+    identical to DuckDB's quantile_cont). Exact percentile is a
+    sort-based aggregate; at 100 TB the approximate sketch
+    (``approx_percentile`` / t-digest) is the right default — this query
+    pins the exact path because the oracle gate needs bit-stable
+    results, and documents the sketch as the scale alternative."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.round(
+                    F.percentile("l_extendedprice", F.lit(q)), 4
+                ).alias(f"p{int(q * 100)}")
+                for q in (0.25, 0.50, 0.75, 0.95)
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one pass
+    (Spark expands to a single Expand + hash aggregate — not 4 scans).
+    Complements the existing ROLLUP query to complete the grouping-sets
+    family."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
