@@ -243,3 +243,46 @@ def txt_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+#: the classic byte-pair-encoding *pre*-split (GPT-2 style, simplified to
+#: a dialect both regex engines agree on).
+BPE_SPLIT_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "txt_bpe_token_count",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '{BPE_SPLIT_RE}') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_bpe_tokens,
+           CAST(len(list_filter(t, x -> x ~ '^[0-9]+$')) AS BIGINT)
+             AS n_number_tokens,
+           CAST(len(list_filter(t, x -> x ~ '^[^A-Za-z0-9]$')) AS BIGINT)
+             AS n_punct_tokens
+    FROM tok
+    """,
+)
+def txt_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (north-star 'whitespace + a BPE-ish
+    regex'): regex pre-tokenization into letter/digit/punctuation runs —
+    the unit a BPE vocabulary merges over — counted entirely with JVM
+    regexp_extract_all + higher-order filters (no UDF). Complements the
+    whitespace counts in :func:`txt_token_stats`."""
+    t = F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), 0)
+    return read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct_bpe_tokens"),
+        F.size(F.filter(t, lambda x: x.rlike("^[0-9]+$")))
+        .cast("bigint")
+        .alias("n_number_tokens"),
+        F.size(F.filter(t, lambda x: x.rlike("^[^A-Za-z0-9]$")))
+        .cast("bigint")
+        .alias("n_punct_tokens"),
+    )

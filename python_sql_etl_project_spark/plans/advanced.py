@@ -193,3 +193,39 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+_PROPS_SCHEMA = "STRUCT<k: INT>"
+
+
+@query(
+    "json_props_by_event_type",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k,
+           CAST(max(CAST(props->>'$.k' AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_props_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column access: ``from_json`` with an explicit
+    schema (not schema inference, not ``get_json_object`` string probing
+    per field) parses ``props`` once into a struct, then plain columnar
+    aggregation. At scale the parse happens in the scan stage and the
+    struct field is pruned like any column."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.from_json("props", _PROPS_SCHEMA)["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
