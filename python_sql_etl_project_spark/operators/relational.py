@@ -135,3 +135,38 @@ def coercion_filter(df: DataFrame, col: str, target_type: str = "int") -> DataFr
     return df.filter(parsed.isNotNull()).withColumn(
         col, parsed.cast(target_type)
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual key salting for pathological skew.
+
+    AQE's skew-join splitting (enabled in :mod:`..session`) handles most
+    skew at runtime; this is the explicit fallback for the worst case —
+    one join key holding a double-digit percentage of all rows (the
+    classic null-key / default-value hot spot at 100 TB).
+
+    Mechanics: the skewed side gets a deterministic salt in
+    ``[0, num_salts)`` derived from a hash of the full row, splitting
+    each hot key's rows across ``num_salts`` shuffle partitions; the
+    other side is replicated once per salt value (an ``explode`` of a
+    literal range — replication factor = ``num_salts``, chosen small).
+    Joining on ``(key, salt)`` then spreads the hot key over the cluster
+    instead of funnelling it through one reducer.
+
+    Only ``inner``/``left_semi`` joins are safe here (replication would
+    duplicate unmatched outer rows).
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"salted_join supports inner/left_semi, got {how!r}")
+    salt = F.pmod(F.hash(*skewed.columns), F.lit(num_salts))
+    s = skewed.withColumn("_salt", salt)
+    o = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return s.join(o, on=[key, "_salt"], how=how).drop("_salt")

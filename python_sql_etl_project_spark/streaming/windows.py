@@ -304,3 +304,44 @@ def strm_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(spark, profiles, "strm_stateful_user_profile", "update")
+
+
+def stream_incremental_load(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse,
+    table: str = "events_wh",
+) -> int:
+    """Stream → warehouse: PK-idempotent incremental append per micro-batch.
+
+    This fuses the engine's two halves: the reference's anti-join
+    incremental load (``/root/reference/src/load.py:20-68``, here
+    :meth:`..load.incremental.Warehouse.incremental_append`) applied
+    inside ``foreachBatch``, so a (re)played stream never duplicates
+    rows — exactly-once at the warehouse level built from at-least-once
+    delivery + a PK anti-join. At scale this is the standard
+    lakehouse landing pattern (foreachBatch + MERGE); the anti-join
+    append is the parquet-only equivalent under the single-writer
+    assumption.
+
+    Returns the number of rows inserted across all batches.
+    """
+    from ..load.incremental import PK_MAP
+    from ..operators.relational import anti_join
+
+    PK_MAP.setdefault(table, "event_id")
+    inserted = {"n": 0}
+
+    def load_batch(batch_df: DataFrame, batch_id: int) -> None:
+        res = warehouse.incremental_append(batch_df, table)
+        inserted["n"] += max(res.inserted, 0)
+
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(load_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_incr_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return inserted["n"]
