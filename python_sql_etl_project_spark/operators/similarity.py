@@ -328,3 +328,131 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norms.join(sizes, "label").select(
         "label", "n_vecs", "n_dims", "centroid_norm"
     )
+
+
+N_PROBE_CELLS = 2  # IVF probes: own cell + runner-up
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    """Coarse-quantizer codebook: per-label mean vector.
+
+    Stands in for k-means centroids (the label IS a cluster id in the
+    synthetic data); at scale the codebook comes from MLlib KMeans over a
+    sample and is tiny either way → always broadcast.
+    """
+    expl = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        expl.groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "c"))
+            ).alias("dc")
+        )
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("dc", lambda s: s["c"]).alias("centroid"),
+        )
+    )
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH expl AS (
+        SELECT label, generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS cell, dim, avg(v) AS c FROM expl GROUP BY label, dim
+    ),
+    dist AS (
+        SELECT e.vec_id, cent.cell,
+               sum((CAST(e.embedding[cent.dim] AS DOUBLE) - cent.c) ^ 2) AS d2
+        FROM embeddings e, cent
+        GROUP BY e.vec_id, cent.cell
+    ),
+    assign AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cell) AS cell_rank
+        FROM dist
+    ),
+    probes AS (SELECT * FROM assign WHERE cell_rank <= {N_PROBE_CELLS}),
+    home AS (SELECT vec_id, cell FROM assign WHERE cell_rank = 1),
+    cand AS (
+        SELECT p.vec_id AS query_id, h.vec_id AS neighbor_id
+        FROM probes p JOIN home h ON h.cell = p.cell
+                                 AND h.vec_id <> p.vec_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id, {_COS_SQL} AS cosine
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.query_id
+        JOIN embeddings b ON b.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the second north-star scale path, complementing the
+    band-LSH variant): a broadcast coarse-quantizer codebook assigns
+    every vector to its nearest centroid cell; each query probes its
+    {N_PROBE_CELLS} nearest cells and scores cosine only against vectors
+    whose HOME cell is probed.
+
+    Scale shape: codebook broadcast (KB), assignment is one narrow map
+    over the corpus, the candidate join shuffles on cell id (cell
+    population bounds fan-out, like an IVF inverted list), exact cosine
+    only on candidates. Euclidean cell distance = squared-diff fold;
+    same sequential-fold double arithmetic as every cosine here.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    dist = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", d2.alias("d2")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    assign = dist.withColumn("cell_rank", F.row_number().over(w_assign))
+    probes = assign.filter(F.col("cell_rank") <= N_PROBE_CELLS).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    home = assign.filter(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    cand = probes.join(home, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    a = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    scored = (
+        cand.join(a, "query_id")
+        .join(b, "neighbor_id")
+        .select("query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ne")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

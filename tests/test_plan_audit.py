@@ -21,6 +21,7 @@ SF_DIR = "/root/testdata/sf0.001"
 BNLJ_ALLOWED = {
     "sim_knn_brute": "tiny query set broadcast against corpus (k-NN baseline)",
     "q22_dormant_rich_customers": "1-row scalar subquery broadcast",
+    "sim_ivf_topk": "KB-scale codebook broadcast for cell assignment",
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
