@@ -229,3 +229,122 @@ def json_props_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_numeric_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           round(var_samp(l_quantity), 4) AS qty_var,
+           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_discount), 4)
+             AS price_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance) —
+    single-pass distributed moments with map-side partials, same
+    partial+final shape as SUM. Rounded: the merge order of partial
+    moments differs between engines in the low bits."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias(
+                "price_qty_corr"
+            ),
+            F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias(
+                "price_disc_covar"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "set_active_vs_dormant_custkeys",
+    oracle="""
+    SELECT 'active_no_highprio' AS segment, c_custkey FROM (
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ) t1(c_custkey)
+    UNION ALL
+    SELECT 'highprio_and_bigbal' AS segment, c_custkey FROM (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    ) t2(c_custkey)
+    """,
+)
+def set_active_vs_dormant_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (EXCEPT / INTERSECT — absent from the reference,
+    which only has UNION): customer segments built from key-set algebra.
+    Catalyst plans both as aggregated joins (left-anti / left-semi over
+    distinct keys), so they scale exactly like the incremental-load
+    anti-join."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    all_cust = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    high = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    seg1 = all_cust.exceptAll(high).select(
+        F.lit("active_no_highprio").alias("segment"), "c_custkey"
+    )
+    seg2 = high.intersect(
+        c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    ).select(F.lit("highprio_and_bigbal").alias("segment"), "c_custkey")
+    return seg1.unionByName(seg2)
+
+
+@query(
+    "date_order_latency",
+    oracle="""
+    SELECT date_part('year', o_orderdate) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(date_diff('day', o_orderdate, l_shipdate)), 4)
+             AS avg_ship_days,
+           CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+             AS max_ship_days,
+           CAST(sum(CASE WHEN isodow(l_shipdate) IN (6, 7)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend_ships
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def date_order_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic family (datediff, year extraction, ISO
+    weekday) over the order→ship latency — the temporal expressions a
+    warehouse lives on, all codegen'd. (weekday()+1 in Spark equals
+    DuckDB's isodow — the one weekday convention both engines share.)"""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    ship_days = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    weekend = (F.weekday("l_shipdate") + 1).isin(6, 7)
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg(ship_days), 4).alias("avg_ship_days"),
+            F.max(ship_days).cast("bigint").alias("max_ship_days"),
+            F.sum(F.when(weekend, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_weekend_ships"),
+        )
+        .orderBy("order_year")
+    )

@@ -67,11 +67,22 @@ def _events_stream_dir(sf_dir: str) -> str:
     return _STREAM_DIRS[sf_dir]
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over events.parquet (ns → µs, like read_table)."""
-    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(
-        _events_stream_dir(sf_dir)
-    )
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    landing_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over events.parquet (ns → µs, like read_table).
+
+    ``landing_dir`` overrides the staged testdata directory (tests use it
+    to feed multiple files); ``max_files_per_trigger`` caps batch size so
+    a multi-file landing dir yields genuine multi-micro-batch runs.
+    """
+    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(landing_dir or _events_stream_dir(sf_dir))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -291,8 +302,13 @@ def strm_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id (state size = distinct users, not events). AvailableNow
     replays the whole source, so the emitted profiles equal the batch
     aggregate — which is exactly what the oracle checks."""
-    ev = stream_events(spark, sf_dir)
-    profiles = (
+    profiles = user_profile_stream(stream_events(spark, sf_dir))
+    return _run_to_table(spark, profiles, "strm_stateful_user_profile", "update")
+
+
+def user_profile_stream(ev: DataFrame) -> DataFrame:
+    """The stateful per-user profile pipeline over any events stream."""
+    return (
         ev.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -303,7 +319,6 @@ def strm_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return _run_to_table(spark, profiles, "strm_stateful_user_profile", "update")
 
 
 def stream_incremental_load(

@@ -42,3 +42,56 @@ def test_stream_incremental_load_is_idempotent(spark):
     second = stream_incremental_load(spark, SF_DIR, wh)
     assert second == 0
     assert wh.read("events_wh").count() == n_events
+
+
+def test_stateful_profile_accumulates_across_micro_batches(spark):
+    """GroupState must carry across batches: feed the stream 4 files with
+    maxFilesPerTrigger=1 (4 micro-batches) and check the FINAL emitted
+    profile per user equals the all-data batch aggregate."""
+    import os
+
+    from python_sql_etl_project_spark.streaming.windows import (
+        _run_to_table,
+        stream_events,
+        user_profile_stream,
+    )
+
+    landing = tempfile.mkdtemp(prefix="events_multi_")
+    # raw read keeps ts as LONG nanos (nanosAsLong), matching the stream
+    # schema; 4 output files → 4 micro-batches
+    spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    n_files = len([f for f in os.listdir(landing) if f.endswith(".parquet")])
+    assert n_files == 4
+
+    ev = stream_events(spark, SF_DIR, landing_dir=landing, max_files_per_trigger=1)
+    out = _run_to_table(
+        spark, user_profile_stream(ev), "test_multibatch_profile", "update"
+    )
+    # update-mode memory sink appends one row per (batch, user); the
+    # final state per user is the row with the highest n_events
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max(F.struct("n_events", "total_value", "max_value")).alias("s")
+        )
+        .select("user_id", "s.n_events", "s.total_value", "s.max_value")
+    )
+    expected = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+           for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+            for r in expected.collect()}
+    assert got == want
+    # multi-batch actually happened: some user must appear in >1 update
+    multi = out.groupBy("user_id").count().filter(F.col("count") > 1).count()
+    assert multi > 0
