@@ -61,6 +61,18 @@ def _cosine(a, b):
     return F.round(_dot(a, b) / F.sqrt(_dot(a, a)) / F.sqrt(_dot(b, b)), 6)
 
 
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def _cosine_prenorm(a, b, na, nb):
+    """Cosine with precomputed norms — one fold per pair instead of
+    three. Bit-compatible with :func:`_cosine` and the SQL oracle: the
+    norm value is identical wherever it's computed, and the op order
+    stays ``dot / n1 / n2`` (two divisions, matching ``_COS_SQL``)."""
+    return F.round(_dot(a, b) / na / nb, 6)
+
+
 def _band_code(emb, band: int):
     """8 sign bits of dims [band*8, band*8+8) packed into an int.
 
@@ -111,9 +123,13 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle on the small scored set). At 100 TB: same plan — broadcast
     queries, one corpus pass, top-k via per-query window.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -121,7 +137,9 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("neighbor_label"),
-            _cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+            _cosine_prenorm(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -144,6 +162,7 @@ def _band_blocked_candidates(emb: DataFrame) -> DataFrame:
     coded = emb.select(
         "vec_id",
         "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
         F.explode(
             F.array(
                 *[
@@ -155,17 +174,35 @@ def _band_blocked_candidates(emb: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bc"),
-    ).select("vec_id", "embedding", "bc.band", "bc.code")
+    ).select("vec_id", "embedding", "nrm", "bc.band", "bc.code")
     a = coded.select(
-        F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), "band", "code"
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+        "band",
+        "code",
     )
     b = coded.select(
-        F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"), "band", "code"
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
+        "band",
+        "code",
     )
+    # score BEFORE dedup: a pair colliding in k≤4 bands is scored k times
+    # (identical value), but the dedup shuffle then moves only
+    # (d1, d2, cosine) — not two 64-float arrays per row. Narrower
+    # shuffle beats avoided recompute at every scale.
     return (
         a.join(b, ["band", "code"])
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "e1", "e2")
+        .select(
+            "d1",
+            "d2",
+            _cosine_prenorm(
+                F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2")
+            ).alias("cosine"),
+        )
         .dropDuplicates(["d1", "d2"])
     )
 
@@ -221,9 +258,7 @@ def sim_ann_band_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     population, not corpus size, bounds the join fan-out.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    scored = _band_blocked_candidates(emb).select(
-        "d1", "d2", _cosine(F.col("e1"), F.col("e2")).alias("cosine")
-    )
+    scored = _band_blocked_candidates(emb)
     sym = scored.select(
         F.col("d1").alias("query_id"), F.col("d2").alias("neighbor_id"), "cosine"
     ).unionByName(
@@ -275,10 +310,7 @@ def sim_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`sim_ann_band_lsh` — candidate pairs only, never all pairs.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    scored = _band_blocked_candidates(emb).select(
-        "d1", "d2", _cosine(F.col("e1"), F.col("e2")).alias("cosine")
-    )
-    return scored.filter(F.col("cosine") >= 0.35)
+    return _band_blocked_candidates(emb).filter(F.col("cosine") >= 0.35)
 
 
 @query(
