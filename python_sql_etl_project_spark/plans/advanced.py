@@ -348,3 +348,31 @@ def date_order_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+@query("agg_approx_sketches")  # no oracle: sketch internals are engine-specific
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the ACTUAL 100 TB answer to distinct
+    counts and quantiles (HyperLogLog++ and an approximate-percentile
+    sketch: bounded memory, one pass, mergeable partials — what the
+    streaming sliding-window query and exact-quantile query point to as
+    their scale path).
+
+    No SQL oracle: sketch estimates are engine-specific by construction
+    (the driver records a rows-only check); `tests/test_approx.py` bounds
+    the estimates against exact values instead.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
+                "approx_orders"
+            ),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+                "approx_median_price"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

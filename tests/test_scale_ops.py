@@ -95,3 +95,28 @@ def test_stateful_profile_accumulates_across_micro_batches(spark):
     # multi-batch actually happened: some user must appear in >1 update
     multi = out.groupBy("user_id").count().filter(F.col("count") > 1).count()
     assert multi > 0
+
+
+def test_fact_table_partition_pruning(spark, tmp_path):
+    """A date-filtered query on the partitioned fact table must prune
+    partitions at plan time (dynamic/static partition pruning is the
+    payoff of date-partitioning the fact — SURVEY §7.2 step 4)."""
+    from python_sql_etl_project_spark.plans.star_schema import build_star_schema
+    from python_sql_etl_project_spark.sources.ingest import spark_df_from_pandas
+
+    from . import fixtures
+
+    tables = build_star_schema(
+        spark_df_from_pandas(spark, fixtures.clientes_pdf()),
+        spark_df_from_pandas(spark, fixtures.transacciones_pdf()),
+        spark_df_from_pandas(spark, fixtures.varios_pdf_normal()),
+        spark_df_from_pandas(spark, fixtures.recomendados_records()),
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.load_ordered(tables)
+    fct = wh.read("fct_transacciones")
+    one_day = fct.filter(F.col("_fecha_dt") == "2025-06-10")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "_fecha_dt" in plan.split("PartitionFilters")[1][:200]
+    assert one_day.count() >= 0  # pruned plan executes
