@@ -120,3 +120,40 @@ def test_fact_table_partition_pruning(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "_fecha_dt" in plan.split("PartitionFilters")[1][:200]
     assert one_day.count() >= 0  # pruned plan executes
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the join key must join without any shuffle
+    (no Exchange operators in the physical plan) — the write-time
+    co-location payoff of write_bucketed."""
+    from python_sql_etl_project_spark.load.incremental import write_bucketed
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    write_bucketed(o, "bt_orders", "o_orderkey", num_buckets=8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bt_lineitem",
+        "o_orderkey",
+        num_buckets=8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # test tables are tiny → the planner would broadcast and skip the
+        # bucketed path entirely; force the sort-merge regime bucketing
+        # exists for (at real scale both sides exceed any threshold)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("bt_orders")
+            .join(spark.table("bt_lineitem"), "o_orderkey")
+            .select("o_orderkey", "o_totalprice", "l_extendedprice")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # sanity: the join actually produces rows
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
