@@ -22,6 +22,8 @@ ranking so rank ties break on ``vec_id`` identically in both engines.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -483,6 +485,58 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ne")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def cosine_batch_udf():
+    """Vectorized cosine over Arrow batches (numpy BLAS per batch).
+
+    The alternative hot path to the JVM fold: array columns arrive as
+    numpy object arrays, each batch is stacked into a (rows × dim)
+    matrix and scored with one vectorized expression — the right choice
+    when dims are large (≥512) and JVM codegen expression depth becomes
+    the bottleneck. Not oracle-gated: numpy's pairwise summation order
+    differs from a sequential fold in the last bits (≈1e-15 relative),
+    so this path trades bit-reproducibility for throughput.
+
+    Built lazily (``pandas_udf`` needs an active session to resolve its
+    return type, and queries may be imported before any session exists).
+    """
+
+    def kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        return pd.Series(dots / (na * nb))
+
+    return F.pandas_udf(kernel, "double")
+
+
+@query("sim_knn_pandas_udf")  # no oracle: pairwise vs sequential summation
+def sim_knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force k-NN scored by the vectorized Pandas UDF (north-star
+    'vectorized Pandas UDF' path) — identical plan shape to
+    :func:`sim_knn_brute` (broadcast queries, one corpus pass, window
+    top-k), only the scoring kernel differs. `tests/test_approx.py`
+    asserts it reproduces the JVM ranking."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_batch_udf()("q_emb", "embedding"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)

@@ -35,3 +35,16 @@ def test_sketch_estimates_within_bounds(spark):
         assert abs(a["approx_orders"] - e["orders"]) <= 0.08 * e["orders"]
         # percentile_approx accuracy=10000 → tight on 60k rows
         assert abs(a["approx_median_price"] - e["median"]) <= 0.02 * e["median"]
+
+
+def test_pandas_udf_knn_matches_jvm_ranking(spark):
+    """The vectorized Pandas-UDF kernel must reproduce the JVM fold's
+    k-NN ranking (values may differ in the last float bits; the induced
+    ranking may not)."""
+    jvm = registry.QUERIES["sim_knn_brute"](spark, SF_DIR).select(
+        "query_id", "rank", "neighbor_id"
+    )
+    pdf = registry.QUERIES["sim_knn_pandas_udf"](spark, SF_DIR).select(
+        "query_id", "rank", "neighbor_id"
+    )
+    assert sorted(jvm.collect()) == sorted(pdf.collect())

@@ -22,6 +22,7 @@ BNLJ_ALLOWED = {
     "sim_knn_brute": "tiny query set broadcast against corpus (k-NN baseline)",
     "q22_dormant_rich_customers": "1-row scalar subquery broadcast",
     "sim_ivf_topk": "KB-scale codebook broadcast for cell assignment",
+    "sim_knn_pandas_udf": "tiny query set broadcast against corpus",
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
