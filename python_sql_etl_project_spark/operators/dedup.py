@@ -424,3 +424,104 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.select("d1", "d2", hamming.alias("hamming")).filter(
         F.col("hamming") <= 3
     )
+
+
+MAX_CC_ITERATIONS = 20
+
+
+@query(
+    "dd_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT d1, d2 FROM pairs
+        JOIN sh_n n1 ON n1.doc_id = d1
+        JOIN sh_n n2 ON n2.doc_id = d2
+        WHERE round(CAST(shared AS DOUBLE) / (n1.n + n2.n - shared), 4)
+              >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (
+        SELECT d1 AS src, d2 AS dst FROM edges
+        UNION ALL SELECT d2, d1 FROM edges
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+    )
+    SELECT src AS doc_id,
+           least(src, min(dst)) AS cluster_id,
+           CAST(count(DISTINCT CASE WHEN dst <> src THEN dst END) + 1
+                AS BIGINT) AS cluster_size
+    FROM reach
+    GROUP BY src
+    """,
+)
+def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pairwise matches — the dedup endgame: a
+    training pipeline doesn't want pairs, it wants one canonical doc per
+    duplicate group. Connected components over the Jaccard-pair graph by
+    iterative min-label propagation:
+
+        label(v) ← min(label(v), min over neighbors(label(u)))
+
+    repeated to fixpoint (driver loop; converges in O(component
+    diameter) rounds — dup clusters are shallow, and
+    ``MAX_CC_ITERATIONS`` is a safety rail, not the expected count).
+    Each round is one shuffle join; lineage is truncated with
+    ``localCheckpoint`` so the plan doesn't grow unboundedly — the
+    standard Spark large-graph CC pattern. The convergence check is a
+    scalar ``count()`` per round, the one permissible driver-side value.
+    Output: every doc in a duplicate cluster, its cluster id (= min
+    doc_id in the component, the canonical survivor) and cluster size.
+    The oracle computes the same components with a recursive CTE.
+    """
+    edges = dd_shingle_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    sym = edges.unionByName(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    labels = (
+        sym.select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    neigh = sym.select(F.col("d1").alias("doc_id"), F.col("d2").alias("nb"))
+    for _ in range(MAX_CC_ITERATIONS):
+        nb_min = (
+            neigh.join(
+                labels.select(
+                    F.col("doc_id").alias("nb"), F.col("label").alias("nb_label")
+                ),
+                "nb",
+            )
+            .groupBy("doc_id")
+            .agg(F.min("nb_label").alias("nb_min"))
+        )
+        updated = (
+            labels.join(nb_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
+                ).alias("new_label"),
+                "label",
+            )
+        )
+        changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        labels = updated.select(
+            "doc_id", F.col("new_label").alias("label")
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return labels.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+    )
