@@ -31,10 +31,6 @@ PIVOT_STATUSES = ("F", "O", "P")
     ),
     filled AS (
         SELECT *,
-               max(CASE WHEN is_order = 1 THEN o_orderkey END)
-                 OVER (PARTITION BY user_id
-                       ORDER BY t, is_order DESC, o_orderkey
-                       ROWS UNBOUNDED PRECEDING) AS last_any,
                last_value(CASE WHEN is_order = 1 THEN o_orderkey END
                           IGNORE NULLS)
                  OVER (PARTITION BY user_id
@@ -375,4 +371,62 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "funnel_signup_to_purchase",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN t_signup < t_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup_then_view,
+           CAST(sum(CASE WHEN t_signup < t_view AND t_view < t_purchase
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full_funnel
+    FROM stages
+    """,
+)
+def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (ordered-event sequence matching): users whose
+    first signup precedes their first view precedes their first
+    purchase. One conditional-min aggregation per user (single shuffle)
+    then a grand conditional count — the scalable funnel shape; a
+    per-event self-join per stage would be quadratic in events."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_signup"),
+        F.sum(F.when(F.col("t_signup") < F.col("t_view"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_signup_then_view"),
+        F.sum(
+            F.when(
+                (F.col("t_signup") < F.col("t_view"))
+                & (F.col("t_view") < F.col("t_purchase")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_full_funnel"),
     )
