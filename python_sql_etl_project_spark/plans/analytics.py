@@ -440,3 +440,82 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "win_trailing_7d_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS d,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT d,
+           round(rev, 2) AS day_revenue,
+           round(sum(rev) OVER (ORDER BY d
+                                RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                                          AND CURRENT ROW), 2)
+             AS trailing_7d_revenue
+    FROM daily
+    """,
+)
+def win_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frame: trailing 7-day revenue per day —
+    value-based framing (all days within 6 days back), not row-count
+    framing, so gaps in the calendar are handled correctly. Daily
+    pre-aggregation first: the window then runs over ~days rows, not
+    raw orders — at 100 TB the frame input is always the reduced
+    series."""
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    # RANGE frame over day-granularity epoch seconds: 6 days back + today
+    day_secs = 86400
+    w = (
+        Window.orderBy(F.unix_timestamp("d"))
+        .rangeBetween(-6 * day_secs, Window.currentRow)
+    )
+    return daily.select(
+        "d",
+        F.round("rev", 2).alias("day_revenue"),
+        F.round(F.sum("rev").over(w), 2).alias("trailing_7d_revenue"),
+    )
+
+
+@query(
+    "win_customer_spend_quartiles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, sum(o_totalprice) AS total
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           round(total, 2) AS total_spend,
+           CAST(ntile(4) OVER (ORDER BY total, o_custkey) AS INT) AS quartile,
+           round(percent_rank() OVER (ORDER BY total, o_custkey), 6)
+             AS pct_rank,
+           round(cume_dist() OVER (ORDER BY total, o_custkey), 6) AS cume
+    FROM spend
+    """,
+)
+def win_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    over per-customer spend, with the customer key as the deterministic
+    tiebreaker in every ordering. Single global window: fine for a
+    ranked report (the series is already one row per customer); a
+    per-group partition restores full parallelism when one exists."""
+    spend = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    w = Window.orderBy("total", "o_custkey")
+    return spend.select(
+        "o_custkey",
+        F.round("total", 2).alias("total_spend"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
