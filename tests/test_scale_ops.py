@@ -157,3 +157,84 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_orders")
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed aggregation must drop events that arrive
+    after the watermark has passed their window — the bounded-state
+    guarantee every 100 TB stream relies on."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from python_sql_etl_project_spark.streaming.windows import (
+        _run_to_table,
+        stream_events,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    NS = 1_000_000_000
+    DAY = 86400 * NS
+
+    def write_batch(name, rows):
+        import glob
+        import shutil
+
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        # the file source monitors the landing dir non-recursively: stage
+        # the write, then move the part file in as a single flat file
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(part, f"{landing}/{name}.parquet")
+
+    # batch 1: three day-1 events and one day-3 event (advances the
+    # watermark far past day-1's window end)
+    write_batch(
+        "b1",
+        [
+            (1, 1 * DAY + 10, 1, "view", 1.0, "{}"),
+            (2, 1 * DAY + 20, 1, "view", 1.0, "{}"),
+            (3, 1 * DAY + 30, 1, "view", 1.0, "{}"),
+            (4, 3 * DAY + 10, 1, "view", 1.0, "{}"),
+        ],
+    )
+    time.sleep(1.1)  # file source orders batches by modification time
+    # batch 2: fresh data only — its end-of-batch eviction pass closes
+    # and emits the day-1 window (watermark passed its end after batch 1)
+    write_batch("b2", [(5, 3 * DAY + 20, 1, "view", 1.0, "{}")])
+    time.sleep(1.1)
+    # batch 3: one LATE day-1 event — its window's state is already
+    # evicted and its event time is behind the watermark → dropped
+    write_batch(
+        "b3",
+        [
+            (6, 1 * DAY + 40, 1, "view", 1.0, "{}"),
+            (7, 3 * DAY + 30, 1, "view", 1.0, "{}"),
+        ],
+    )
+
+    ev = stream_events(
+        spark, SF_DIR, landing_dir=landing, max_files_per_trigger=1
+    ).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").cast("long").alias("ws"), "n")
+    )
+    out = _run_to_table(spark, agg, "test_watermark_drop", "append")
+    rows = {r["ws"]: r["n"] for r in out.collect()}
+    # day-1 window closed after batch 1 with exactly the 3 on-time
+    # events; the late 4th arrival in batch 2 was dropped
+    assert rows.get(86400) == 3, rows
