@@ -481,7 +481,15 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id in the component, the canonical survivor) and cluster size.
     The oracle computes the same components with a recursive CTE.
     """
-    edges = dd_shingle_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    # materialize the edge list ONCE before iterating: every CC round
+    # references it, and without the checkpoint each round's action would
+    # re-run the whole shingle→pair→verify pipeline (measured 3× slower
+    # at sf0.1). The edge list is the small output of the LSH stage.
+    edges = (
+        dd_shingle_jaccard_pairs(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint()
+    )
     sym = edges.unionByName(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     )

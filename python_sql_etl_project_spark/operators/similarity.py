@@ -475,14 +475,27 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probes.join(home, "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    a = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    b = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    normed = emb.withColumn("nrm", _norm(F.col("embedding")))
+    a = normed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"),
     )
     scored = (
         cand.join(a, "query_id")
         .join(b, "neighbor_id")
-        .select("query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ne")).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_prenorm(
+                F.col("qe"), F.col("ne"), F.col("qn"), F.col("nn")
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
