@@ -515,3 +515,99 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey, 0.2 * avg(l_quantity) AS threshold
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON part_avg.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < threshold
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): the correlated
+    aggregate subquery (``l_quantity < 0.2 * avg per part``)
+    DECORRELATED into a per-part aggregate joined back — one aggregation
+    + one join instead of a per-row subquery execution. Catalyst performs
+    this rewrite for scalar subqueries itself; expressing it directly
+    keeps the plan explicit.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (0.2 * F.avg("l_quantity")).alias("threshold")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part_avg, F.col("pa_key") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH late AS (
+        SELECT DISTINCT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    ),
+    order_suppliers AS (
+        SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_sup
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    order_late AS (
+        SELECT l_orderkey, count(*) AS n_late_sup FROM late GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late
+    JOIN supplier ON s_suppkey = late.l_suppkey
+    JOIN order_suppliers os ON os.l_orderkey = late.l_orderkey
+    JOIN order_late ol ON ol.l_orderkey = late.l_orderkey
+    WHERE os.n_sup > 1 AND ol.n_late_sup = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape): the classic
+    EXISTS (another supplier in the order) + NOT EXISTS (no OTHER late
+    supplier) pair, rewritten as per-order supplier/late-supplier counts
+    joined back — set-algebra aggregation instead of two correlated
+    subqueries, each of which would be its own join at scale anyway.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    order_suppliers = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_sup")
+    )
+    order_late = late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_late_sup")
+    )
+    return (
+        late.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(order_suppliers, "l_orderkey")
+        .join(order_late, "l_orderkey")
+        .filter((F.col("n_sup") > 1) & (F.col("n_late_sup") == 1))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
