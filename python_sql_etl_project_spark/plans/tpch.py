@@ -611,3 +611,175 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+@query(
+    "q2_cheapest_supplier_per_nation",
+    oracle="""
+    WITH ranked AS (
+        SELECT n_name, s_suppkey, s_name, s_acctbal,
+               row_number() OVER (PARTITION BY n_nationkey
+                                  ORDER BY s_acctbal, s_suppkey) AS rn
+        FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    )
+    SELECT n_name, s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM ranked WHERE rn = 1
+    ORDER BY n_name
+    """,
+)
+def q2_cheapest_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-min per group (TPC-H Q2's correlated MIN shape): the supplier
+    with the lowest account balance in each nation, via a per-group
+    window with a deterministic key tiebreak — the decorrelated form of
+    ``WHERE s_acctbal = (SELECT min(...) WHERE same nation)``.
+    """
+    from pyspark.sql import Window
+
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "n_name",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q7_bination_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           date_part('year', l_shipdate) AS ship_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE cn.n_name IN ('NATION_0', 'NATION_1')
+      AND sn.n_name IN ('NATION_0', 'NATION_1')
+      AND cn.n_name <> sn.n_name
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q7_bination_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-border volume (TPC-H Q7 shape): a 5-way join where the SAME
+    dimension (nation) joins twice under different roles — customer's
+    nation and supplier's nation. Both nation sides and both entity dims
+    broadcast; the only large shuffle is lineitem⋈orders.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_0", "NATION_1"))
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_0", "NATION_1"))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle="""
+    SELECT n_name AS nation, date_part('year', l_shipdate) AS ship_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity), 2) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product profit (TPC-H Q9 shape, cost modeled from retail price —
+    this schema has no partsupp): revenue minus modeled cost per
+    supplier nation and ship year, with a LIKE predicate pushed to the
+    part dim before its broadcast.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .orderBy("nation", "ship_year")
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count histogram (TPC-H Q13 shape): LEFT OUTER join
+    keeping order-less customers (count=0 bucket), then a two-level
+    aggregation — count per customer, then distribution over counts.
+    ``count(o_orderkey)`` counts non-null keys only, so outer-join nulls
+    land in the zero bucket in both engines.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
