@@ -286,3 +286,63 @@ def txt_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_punct_tokens"),
     )
+
+
+WINNOW_K = 8  # character k-gram length
+WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
+
+
+@query(
+    "txt_winnow_fingerprints",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id,
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_transform(range(1, len(t) - {WINNOW_K} + 2),
+                              i -> md5(substring(t, i, {WINNOW_K}))) AS gh
+        FROM norm
+        WHERE len(t) >= {WINNOW_K}
+    ),
+    windows AS (
+        SELECT doc_id,
+               list_transform(range(1, len(gh) - {WINNOW_W} + 2),
+                              i -> list_min(gh[i:i+{WINNOW_W}-1])) AS mins
+        FROM grams
+        WHERE len(gh) >= {WINNOW_W}
+    )
+    SELECT DISTINCT doc_id, unnest(mins) AS fingerprint
+    FROM windows
+    """,
+)
+def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (north-star 'document
+    fingerprinting (rolling hash)' — the MOSS algorithm): hash every
+    character {WINNOW_K}-gram, slide a {WINNOW_W}-hash window, keep each
+    window's minimum, emit the distinct fingerprint set per document.
+    Guarantees any shared substring of length ≥ K+W-1 yields a shared
+    fingerprint — the plagiarism/near-dup detection primitive. All
+    higher-order array expressions (transform over substring + slice +
+    array_min), zero UDFs, one narrow map stage + distinct."""
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    n = F.length("t")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - WINNOW_K + 1),
+        lambda i: F.md5(F.substring(F.col("t"), i, WINNOW_K)),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("gh")) - WINNOW_W + 1),
+        lambda i: F.array_min(F.slice(F.col("gh"), i, WINNOW_W)),
+    )
+    return (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", norm.alias("t"))
+        .filter(n >= WINNOW_K)
+        .select("doc_id", grams.alias("gh"))
+        .filter(F.size("gh") >= WINNOW_W)
+        .select("doc_id", F.explode(mins).alias("fingerprint"))
+        .distinct()
+    )

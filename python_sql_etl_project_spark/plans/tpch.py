@@ -783,3 +783,201 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH vol AS (
+        SELECT date_part('year', o_orderdate) AS yr,
+               l_extendedprice * (1 - l_discount) AS v,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = cn.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT yr,
+           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN v ELSE 0 END)
+                 / sum(v), 6) AS mkt_share
+    FROM vol GROUP BY yr ORDER BY yr
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): a 7-way star join —
+    nation joins twice (customer side filtered through region, supplier
+    side labeling the share) — then a conditional-ratio aggregate per
+    year. Every dimension broadcasts; lineitem⋈orders is the one real
+    shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cn = n.select("n_nationkey", "n_regionkey").join(
+        F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    v = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            v.alias("v"),
+            "supp_nation",
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("v")).otherwise(0)
+    ) / F.sum("v")
+    return (
+        vol.groupBy("yr").agg(F.round(share, 6).alias("mkt_share")).orderBy("yr")
+    )
+
+
+@query(
+    "q11_revenue_concentration",
+    oracle="""
+    WITH part_rev AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(14, 2))
+                   * (1 - CAST(l_discount AS DECIMAL(4, 2)))) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (SELECT sum(rev) AS t FROM part_rev)
+    SELECT l_partkey, CAST(round(rev, 2) AS DOUBLE) AS part_revenue
+    FROM part_rev, total
+    WHERE CAST(rev AS DOUBLE) > 0.0002 * CAST(t AS DOUBLE)
+    ORDER BY part_revenue DESC, l_partkey
+    """,
+)
+def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (TPC-H Q11 shape): per-key aggregate
+    filtered against a GLOBAL scalar aggregate — the scalar is a 1-row
+    broadcast cross join, never a collected driver value, so the plan is
+    identical at any scale.
+
+    The whole aggregate runs in exact decimal: price and discount are
+    2-decimal quantities stored as doubles, so casting each to DECIMAL
+    *before* any arithmetic is exact (no double is ever exactly on a
+    .xx5 tie), the decimal multiply/sum are exact and order-independent,
+    and values that straddle a 2-decimal rounding boundary under
+    parallel float summation (observed: 6 of ~2000 parts) hash-match.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    part_rev = li.groupBy("l_partkey").agg(F.sum(v).alias("rev"))
+    total = part_rev.agg(F.sum("rev").alias("t"))
+    return (
+        part_rev.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("rev").cast("double") > 0.0002 * F.col("t").cast("double")
+        )
+        .select(
+            "l_partkey",
+            # round in DECIMAL, then cast: both engines round decimals
+            # HALF_UP, but DOUBLE rounding is half-even in DuckDB — an
+            # exact .5 tie (which decimal sums DO produce) would diverge
+            F.round(F.col("rev"), 2).cast("double").alias("part_revenue"),
+        )
+        .orderBy(F.desc("part_revenue"), "l_partkey")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH srev AS (
+        SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    ),
+    mx AS (SELECT max(total_rev) AS m FROM srev)
+    SELECT s_suppkey, s_name, round(total_rev, 2) AS total_rev
+    FROM srev JOIN supplier ON s_suppkey = l_suppkey, mx
+    WHERE total_rev = m
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): revenue 'view' → global-max
+    scalar → equality join back (keeps ALL ties, unlike a LIMIT 1) —
+    the max is a broadcast 1-row join, exactly the decorrelated form of
+    ``WHERE total_rev = (SELECT max(...))``."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    srev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_rev"
+        )
+    )
+    mx = srev.agg(F.max("total_rev").alias("m"))
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("m"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q20_red_part_suppliers",
+    oracle="""
+    WITH red_parts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+    ),
+    heavy AS (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM red_parts)
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 100
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_red_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested semi-join chain (TPC-H Q20 shape): IN-subquery feeding a
+    HAVING feeding another IN-subquery — planned as semi-join →
+    aggregate-filter → semi-join, each key set staying distributed."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = read_table(spark, sf_dir, "lineitem")
+    heavy = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        s.join(heavy, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

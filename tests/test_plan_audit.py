@@ -23,6 +23,7 @@ BNLJ_ALLOWED = {
     "q22_dormant_rich_customers": "1-row scalar subquery broadcast",
     "sim_ivf_topk": "KB-scale codebook broadcast for cell assignment",
     "sim_knn_pandas_udf": "tiny query set broadcast against corpus",
+    "q11_revenue_concentration": "1-row global-total broadcast",
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
