@@ -222,3 +222,59 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", F.col("meta.mime").alias("mime"), "payload"
     )
     return a.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+
+
+RESIZE_MAX_EDGE = 64  # target max edge for thumbnailing
+
+
+@query(
+    "mm_resize_spec",
+    oracle=f"""
+    WITH {_ASSETS_CTE}
+    SELECT asset_id, width, height,
+           CAST(CASE WHEN width >= height
+                THEN {RESIZE_MAX_EDGE}
+                ELSE CAST(floor(width * {RESIZE_MAX_EDGE}.0 / height) AS INT)
+                END AS INT) AS target_w,
+           CAST(CASE WHEN width >= height
+                THEN CAST(floor(height * {RESIZE_MAX_EDGE}.0 / width) AS INT)
+                ELSE {RESIZE_MAX_EDGE}
+                END AS INT) AS target_h,
+           round(CAST(width AS DOUBLE) / height, 4) AS aspect_ratio
+    FROM assets
+    WHERE mime IN ('image/png', 'image/jpeg')
+      AND (width > {RESIZE_MAX_EDGE} OR height > {RESIZE_MAX_EDGE})
+    """,
+)
+def mm_resize_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning for image assets (north-star 'resize'): compute
+    aspect-preserving target dimensions (max edge {RESIZE_MAX_EDGE}) for
+    every oversized image — pure metadata arithmetic, payloads never
+    read (column pruning keeps the binary column out of the scan). The
+    pixel-level resample this spec drives is the :func:`decode_image`-
+    class stub: it needs a codec, and belongs in the same mapInPandas
+    slot as :func:`_extract_features`."""
+    a = assets(spark, sf_dir)
+    w = F.col("meta.width")
+    h = F.col("meta.height")
+    landscape = w >= h
+    target_w = F.when(landscape, F.lit(RESIZE_MAX_EDGE)).otherwise(
+        F.floor(w * float(RESIZE_MAX_EDGE) / h).cast("int")
+    )
+    target_h = F.when(landscape, F.floor(h * float(RESIZE_MAX_EDGE) / w).cast("int")).otherwise(
+        F.lit(RESIZE_MAX_EDGE)
+    )
+    return (
+        a.filter(
+            F.col("meta.mime").isin("image/png", "image/jpeg")
+            & ((w > RESIZE_MAX_EDGE) | (h > RESIZE_MAX_EDGE))
+        )
+        .select(
+            "asset_id",
+            w.alias("width"),
+            h.alias("height"),
+            target_w.cast("int").alias("target_w"),
+            target_h.cast("int").alias("target_h"),
+            F.round(w.cast("double") / h, 4).alias("aspect_ratio"),
+        )
+    )
