@@ -326,7 +326,9 @@ def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Guarantees any shared substring of length ≥ K+W-1 yields a shared
     fingerprint — the plagiarism/near-dup detection primitive. All
     higher-order array expressions (transform over substring + slice +
-    array_min), zero UDFs, one narrow map stage + distinct."""
+    array_min), zero UDFs; the heavy part is intrinsic (one md5 per
+    character position — ~300 per doc), and the stage is embarrassingly
+    parallel ahead of the final distinct shuffle."""
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     n = F.length("t")
     grams = F.transform(
