@@ -360,3 +360,63 @@ def stream_incremental_load(
     )
     q.awaitTermination()
     return inserted["n"]
+
+
+@query(
+    "strm_signup_purchase_join",
+    oracle="""
+    SELECT s.user_id,
+           s.event_id AS signup_event_id,
+           p.event_id AS purchase_event_id,
+           s.ts AS signup_ts,
+           p.ts AS purchase_ts
+    FROM events s JOIN events p
+      ON p.user_id = s.user_id
+     AND s.event_type = 'signup'
+     AND p.event_type = 'purchase'
+     AND p.ts >= s.ts
+     AND p.ts <= s.ts + INTERVAL 1 DAY
+    """,
+)
+def strm_signup_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to any signup by
+    the same user within the preceding day. BOTH sides are watermarked
+    and the join condition carries an explicit event-time bound — the
+    two things that let Spark evict join state (a signup older than
+    watermark + 1 day can never match again). Unbounded stream-stream
+    joins without a time bound grow state forever; this is the shape
+    that survives. Append mode; AvailableNow replays the source, so the
+    result equals the batch interval join the oracle runs."""
+    s = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_event_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 hour")
+    )
+    p = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = s.join(
+        p,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 DAY")),
+    ).select(
+        "user_id",
+        "signup_event_id",
+        "purchase_event_id",
+        "signup_ts",
+        "purchase_ts",
+    )
+    return _run_to_table(spark, joined, "strm_signup_purchase_join", "append")
