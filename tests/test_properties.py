@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for the core relational operators.
+
+Example-based tests pin known cases; these pin the ALGEBRAIC contracts —
+the semantic subtleties SURVEY §7.3 calls out (keep-first determinism,
+anti-join set semantics, orphan-repair closure) — across arbitrary
+small inputs, including duplicates, nulls, and empty frames.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from python_sql_etl_project_spark.operators.relational import (
+    anti_join,
+    dedupe_first,
+    repair_orphan_keys,
+)
+
+KEYS = st.integers(min_value=0, max_value=5)
+ROWS = st.lists(
+    st.tuples(KEYS, st.integers(min_value=0, max_value=100)), max_size=25
+)
+
+SLOW_OK = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _df(spark, rows, cols=("k", "v")):
+    pdf = pd.DataFrame(rows or [(0, 0)], columns=list(cols))
+    df = spark.createDataFrame(pdf)
+    return df.limit(0) if not rows else df
+
+
+@SLOW_OK
+@given(rows=ROWS)
+def test_dedupe_first_keeps_min_ordered_row(spark, rows):
+    """dedupe_first == pandas sort_values + drop_duplicates(keep='first')."""
+    got = sorted(
+        (r["k"], r["v"])
+        for r in dedupe_first(_df(spark, rows), "k", ["v"]).collect()
+    )
+    expect = sorted(
+        pd.DataFrame(rows, columns=["k", "v"])
+        .sort_values(["v"], kind="stable")
+        .drop_duplicates(subset=["k"], keep="first")
+        .itertuples(index=False)
+    ) if rows else []
+    assert got == expect
+
+
+@SLOW_OK
+@given(left=ROWS, right=st.lists(KEYS, max_size=10))
+def test_anti_join_is_set_difference(spark, left, right):
+    ldf = _df(spark, left)
+    rdf = _df(spark, [(k, 0) for k in right])
+    got = sorted((r["k"], r["v"]) for r in anti_join(ldf, rdf, "k").collect())
+    expect = sorted((k, v) for k, v in left if k not in set(right))
+    assert got == expect
+
+
+@SLOW_OK
+@given(fact=ROWS, dim=st.lists(KEYS, max_size=10))
+def test_repair_orphan_keys_closure(spark, fact, dim):
+    """After repair: every fact key exists in the dimension, original dim
+    rows survive untouched, and no duplicate keys are introduced."""
+    fact_df = _df(spark, fact)
+    dim_df = _df(spark, [(k, k * 10) for k in set(dim)], cols=("k", "label"))
+    repaired = repair_orphan_keys(fact_df, dim_df, "k", {"label": -1})
+    rows = repaired.collect()
+    keys = [r["k"] for r in rows]
+    assert len(keys) == len(set(keys))  # no dup keys introduced
+    assert set(k for k, _ in fact) <= set(keys)  # closure over fact keys
+    originals = {r["k"]: r["label"] for r in rows if r["k"] in set(dim)}
+    assert originals == {k: k * 10 for k in set(dim)}  # dim rows untouched
