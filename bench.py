@@ -29,32 +29,41 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_bination_volume",
+    "q8_market_share",
     "q10_returned_items",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q21_sole_late_supplier",
     "rollup_status_priority",
     # reference parity: the bot report + incremental-load anti-join
     "ref_distributor_report",
     "ref_daily_cumulative_metrics",
     "ref_incremental_antijoin",
-    # window functions
+    # window / temporal
     "win_running_revenue",
     "win_top3_orders_per_customer",
+    "asof_last_order_before_event",
+    "agg_price_quantiles",
+    "json_props_by_event_type",
+    "funnel_signup_to_purchase",
     # LLM-pipeline operators
     "txt_token_stats",
     "txt_quality_score",
     "dd_exact_text",
     "dd_minhash_lsh_pairs",
     "dd_simhash",
-]
-
-#: Registered after the first bench commit; tolerated if absent so bench
-#: never breaks mid-build.
-OPTIONAL = [
-    "q6_revenue_forecast",
-    "q18_large_volume_customers",
+    "dd_duplicate_clusters",
     "sim_knn_brute",
     "sim_ann_band_lsh",
+    "sim_ivf_topk",
     "mm_feature_extract",
 ]
+
+#: Tolerated if absent so bench never breaks mid-build.
+OPTIONAL = []
 
 
 def main() -> None:
@@ -86,6 +95,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        # isolate queries: blocks persisted by a previous query otherwise
+        # occupy the heap and GC-tax later measurements (a query's OWN
+        # caching still lands inside its timing)
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
