@@ -65,7 +65,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .plans import advanced, analytics, tpch  # noqa: F401
-    from .operators import dedup, multimodal, similarity, text  # noqa: F401
+    from .operators import dedup, multimodal, sampling, similarity, text  # noqa: F401
     from .streaming import windows  # noqa: F401
 
 
