@@ -11,6 +11,8 @@ the north-star additions:
 * ``smp_fixed_k_sample``   — exact-size uniform sample via hash top-k
 * ``pack_token_budget``    — greedy-by-order sequence packing into
                              fixed token budgets (context windows)
+* ``decon_benchmark_ngrams`` — train-set contamination audit against a
+                             held-out benchmark via n-gram overlap
 
 Scale notes (the design constraint, not the test scale):
 
@@ -40,7 +42,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..session import read_table
+from ..session import read_table, read_table_parallel
+from .text import tokens
 
 #: 80/10/10 split: md5 hex is uniform over [0,16^32); the first two hex
 #: digits give 256 buckets — 'cc' = 204/256 ≈ 0.797, 'e6' = 230/256 ≈ 0.898.
@@ -54,6 +57,12 @@ DEFAULT_BOUND = 16  # unknown strata: keep everything
 
 FIXED_K = 500
 TOKEN_BUDGET = 2048
+
+#: Decontamination: benchmark = md5 first-byte < 0x08 (~3% of the corpus);
+#: overlap unit is the 8-token shingle (the published decontamination
+#: range is 8–13-grams; 8 fits the synthetic corpus's short docs).
+BENCH_UPPER = "08"
+DECON_K = 8
 
 
 @query(
@@ -218,4 +227,91 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
         )
+    )
+
+
+@query(
+    "decon_benchmark_ngrams",
+    oracle=f"""
+    WITH flag AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+               substr(md5(concat('bench:', doc_id)), 1, 2) < '{BENCH_UPPER}' AS is_bench
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, is_bench,
+               unnest(list_transform(range(1, len(w) - {DECON_K - 2}),
+                      i -> array_to_string(list_slice(w, i, i + {DECON_K - 1}), ' '))) AS s
+        FROM flag
+        WHERE len(w) >= {DECON_K}
+    ),
+    bench_s AS (SELECT DISTINCT s FROM sh WHERE is_bench),
+    train_sh AS (SELECT doc_id, s FROM sh WHERE NOT is_bench),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM train_sh GROUP BY doc_id),
+    hits AS (
+        SELECT doc_id, count(*) AS n_hits
+        FROM train_sh WHERE s IN (SELECT s FROM bench_s)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_shingles, 4)
+               AS contamination_ratio
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decon_benchmark_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit: for every training document, how
+    many of its distinct {DECON_K}-token shingles also appear in a
+    held-out "benchmark" slice (hash-selected ~3% of the corpus) — the
+    standard pretraining hygiene check before a corpus ships.
+
+    Plan shape: one narrow tokenize→shingle→array_distinct→explode stage
+    (per-doc dedup happens inside the array, zero shuffle), then a LEFT
+    SEMI join of train shingles against the distinct benchmark-shingle
+    set, then one aggregate per doc. The benchmark side is the small
+    side by construction (~3%); at 100 TB it still shuffles on the
+    shingle key rather than broadcasting — both sides are partitioned by
+    ``s``, so AQE picks shuffled-hash vs broadcast as sizes allow.
+    """
+    w = tokens()
+    shingle_arr = F.when(
+        F.size(w) >= DECON_K,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - DECON_K),
+            lambda i: F.concat_ws(
+                " ", *[F.get(w, i + j) for j in range(DECON_K)]
+            ),
+        ),
+    )
+    is_bench = (
+        F.substring(F.md5(F.concat(F.lit("bench:"), F.col("doc_id"))), 1, 2)
+        < BENCH_UPPER
+    )
+    sh = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select(
+            "doc_id",
+            is_bench.alias("is_bench"),
+            F.explode(F.array_distinct(shingle_arr)).alias("s"),
+        )
+    )
+    bench_s = sh.filter("is_bench").select("s").distinct()
+    train_sh = sh.filter(~F.col("is_bench")).select("doc_id", "s")
+    tot = train_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    hits = (
+        train_sh.join(bench_s, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        "n_shingles",
+        F.round(
+            F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_shingles"), 4
+        ).alias("contamination_ratio"),
     )
