@@ -109,10 +109,18 @@ class Warehouse:
             existing = self.existing_keys(table, pk)
             new_rows = df if existing is None else anti_join(df, existing, pk)
 
-            inserted = new_rows.count()
-            total = df.count()
-            if inserted:
-                self._write(new_rows, table)
+            # Persist so the reported count and the write observe ONE
+            # materialization of the anti-join — without it the plan runs
+            # twice and a nondeterministic source could make the count
+            # disagree with what was actually written.
+            new_rows = new_rows.persist()
+            try:
+                inserted = new_rows.count()
+                total = df.count()
+                if inserted:
+                    self._write(new_rows, table)
+            finally:
+                new_rows.unpersist()
             return LoadResult(table, inserted, total - inserted, True)
         except Exception:
             logger.exception("incremental load failed for %s", table)

@@ -146,10 +146,16 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
 def dd_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (north-star 'exact hash-groupBy'): md5 over normalized
     text → group. Keeping ``min(doc_id)`` per group is the deterministic
-    canonical-row rule (same principle as dedupe_first, SURVEY §2.4 A5)."""
+    canonical-row rule (same principle as dedupe_first, SURVEY §2.4 A5).
+
+    Deliberately a plain scan, NOT ``read_table_parallel``: the hash
+    aggregate already does a map-side partial combine, so its shuffle
+    moves only (fingerprint, partial count/min) rows — pre-repartitioning
+    would shuffle the full text column for nothing (measured 2× slower).
+    At cluster scale the scan parallelism comes from parquet splits."""
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return (
-        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        read_table(spark, sf_dir, "documents")
         .select("doc_id", F.md5(norm).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(

@@ -128,13 +128,20 @@ def coercion_filter(df: DataFrame, col: str, target_type: str = "int") -> DataFr
 
     The parse goes through DOUBLE first so float-shaped strings ('7.0')
     coerce like ``pd.to_numeric`` does, then narrows to ``target_type``.
-    (Caveat: integral keys above 2^53 would lose precision on this path —
-    catalog-dimension scale in practice; use a direct cast for bigint PKs.)
+
+    For wide integral targets (bigint/long) the value additionally tries a
+    DIRECT string→bigint cast first: the non-ANSI direct cast is exact for
+    keys above 2^53 (where the double round-trip loses low bits) and still
+    truncates '7.9'-style strings; only scientific notation ('1e5') falls
+    back to the double path. The row FILTER stays on the double parse in
+    both cases — identical keep/drop set to ``pd.to_numeric``.
     """
     parsed = F.col(col).cast("double")
-    return df.filter(parsed.isNotNull()).withColumn(
-        col, parsed.cast(target_type)
-    )
+    if target_type in ("bigint", "long"):
+        value = F.coalesce(F.col(col).cast("bigint"), parsed.cast("bigint"))
+    else:
+        value = parsed.cast(target_type)
+    return df.filter(parsed.isNotNull()).withColumn(col, value)
 
 
 def salted_join(

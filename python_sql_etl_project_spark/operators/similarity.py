@@ -375,9 +375,12 @@ def _centroids(emb: DataFrame) -> DataFrame:
     sample and is tiny either way → always broadcast.
     """
     expl = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    # Components rounded: avg is a parallel partial-sum whose low bits can
+    # differ across engines/partitionings; downstream cell-distance ranking
+    # must see identical inputs (the engine's float-determinism rule).
     return (
         expl.groupBy("label", "dim")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
         .groupBy("label")
         .agg(
             F.array_sort(
@@ -400,11 +403,13 @@ def _centroids(emb: DataFrame) -> DataFrame:
         FROM embeddings
     ),
     cent AS (
-        SELECT label AS cell, dim, avg(v) AS c FROM expl GROUP BY label, dim
+        SELECT label AS cell, dim, round(avg(v), 6) AS c
+        FROM expl GROUP BY label, dim
     ),
     dist AS (
         SELECT e.vec_id, cent.cell,
-               sum((CAST(e.embedding[cent.dim] AS DOUBLE) - cent.c) ^ 2) AS d2
+               round(sum((CAST(e.embedding[cent.dim] AS DOUBLE) - cent.c) ^ 2),
+                     6) AS d2
         FROM embeddings e, cent
         GROUP BY e.vec_id, cent.cell
     ),
@@ -461,8 +466,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
+    # d2 rounded before ranking: the oracle sums over exploded rows (engine
+    # summation order), the fold here is sequential over dims — low-bit
+    # drift near equidistant cells would otherwise flip cell_rank.
     dist = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cell", d2.alias("d2")
+        "vec_id", "cell", F.round(d2, 6).alias("d2")
     )
     w_assign = Window.partitionBy("vec_id").orderBy("d2", "cell")
     assign = dist.withColumn("cell_rank", F.row_number().over(w_assign))

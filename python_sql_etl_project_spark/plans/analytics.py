@@ -96,7 +96,10 @@ def ref_distributor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     c = read_table(spark, sf_dir, "customer")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey, "left")
+        # orders is fact-scale: no broadcast hint (a forced broadcast-hash
+        # join OOMs executors at the 100 TB posture) — the size threshold /
+        # AQE picks the strategy. customer is a bounded dim → broadcast.
+        li.join(o, li.l_orderkey == o.o_orderkey, "left")
         .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
         .groupBy(
             F.coalesce(F.col("c_mktsegment"), F.lit("Venta Directa")).alias(

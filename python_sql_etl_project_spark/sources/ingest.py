@@ -119,6 +119,15 @@ def split_mixed_sheet(
                      mid-sheet: [0, h) is table1, (h, end] is table2
     * no headers   → both empty
 
+    INTENTIONAL DEVIATION from the reference's two-header branch: the
+    reference slices ``iloc[1:cut_point]`` — physical row 1 onward
+    regardless of where the first ``'ID'`` header sits, so any preamble
+    rows ABOVE the first header leak into table1. Here table1 starts at
+    ``h0 + 1`` (after the first header), dropping preamble junk. For a
+    sheet whose first header is at row 0 (every fixture the reference
+    ships) the two are identical; the divergence is pinned by
+    ``tests/test_star_schema.py::test_split_two_header_preamble_dropped``.
+
     Only the *header positions* are collected (≤ a handful of ints); the
     row data itself never leaves the cluster — at 100 TB the two range
     filters are partition-prunable predicates on ``_ingest_order``.

@@ -80,6 +80,19 @@ def varios_pdf_no_headers() -> pd.DataFrame:
     return pd.DataFrame({0: [1, 2], 1: ["Sede Norte", "Sede Sur"]})
 
 
+def varios_pdf_preamble_before_first_header() -> pd.DataFrame:
+    """Two-header sheet with junk ABOVE the first 'ID' header — the case
+    where this engine's slice (h0+1..cut) deviates from the reference's
+    iloc[1:cut] (which would leak 'nota:'/'exportado' into table1)."""
+    return pd.DataFrame(
+        {
+            0: ["nota:", "exportado", "ID", 1, 2, "ID", 10],
+            1: ["hoja varios", "2025-06-14", "SEDE", "Sede Norte",
+                "Sede Sur", "TIPO", "Deposito"],
+        }
+    )
+
+
 def recomendados_records() -> pd.DataFrame:
     # duplicate IDDISTRIBUIDOR with differing names → keep-FIRST dedup;
     # IDCLIENTE 9 absent from clientes; client 4 absent here.

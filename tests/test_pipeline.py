@@ -79,6 +79,27 @@ def test_report_queries_and_rendering(spark, loaded_warehouse):
     assert "Venta Directa: $75.10" in text
 
 
+def test_metrics_cut_day_inclusive_deviation(spark, loaded_warehouse):
+    """Pin the DELIBERATE divergence from the reference's metrics query
+    (``/root/reference/src/bot_ventas.py:44``): the reference compares the
+    raw timestamp against midnight of the cut date (``fecha_trx <= %s``),
+    so intraday rows ON the cut day fall outside its month-to-date sum and
+    its 'diaria' CASE arm can never match them (diaria would be 0 here).
+    This engine compares on the DATE cast and includes the full cut day.
+
+    Every 2025-06-14 fixture row is intraday (10:00/11:30/12:00) — exactly
+    the case where the two semantics differ — so this test fails if the
+    query ever silently reverts to the reference's midnight comparison.
+    """
+    wh, _ = loaded_warehouse
+    wh.register_views()
+    metrics, _ = get_sales_data(spark, "2025-06-14")
+    # Reference semantics would give diaria=0, acumulado_mes=50.00 (only
+    # the 06-13 row survives `ts <= 2025-06-14 00:00:00`).
+    assert metrics["diaria"] == Decimal("375.85")
+    assert metrics["acumulado_mes"] == Decimal("425.85")
+
+
 def test_report_orders_by_total_desc(spark, loaded_warehouse):
     wh, _ = loaded_warehouse
     wh.register_views()

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from python_sql_etl_project_spark.operators.relational import (
     anti_join,
+    coercion_filter,
     dedupe_first,
     repair_orphan_keys,
 )
@@ -80,3 +81,31 @@ def test_repair_orphan_keys_closure(spark, fact, dim):
     assert set(k for k, _ in fact) <= set(keys)  # closure over fact keys
     originals = {r["k"]: r["label"] for r in rows if r["k"] in set(dim)}
     assert originals == {k: k * 10 for k in set(dim)}  # dim rows untouched
+
+
+WIDE_KEYS = st.integers(min_value=2**53, max_value=2**62)
+
+
+@SLOW_OK
+@given(keys=st.lists(WIDE_KEYS, min_size=1, max_size=10, unique=True))
+def test_coercion_filter_bigint_exact_above_2_53(spark, keys):
+    """Wide integral PKs survive bigint coercion EXACTLY (no double
+    round-trip low-bit loss) while junk rows are still dropped — the
+    direct-cast fast path in ``coercion_filter``."""
+    rows = [(str(k),) for k in keys] + [("abc",), (None,), ("",)]
+    pdf = pd.DataFrame(rows, columns=["k"])
+    df = spark.createDataFrame(pdf)
+    out = coercion_filter(df, "k", "bigint")
+    assert dict(out.dtypes)["k"] == "bigint"
+    got = sorted(r["k"] for r in out.collect())
+    assert got == sorted(keys)  # exact, junk dropped
+
+
+def test_coercion_filter_bigint_float_strings(spark):
+    """Float-shaped and scientific strings keep pd.to_numeric semantics on
+    the bigint path ('7.0'→7, '1e5'→100000, '7.9' truncates)."""
+    df = spark.createDataFrame(
+        pd.DataFrame([("7.0",), ("7.9",), ("1e5",), ("x",)], columns=["k"])
+    )
+    got = sorted(r["k"] for r in coercion_filter(df, "k", "bigint").collect())
+    assert got == [7, 7, 100000]

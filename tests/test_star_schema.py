@@ -101,3 +101,16 @@ def test_split_mixed_sheet_branches(spark, fixture_fn, expected_sedes, expected_
     assert tipos.count() == expected_tipos
     assert sedes.columns[:2] == ["id_sede", "nombre_sede"]
     assert tipos.columns[:2] == ["id_tipo_trx", "descripcion_tipo"]
+
+
+def test_split_two_header_preamble_dropped(spark):
+    """Pin the documented deviation from the reference's two-header slice
+    (``/root/reference/src/transform.py`` iloc[1:cut]): preamble rows above
+    the first 'ID' header are DROPPED here, not leaked into table1."""
+    varios = spark_df_from_pandas(
+        spark, fixtures.varios_pdf_preamble_before_first_header()
+    )
+    sedes, tipos = split_mixed_sheet(varios)
+    names = {r.nombre_sede for r in sedes.collect()}
+    assert names == {"Sede Norte", "Sede Sur"}  # no 'hoja varios'/'2025-06-14'
+    assert tipos.count() == 1
