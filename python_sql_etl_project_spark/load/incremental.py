@@ -9,7 +9,8 @@ the key, the driver never sees a row.
 
 Warehouse format: parquet directories (one per table) under a base dir —
 the fact table partitioned by order date so the report queries get
-partition pruning. A JDBC mirror (S5 parity) is a thin alternative sink.
+partition pruning. :mod:`.jdbc` provides the JDBC mirror (S4/S5 parity):
+the same contract with JDBC storage primitives.
 """
 
 from __future__ import annotations
