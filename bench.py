@@ -60,6 +60,12 @@ HEADLINE = [
     "sim_ann_band_lsh",
     "sim_ivf_topk",
     "mm_feature_extract",
+    # training-set carving (sampling / packing / decontamination)
+    "smp_hash_split",
+    "smp_stratified_sample",
+    "smp_fixed_k_sample",
+    "pack_token_budget",
+    "decon_benchmark_ngrams",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -268,13 +268,19 @@ def decon_benchmark_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard pretraining hygiene check before a corpus ships.
 
     Plan shape: one narrow tokenize→shingle→array_distinct→explode stage
-    (per-doc dedup happens inside the array, zero shuffle), then a LEFT
-    SEMI join of train shingles against the distinct benchmark-shingle
-    set, then one aggregate per doc. The benchmark side is the small
-    side by construction (~3%); at 100 TB it still shuffles on the
-    shingle key rather than broadcasting — both sides are partitioned by
-    ``s``, so AQE picks shuffled-hash vs broadcast as sizes allow.
+    (per-doc dedup happens inside the array, zero shuffle), ``persist``-ed
+    because it feeds BOTH sides (benchmark set and train shingles —
+    without the cache the CPU-heavy tokenize chain runs twice, measured
+    ~2× at sf0.1). Train shingles then LEFT-join the distinct
+    benchmark-shingle set with a hit marker, and ONE per-doc aggregate
+    emits total + hit counts together — a single shuffle on ``s`` and a
+    single shuffle on ``doc_id``. The benchmark side is small by
+    construction (~3%); at 100 TB it still shuffles on the shingle key
+    rather than broadcasting — AQE picks shuffled-hash vs broadcast as
+    sizes allow.
     """
+    from pyspark import StorageLevel
+
     w = tokens()
     shingle_arr = F.when(
         F.size(w) >= DECON_K,
@@ -296,22 +302,18 @@ def decon_benchmark_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             is_bench.alias("is_bench"),
             F.explode(F.array_distinct(shingle_arr)).alias("s"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bench_s = sh.filter("is_bench").select("s").distinct()
-    train_sh = sh.filter(~F.col("is_bench")).select("doc_id", "s")
-    tot = train_sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    bench_s = (
+        sh.filter("is_bench").select("s").distinct().withColumn("hit", F.lit(1))
     )
-    hits = (
-        train_sh.join(bench_s, "s", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    marked = sh.filter(~F.col("is_bench")).select("doc_id", "s").join(
+        bench_s, "s", "left"
     )
-    return tot.join(hits, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-        "n_shingles",
+    return marked.groupBy("doc_id").agg(
+        F.count("hit").cast("bigint").alias("n_hits"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
         F.round(
-            F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_shingles"), 4
+            F.count("hit").cast("double") / F.count(F.lit(1)), 4
         ).alias("contamination_ratio"),
-    )
+    ).select("doc_id", "n_hits", "n_shingles", "contamination_ratio")
