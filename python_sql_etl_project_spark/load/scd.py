@@ -1,0 +1,214 @@
+"""Slowly-changing-dimension type 2: versioned dimension rows.
+
+The one warehouse pattern the reference's PK-append load cannot express
+(``/root/reference/src/load.py`` only ever inserts brand-new keys —
+an attribute change on an existing key is silently ignored). SCD2 keeps
+every historical value as a dated interval::
+
+    key | tracked attrs | effective_from | effective_to | is_current
+
+Two surfaces:
+
+* :func:`scd2_merge` — the incremental operator: apply one change batch
+  to the current dimension state (close superseded intervals, open new
+  ones, pass unchanged rows through). Pure DataFrame composition — the
+  only shuffles are on the dimension key.
+* ``scd2_customer_status_history`` (registry) — the one-shot build: the
+  full interval history derived from a change log in two window scans.
+  Folding :func:`scd2_merge` over the log's date-batches produces the
+  SAME table (pinned by ``tests/test_scd2.py``), which is what makes the
+  incremental operator trustworthy.
+
+Scale shape: everything partitions by the dimension key; change
+detection and interval chaining are window scans over that one
+partitioning (no self-joins), and the merge's joins are key-equi-joins
+AQE can broadcast when the batch is small. ``effective_from/to`` are
+emitted as ``yyyy-MM-dd`` strings (cross-engine date-type rule) and
+``is_current`` as int.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: SCD2 bookkeeping columns added to the tracked attributes.
+META_COLS = ("effective_from", "effective_to", "is_current")
+
+
+def _collapse_changes(updates: DataFrame, key: str, tracked: list[str],
+                      ts_col: str, order_cols: list[str]) -> DataFrame:
+    """Keep only rows whose tracked attributes differ from the previous
+    row of the same key (change-log compaction): the first row of every
+    run of equal values survives."""
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    prev = [F.lag(c).over(w).alias(f"_prev_{c}") for c in tracked]
+    staged = updates.select(
+        key, *tracked, ts_col, *order_cols[1:],
+        F.row_number().over(w).alias("_rn"), *prev,
+    )
+    changed = F.col("_rn") == 1
+    for c in tracked:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_prev_{c}"))
+    return staged.filter(changed).drop(
+        "_rn", *[f"_prev_{c}" for c in tracked]
+    )
+
+
+def scd2_merge(
+    dim: DataFrame | None,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    ts_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Apply one change batch to an SCD2 dimension; returns the new state.
+
+    ``dim`` is the current SCD2 table (``None`` or empty for the first
+    batch); ``updates`` carries ``key``, the tracked attributes and a
+    ``ts_col`` change timestamp (already formatted comparably to
+    ``effective_from``). ``tiebreak`` orders same-timestamp updates
+    deterministically.
+
+    Steps (all key-partitioned):
+
+    1. compact the batch to actual changes per key (window scan);
+    2. drop a batch's FIRST change when it equals the key's current open
+       value — a no-op continuation, not a new version;
+    3. close open intervals superseded by a key's earliest surviving
+       change (``effective_to`` = that change's timestamp);
+    4. chain the surviving changes into intervals (second window scan);
+       the last one per key stays open (``is_current`` = 1).
+    """
+    order_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+    changes = _collapse_changes(updates, key, tracked, ts_col, order_cols)
+
+    have_dim = dim is not None and not dim.isEmpty()
+    if have_dim:
+        cur = dim.filter(F.col("is_current") == 1).select(
+            key,
+            F.lit(1).alias("_has_cur"),
+            *[F.col(c).alias(f"_cur_{c}") for c in tracked],
+        )
+        w = Window.partitionBy(key).orderBy(*order_cols)
+        first = F.row_number().over(w) == 1
+        # _has_cur guards the null case: a NEW key whose tracked value is
+        # null must not match the all-null columns of a left-join miss.
+        same_as_cur = F.col("_has_cur").isNotNull()
+        for c in tracked:
+            same_as_cur = same_as_cur & (
+                F.col(c).eqNullSafe(F.col(f"_cur_{c}"))
+            )
+        changes = (
+            changes.withColumn("_is_first", first)
+            .join(cur, key, "left")
+            .filter(~(F.col("_is_first") & same_as_cur))
+            .drop("_is_first", "_has_cur", *[f"_cur_{c}" for c in tracked])
+        )
+
+    w2 = Window.partitionBy(key).orderBy(*order_cols)
+    new_rows = changes.select(
+        key,
+        *tracked,
+        F.col(ts_col).alias("effective_from"),
+        F.lead(ts_col).over(w2).alias("effective_to"),
+        F.when(F.lead(ts_col).over(w2).isNull(), 1).otherwise(0).alias(
+            "is_current"
+        ),
+    )
+    if tiebreak:
+        new_rows = new_rows.drop(tiebreak)
+
+    if not have_dim:
+        return new_rows
+
+    supersede = changes.groupBy(key).agg(
+        F.min(ts_col).alias("_close_at")
+    )
+    out_cols = [key, *tracked, *META_COLS]
+    closed_or_kept = (
+        dim.join(supersede, key, "left")
+        .select(
+            key,
+            *tracked,
+            "effective_from",
+            F.when(
+                (F.col("is_current") == 1) & F.col("_close_at").isNotNull(),
+                F.col("_close_at"),
+            )
+            .otherwise(F.col("effective_to"))
+            .alias("effective_to"),
+            F.when(
+                (F.col("is_current") == 1) & F.col("_close_at").isNotNull(), 0
+            )
+            .otherwise(F.col("is_current"))
+            .alias("is_current"),
+        )
+    )
+    return closed_or_kept.select(*out_cols).unionByName(
+        new_rows.select(*out_cols)
+    )
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..registry import query  # noqa: E402
+from ..session import read_table  # noqa: E402
+
+
+@query(
+    "scd2_customer_status_history",
+    oracle="""
+    WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+               lag(o_orderstatus) OVER w AS prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+        FROM log WHERE prev IS NULL OR o_orderstatus <> prev
+    )
+    SELECT o_custkey AS custkey,
+           o_orderstatus AS status,
+           strftime(o_orderdate, '%Y-%m-%d') AS effective_from,
+           strftime(lead(o_orderdate) OVER w2, '%Y-%m-%d') AS effective_to,
+           CASE WHEN lead(o_orderdate) OVER w2 IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 one-shot build: each customer's order-status intervals derived
+    from the orders change log. Change detection (``lag``) and interval
+    chaining (``lead``) are two window scans over ONE partitioning on the
+    dimension key — a single shuffle end to end; ``o_orderkey`` breaks
+    same-day ties deterministically on both engines."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        "o_orderkey",
+        "o_orderstatus",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    changes = (
+        o.withColumn("prev", F.lag("o_orderstatus").over(w))
+        .filter(
+            F.col("prev").isNull()
+            | (F.col("o_orderstatus") != F.col("prev"))
+        )
+        .drop("prev")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("d").alias("effective_from"),
+        F.lead("d").over(w2).alias("effective_to"),
+        F.when(F.lead("d").over(w2).isNull(), 1).otherwise(0).alias(
+            "is_current"
+        ),
+    )

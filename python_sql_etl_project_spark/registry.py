@@ -67,6 +67,7 @@ def load_all() -> None:
     from .plans import advanced, analytics, tpch  # noqa: F401
     from .operators import dedup, multimodal, sampling, similarity, text  # noqa: F401
     from .streaming import windows  # noqa: F401
+    from .load import scd  # noqa: F401
 
 
 #: Verification priority. External harnesses may only check a prefix of the
