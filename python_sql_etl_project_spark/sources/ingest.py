@@ -193,8 +193,8 @@ def extract_sources(
 
     Returns (clientes, transacciones, varios, recomendados) or None if any
     source is unavailable. The reference's Google Drive fetch (S3) is a
-    landing-zone concern: stage files locally/into object storage before
-    calling this.
+    landing-zone concern: stage files with :mod:`.staging` (idempotent,
+    atomic, provider-pluggable) before calling this.
     """
     clientes = read_excel_sheet(spark, excel_path, "Clientes")
     transacciones = read_excel_sheet(spark, excel_path, "Transacciones")
