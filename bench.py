@@ -52,6 +52,8 @@ HEADLINE = [
     # LLM-pipeline operators
     "txt_token_stats",
     "txt_quality_score",
+    "txt_repetition_profile",
+    "txt_pii_scrub",
     "dd_exact_text",
     "dd_minhash_lsh_pairs",
     "dd_simhash",
@@ -59,6 +61,7 @@ HEADLINE = [
     "sim_knn_brute",
     "sim_ann_band_lsh",
     "sim_ivf_topk",
+    "sim_int8_quant_audit",
     "mm_feature_extract",
     # training-set carving (sampling / packing / decontamination)
     "smp_hash_split",

@@ -31,9 +31,12 @@ Scale notes (the design constraint, not the test scale):
   approximate-per-salt-group, which is acceptable for training batches.
 
 Cross-engine determinism: hex md5 strings compare identically in Spark
-and DuckDB, so split thresholds are *string* comparisons against fixed
-hex prefixes (no hex→int conversion, which the two engines spell
-differently).
+and DuckDB, so FIXED split thresholds are *string* comparisons against
+hex prefixes. Data-dependent thresholds (``smp_temperature_resample``)
+need arithmetic, so they convert the md5 prefix to an integer — Spark
+``conv(x, 16, 10)`` ↔ DuckDB ``('0x' || x)::BIGINT`` — and compare
+against an integer threshold (floor of rate × bucket count), which both
+engines evaluate exactly.
 """
 
 from __future__ import annotations
@@ -317,3 +320,87 @@ def decon_benchmark_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").cast("double") / F.count(F.lit(1)), 4
         ).alias("contamination_ratio"),
     ).select("doc_id", "n_hits", "n_shingles", "contamination_ratio")
+
+
+#: Temperature for source re-balancing: keep_rate_s = (n_min/n_s)^TEMP_ALPHA
+#: (alpha=0.5 → sqrt-scaled toward uniform; the smallest source keeps 1.0).
+TEMP_ALPHA = 0.5
+#: Hash-threshold granularity: the first 4 md5 hex digits give 65536
+#: deterministic buckets per document.
+TEMP_BUCKETS = 65536
+
+
+@query(
+    "smp_temperature_resample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source, n_docs,
+               floor(sqrt(CAST(min(n_docs) OVER () AS DOUBLE) / n_docs)
+                     * {TEMP_BUCKETS}) AS threshold
+        FROM counts
+    ),
+    marked AS (
+        SELECT d.source, r.n_docs, r.threshold,
+               ('0x' || substr(md5(concat('tsamp:', d.doc_id)), 1, 4))::BIGINT
+                   AS bucket
+        FROM documents d JOIN rates r USING (source)
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN bucket < threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           round(threshold / {TEMP_BUCKETS}, 4) AS keep_rate
+    FROM marked
+    GROUP BY source, n_docs, threshold
+    """,
+)
+def smp_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-balancing (the standard multi-source
+    pretraining mix): each source's keep-rate is (n_min/n_s)^{TEMP_ALPHA},
+    so over-represented sources are down-sampled toward uniform while the
+    smallest source is kept whole. The keep decision is md5-hash
+    deterministic per document (stable under corpus growth and
+    repartitioning, like every sampler here); the rate→threshold
+    conversion is integer (floor to 1/{TEMP_BUCKETS} granularity) so both
+    engines compare exactly.
+
+    Plan: per-source counts are a tiny aggregate, broadcast back onto the
+    corpus for a narrow keep decision, then one audit aggregate — the
+    only full-corpus shuffle is the final groupBy(source), whose input is
+    already (source, flag) pairs.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    rates = counts.select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.min("n_docs").over(w_all).cast("double") / F.col("n_docs"))
+            * TEMP_BUCKETS
+        ).alias("threshold"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("tsamp:"), F.col("doc_id"))), 1, 4),
+        16, 10,
+    ).cast("long")
+    marked = docs.join(F.broadcast(rates), "source").select(
+        "source", "n_docs", "threshold", bucket.alias("bucket")
+    )
+    return (
+        marked.groupBy("source", "n_docs", "threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("bucket") < F.col("threshold"), 1).otherwise(0)
+            ).cast("bigint").alias("n_kept")
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "n_kept",
+            F.round(F.col("threshold") / TEMP_BUCKETS, 4).alias("keep_rate"),
+        )
+    )

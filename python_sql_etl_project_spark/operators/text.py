@@ -348,3 +348,144 @@ def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(mins).alias("fingerprint"))
         .distinct()
     )
+
+
+#: PII patterns shared verbatim by the Spark expressions and the DuckDB
+#: oracle — restricted to syntax Java regex and RE2 interpret identically
+#: (char classes, bounded repetition, \b). Replacement order matters:
+#: emails first (their local part contains digits a phone pattern could
+#: eat), then IPs, then phones.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+REP_K = 3  # repetition n-gram order (Gopher-style dup-ngram signal)
+
+
+@query(
+    "txt_repetition_profile",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    narrow AS (
+        SELECT doc_id, len(w) AS n_tokens,
+               CASE WHEN len(w) >= {REP_K} THEN
+                   list_transform(range(1, len(w) - {REP_K - 2}),
+                       i -> array_to_string(list_slice(w, i, i + {REP_K - 1}), ' '))
+               END AS g
+        FROM tok
+    ),
+    dup AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN g IS NULL THEN 0.0
+                    ELSE round(1 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 4)
+               END AS dup_{REP_K}gram_frac
+        FROM narrow
+    ),
+    freq AS (
+        SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS t FROM tok)
+        GROUP BY doc_id, t
+    ),
+    top AS (
+        SELECT doc_id, max(c) AS mx, sum(c) AS n FROM freq GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           d.dup_{REP_K}gram_frac,
+           round(CAST(t.mx AS DOUBLE) / t.n, 4) AS top_token_frac
+    FROM dup d JOIN top t USING (doc_id)
+    """,
+)
+def txt_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals for corpus filtering (the Gopher-rule family):
+    duplicate {REP_K}-gram fraction and most-frequent-token mass per doc.
+
+    Plan: the dup-ngram fraction is a NARROW higher-order expression
+    (shingle array → array_distinct, zero shuffle). The top-token mass
+    deliberately goes explode → two-level aggregate instead of a per-row
+    O(distinct×n) array scan — at 100 TB a long document would make the
+    narrow form quadratic per row, while the exploded form stays linear
+    and partitions on (doc_id, token). The two halves re-join on doc_id.
+    """
+    w = tokens()
+    g = F.when(
+        F.size(w) >= REP_K,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - REP_K),
+            lambda i: F.concat_ws(
+                " ", *[F.get(w, i + j) for j in range(REP_K)]
+            ),
+        ),
+    )
+    docs = read_table_parallel(spark, sf_dir, "documents", "doc_id")
+    dup = docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.when(g.isNull(), F.lit(0.0))
+        .otherwise(
+            F.round(1 - F.size(F.array_distinct(g)) / F.size(g), 4)
+        )
+        .alias(f"dup_{REP_K}gram_frac"),
+    )
+    freq = (
+        docs.select("doc_id", F.explode(w).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = freq.groupBy("doc_id").agg(
+        F.max("c").alias("mx"), F.sum("c").alias("n")
+    )
+    return dup.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        f"dup_{REP_K}gram_frac",
+        F.round(F.col("mx") / F.col("n"), 4).alias("top_token_frac"),
+    )
+
+
+@query(
+    "txt_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT)
+               AS n_ips,
+           CAST(len(regexp_extract_all(
+                regexp_replace(
+                    regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                    '{PII_IPV4}', '<IP>', 'g'),
+                '{PII_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(
+                regexp_replace(
+                    regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                    '{PII_IPV4}', '<IP>', 'g'),
+                '{PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM documents
+    """,
+)
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (corpus-hygiene primitive): count and redact
+    emails, IPv4 addresses and phone-shaped digit runs, emitting the
+    redaction counts plus an md5 of the scrubbed text (the hash makes the
+    transform oracle-checkable without shipping the text twice). One
+    narrow map stage — regex evaluation inside codegen, no shuffle, no
+    UDF; phone counting runs on the email/IP-redacted text so the three
+    counters never overlap."""
+    email_clean = F.regexp_replace("text", PII_EMAIL, "<EMAIL>")
+    ip_clean = F.regexp_replace(email_clean, PII_IPV4, "<IP>")
+    full_clean = F.regexp_replace(ip_clean, PII_PHONE, "<PHONE>")
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).cast("bigint").alias(
+            "n_emails"
+        ),
+        F.regexp_count("text", F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.regexp_count(ip_clean, F.lit(PII_PHONE)).cast("bigint").alias(
+            "n_phones"
+        ),
+        F.md5(full_clean).alias("scrubbed_md5"),
+    )

@@ -93,9 +93,20 @@ def _priority(name: str) -> int:
 
 
 def _ordered_names() -> list[str]:
+    """Tier order, except oracle-LESS queries never outrank oracle-backed
+    ones from any critical tier: a harness that only checks a prefix
+    should spend its window on hash-gated rows, not the weaker rows-only
+    checks, so a no-oracle query sorts at flagship tier at best."""
     names = list(QUERIES)
     order = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (_priority(n), order[n]))
+
+    def key(n: str):
+        tier = _priority(n)
+        if n not in ORACLES:
+            tier = max(tier, 3)
+        return (tier, n not in ORACLES, order[n])
+
+    return sorted(names, key=key)
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -420,3 +420,59 @@ def strm_signup_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
     )
     return _run_to_table(spark, joined, "strm_signup_purchase_join", "append")
+
+
+_DUP_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_dup_stream_dir(sf_dir: str) -> str:
+    """Landing dir with the events file staged TWICE — an at-least-once
+    delivery simulation (the same batch redelivered), so the dedup
+    operator has real duplicates to drop across micro-batches."""
+    if sf_dir not in _DUP_STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="events_dup_stream_")
+        src = os.path.join(sf_dir, "events.parquet")
+        os.symlink(src, os.path.join(d, "events_a.parquet"))
+        os.symlink(src, os.path.join(d, "events_b.parquet"))
+        _DUP_STREAM_DIRS[sf_dir] = d
+    return _DUP_STREAM_DIRS[sf_dir]
+
+
+@query(
+    "strm_dedup_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def strm_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under at-least-once delivery: the landing
+    directory carries every event TWICE (redelivered batch), processed as
+    two micro-batches (``maxFilesPerTrigger=1``);
+    ``dropDuplicatesWithinWatermark`` on event_id drops the replay —
+    including across batch boundaries, the case a per-batch ``distinct``
+    misses — and the downstream aggregate sees each event exactly once.
+    The oracle is the single-copy batch aggregate: dedup worked iff the
+    hash matches it.
+
+    State posture at scale: dedup state is keyed by event_id but evicted
+    once the watermark passes an id's event time, so state is bounded by
+    the delay tolerance (1 hour), not the stream's lifetime.
+    """
+    ev = stream_events(
+        spark,
+        sf_dir,
+        landing_dir=_events_dup_stream_dir(sf_dir),
+        max_files_per_trigger=1,
+    )
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return _run_to_table(spark, agg, "strm_dedup_events", "complete")
