@@ -473,7 +473,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cell", F.round(d2, 6).alias("d2")
     )
     w_assign = Window.partitionBy("vec_id").orderBy("d2", "cell")
-    assign = dist.withColumn("cell_rank", F.row_number().over(w_assign))
+    # persist: assign feeds BOTH probes and home — uncached, the whole
+    # centroid→distance→window subtree runs twice (measured 2-4× at
+    # sf0.1). The cached frame is (vec_id, cell, d2, rank) — narrow, no
+    # embedding arrays; MEMORY_AND_DISK so big corpora spill not OOM.
+    from pyspark import StorageLevel
+
+    assign = dist.withColumn("cell_rank", F.row_number().over(w_assign)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     probes = assign.filter(F.col("cell_rank") <= N_PROBE_CELLS).select(
         F.col("vec_id").alias("query_id"), "cell"
     )
