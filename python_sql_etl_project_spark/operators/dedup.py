@@ -527,10 +527,12 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "label",
             )
         )
-        changed = updated.filter(F.col("new_label") != F.col("label")).count()
-        labels = updated.select(
-            "doc_id", F.col("new_label").alias("label")
-        ).localCheckpoint()
+        # checkpoint FIRST, then count from the checkpointed rows: the
+        # convergence count and next round's labels share one execution
+        # of the round's join (count-then-checkpoint ran it twice).
+        upd = updated.localCheckpoint()
+        changed = upd.filter(F.col("new_label") != F.col("label")).count()
+        labels = upd.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     sizes = labels.groupBy("label").agg(

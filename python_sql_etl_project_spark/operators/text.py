@@ -410,7 +410,17 @@ def txt_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow form quadratic per row, while the exploded form stays linear
     and partitions on (doc_id, token). The two halves re-join on doc_id.
     """
-    w = tokens()
+    from pyspark import StorageLevel
+
+    # tokenize ONCE and persist the (doc_id, tokens) arrays: both the
+    # narrow dup-ngram half and the exploded frequency half consume them
+    # — uncached, the scan+repartition+tokenize pipeline runs twice.
+    toks = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", tokens().alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w = F.col("w")
     g = F.when(
         F.size(w) >= REP_K,
         F.transform(
@@ -420,8 +430,7 @@ def txt_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    docs = read_table_parallel(spark, sf_dir, "documents", "doc_id")
-    dup = docs.select(
+    dup = toks.select(
         "doc_id",
         F.size(w).cast("bigint").alias("n_tokens"),
         F.when(g.isNull(), F.lit(0.0))
@@ -431,7 +440,7 @@ def txt_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"dup_{REP_K}gram_frac"),
     )
     freq = (
-        docs.select("doc_id", F.explode(w).alias("t"))
+        toks.select("doc_id", F.explode(w).alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("c"))
     )
