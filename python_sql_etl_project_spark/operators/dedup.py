@@ -189,7 +189,12 @@ def dd_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard'). Candidates come from a shingle-equality self-join (blocked,
     hot shingles capped), then exact set-overlap scoring — the shuffle
     keys are shingles and pairs, never a cross join."""
-    sh = shingles(spark, sf_dir)
+    return _exact_pairs(shingles(spark, sf_dir))
+
+
+def _exact_pairs(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs from the shingle set (the ground
+    truth the LSH recall audit measures against)."""
     a = sh.select(F.col("doc_id").alias("d1"), "s")
     b = sh.select(F.col("doc_id").alias("d2"), "s")
     pairs = (
@@ -277,6 +282,16 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MLlib's seeded MinHashLSH) make the result engine-portable.
     """
     sh = shingles(spark, sf_dir)
+    cand = _minhash_candidates(sh)
+    return _verify_jaccard(cand, sh).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def _minhash_candidates(sh: DataFrame) -> DataFrame:
+    """LSH candidate pairs from banded minhash signatures (the candidate-
+    generation stage of :func:`dd_minhash_lsh_pairs`, shared with the
+    recall audit)."""
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("s")))).alias(f"mh{s}")
@@ -308,14 +323,11 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.select(F.col("doc_id").alias("d1"), "band_id", "band_key")
     b = bands.select(F.col("doc_id").alias("d2"), "band_id", "band_key")
-    cand = (
+    return (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
-    )
-    return _verify_jaccard(cand, sh).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
 
@@ -540,4 +552,83 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return labels.join(sizes, "label").select(
         "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+    )
+
+
+@query(
+    "dd_lsh_recall_audit",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+        SELECT doc_id, {_minhash_aggs_sql()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_band_selects_sql()}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT d1, d2
+        FROM pairs
+        JOIN sh_n n1 ON n1.doc_id = d1
+        JOIN sh_n n2 ON n2.doc_id = d2
+        WHERE round(CAST(shared AS DOUBLE) / (n1.n + n2.n - shared), 4)
+              >= {JACCARD_THRESHOLD}
+    ),
+    hit AS (
+        SELECT count(*) AS n_hits
+        FROM truth t JOIN cand c ON c.d1 = t.d1 AND c.d2 = t.d2
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
+                      ELSE CAST(n_hits AS DOUBLE)
+                           / (SELECT count(*) FROM truth) END, 4) AS recall,
+           round(CASE WHEN (SELECT count(*) FROM cand) = 0 THEN NULL
+                      ELSE CAST(n_hits AS DOUBLE)
+                           / (SELECT count(*) FROM cand) END, 4)
+               AS candidate_precision
+    FROM hit
+    """,
+)
+def dd_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision audit of the MinHash-LSH candidate stage against
+    exact-Jaccard ground truth — the evaluation every banded-LSH
+    deployment owes its operators before the band/row parameters ship.
+    Feasible as an EXACT audit because the ground truth itself is
+    shingle-blocked (never all-pairs); at 100 TB the same audit runs on
+    a hash-sampled slice of the corpus (the sampler is ``smp_*``).
+
+    One shingle pipeline feeds both sides (persisted inside
+    :func:`shingles`); candidates and truth join on the pair key and the
+    result is a single audit row.
+    """
+    sh = shingles(spark, sf_dir)
+    cand = _minhash_candidates(sh).persist()
+    truth = _exact_pairs(sh).select("d1", "d2").persist()
+    n_truth = truth.count()
+    n_cand = cand.count()
+    hits = truth.join(cand, ["d1", "d2"], "left_semi")
+    ratio = lambda num, den: (  # noqa: E731
+        F.round(num / F.lit(den), 4) if den else F.lit(None).cast("double")
+    )
+    return hits.agg(
+        F.lit(n_truth).cast("bigint").alias("n_truth"),
+        F.lit(n_cand).cast("bigint").alias("n_candidates"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        ratio(F.count(F.lit(1)).cast("double"), n_truth).alias("recall"),
+        ratio(F.count(F.lit(1)).cast("double"), n_cand).alias(
+            "candidate_precision"
+        ),
     )

@@ -84,8 +84,16 @@ _PRIORITY_PREFIXES: tuple[tuple[int, tuple[str, ...]], ...] = (
     (3, ("q1_", "q6_", "q9_", "q18_")),
 )
 
+#: Critical-family queries that deliberately yield their slot when the
+#: 50-window overflows: meta/audit queries whose constituent stages are
+#: already hash-checked individually, so their own driver row carries the
+#: least marginal evidence.
+SPILL_LAST = ("dd_lsh_recall_audit",)
+
 
 def _priority(name: str) -> int:
+    if name in SPILL_LAST:
+        return 3
     for tier, prefixes in _PRIORITY_PREFIXES:
         if name.startswith(prefixes):
             return tier

