@@ -430,3 +430,86 @@ def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_full_funnel"),
     )
+
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "win_sessionize_events",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {SESSION_GAP_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, value,
+               sum(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+               AS duration_secs,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def win_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap-based): a new session starts after
+    {SESSION_GAP_MIN} idle minutes; each session reports its bounds,
+    duration, event count and value mass. The batch analog of
+    ``strm_session_windows`` — same semantics, derived with two window
+    scans over ONE (user_id, ts) partitioning plus the final per-session
+    aggregate, so the whole query costs a single shuffle on user_id.
+    Duration is integer microsecond arithmetic (identical in both
+    engines; no float time math)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(w)
+    is_start = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > gap_us),
+        1,
+    ).otherwise(0)
+    marked = ev.select(
+        "user_id", "ts", "event_id", "value", is_start.alias("is_start")
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.withColumn(
+        "session_seq", F.sum("is_start").over(w_run)
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    ).select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "session_start",
+        "session_end",
+        # integer `div`, not double division: exact like the oracle's `//`
+        F.expr(
+            "CAST((unix_micros(session_end) - unix_micros(session_start))"
+            " div 1000000 AS BIGINT)"
+        ).alias("duration_secs"),
+        "n_events",
+        "total_value",
+    )
