@@ -238,3 +238,22 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # day-1 window closed after batch 1 with exactly the 3 on-time
     # events; the late 4th arrival in batch 2 was dropped
     assert rows.get(86400) == 3, rows
+
+
+def test_single_shuffle_window_queries(spark, sf_dir):
+    """The key-partitioned window queries promise ONE shuffle end to end
+    (both window scans and the final aggregate reuse the same hash
+    partitioning) — if a refactor introduces a second Exchange, the
+    scale posture silently regresses."""
+    from python_sql_etl_project_spark import registry
+
+    qs = registry.all_queries()
+    for name in ("scd2_customer_status_history", "win_sessionize_events"):
+        plan = (
+            qs[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n_exchanges = plan.count("Exchange")
+        assert n_exchanges == 1, f"{name}: {n_exchanges} exchanges\n{plan}"
