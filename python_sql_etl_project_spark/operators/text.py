@@ -12,7 +12,7 @@ tiebreakers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -497,4 +497,79 @@ def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_phones"
         ),
         F.md5(full_clean).alias("scrubbed_md5"),
+    )
+
+
+TFIDF_TOP_N = 5
+
+
+@query(
+    "txt_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    exploded AS (SELECT doc_id, source, unnest(w) AS t FROM tok),
+    tf AS (
+        SELECT source, t, count(*) AS tf FROM exploded GROUP BY source, t
+    ),
+    df AS (
+        SELECT t, count(DISTINCT doc_id) AS df FROM exploded GROUP BY t
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.source, tf.t AS term,
+               round(tf.tf * (n.n_docs - df.df + 0.5) / (df.df + 0.5), 4)
+                   AS tfidf
+        FROM tf JOIN df ON df.t = tf.t CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    )
+    SELECT source, rank, term, tfidf FROM ranked WHERE rank <= {TFIDF_TOP_N}
+    """,
+)
+def txt_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_N} characteristic terms per source by TF-IDF — the
+    corpus-profiling report a training-mix owner reads before weighting
+    sources. The idf is the BM25-style RATIONAL form
+    ``(N - df + 0.5)/(df + 0.5)``: pure integer-derived arithmetic, so
+    both engines produce bit-identical scores (``ln`` is libm-dependent
+    and not guaranteed identical cross-engine).
+
+    Plan: one tokenize→explode pass feeds term-frequency (shuffle on
+    (source, term)) and document-frequency (shuffle on term) aggregates;
+    df joins back on the term key; the corpus size N is one column-pruned
+    scalar count (same budget as the CC convergence counter). Top-k is a
+    window over the small per-source score set.
+    """
+    from pyspark import StorageLevel
+
+    docs = read_table_parallel(spark, sf_dir, "documents", "doc_id")
+    n_docs = docs.count()  # scalar; column-pruned single pass
+    exploded = (
+        docs.select("doc_id", "source", F.explode(tokens()).alias("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tf = exploded.groupBy("source", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = exploded.groupBy("t").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(df, "t").select(
+        "source",
+        F.col("t").alias("term"),
+        F.round(
+            F.col("tf") * (F.lit(n_docs) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5),
+            4,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_N)
+        .select("source", "rank", "term", "tfidf")
     )

@@ -85,10 +85,11 @@ _PRIORITY_PREFIXES: tuple[tuple[int, tuple[str, ...]], ...] = (
 )
 
 #: Critical-family queries that deliberately yield their slot when the
-#: 50-window overflows: meta/audit queries whose constituent stages are
-#: already hash-checked individually, so their own driver row carries the
-#: least marginal evidence.
-SPILL_LAST = ("dd_lsh_recall_audit",)
+#: 50-window overflows, ranked least-marginal-evidence first: meta/audit
+#: queries whose constituent stages are already hash-checked individually,
+#: and derived corpus reports whose inputs (tokenize/explode/aggregate
+#: stages) other checked queries exercise.
+SPILL_LAST = ("dd_lsh_recall_audit", "txt_tfidf_top_terms")
 
 
 def _priority(name: str) -> int:
