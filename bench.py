@@ -69,6 +69,13 @@ HEADLINE = [
     "smp_fixed_k_sample",
     "pack_token_budget",
     "decon_benchmark_ngrams",
+    # round-2 additions: dedup endgame, chunking, range join, salted
+    # join, SCD2 history build
+    "dd_keep_best",
+    "pack_chunk_overlap",
+    "rng_events_prior_hour",
+    "jn_salted_priority_revenue",
+    "scd2_customer_status_history",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -157,9 +157,9 @@ from ..registry import query  # noqa: E402
 from ..session import read_table  # noqa: E402
 
 
-@query(
-    "scd2_customer_status_history",
-    oracle="""
+#: The full SCD2 history build as oracle SQL — shared by the history
+#: query and the point-in-time lookup so the two can never drift.
+_HISTORY_SQL = """
     WITH log AS (
         SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
                lag(o_orderstatus) OVER w AS prev
@@ -179,8 +179,10 @@ from ..session import read_table  # noqa: E402
                 THEN 1 ELSE 0 END AS is_current
     FROM changes
     WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-)
+"""
+
+
+@query("scd2_customer_status_history", oracle=_HISTORY_SQL)
 def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 one-shot build: each customer's order-status intervals derived
     from the orders change log. Change detection (``lag``) and interval
@@ -212,3 +214,37 @@ def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_current"
         ),
     )
+
+
+AS_OF_DATE = "1998-06-30"
+
+
+@query(
+    "scd2_point_in_time",
+    oracle=f"""
+    WITH hist AS ({_HISTORY_SQL})
+    SELECT custkey, status, effective_from
+    FROM hist
+    WHERE effective_from <= '{AS_OF_DATE}'
+      AND (effective_to IS NULL OR effective_to > '{AS_OF_DATE}')
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) snapshot of the SCD2 dimension: each
+    customer's status row that was in force on {AS_OF_DATE} — the lookup
+    every time-travel join against a versioned dimension performs
+    (training-data reproducibility: "rebuild the exact feature values
+    the model saw on day X").
+
+    The interval predicate is a pure row filter over the history build
+    (ISO ``yyyy-MM-dd`` strings compare correctly lexicographically, the
+    engine's no-DATE-columns parity rule), so the plan adds ZERO
+    shuffles; at scale the history table is effective_from-partitioned
+    and the filter prunes to at most one version per key.
+    """
+    h = scd2_customer_status_history(spark, sf_dir)
+    d = F.lit(AS_OF_DATE)
+    return h.filter(
+        (F.col("effective_from") <= d)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > d))
+    ).select("custkey", "status", "effective_from")

@@ -22,7 +22,7 @@ candidate pairs only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -446,11 +446,12 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAX_CC_ITERATIONS = 20
 
-
-@query(
-    "dd_duplicate_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_SHINGLES_CTE},
+#: Connected components over the verified Jaccard-pair graph as DuckDB
+#: CTEs (recursive transitive closure — fine at oracle scale; the Spark
+#: side iterates min-label propagation instead). Shared by the cluster
+#: query and every downstream consumer (``dd_keep_best``) so the two
+#: oracles can never drift apart.
+_CLUSTERS_CTES = f"""
     pairs AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -471,13 +472,24 @@ MAX_CC_ITERATIONS = 20
         SELECT src, dst FROM sym
         UNION
         SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+    ),
+    clusters AS (
+        SELECT src AS doc_id,
+               least(src, min(dst)) AS cluster_id,
+               CAST(count(DISTINCT CASE WHEN dst <> src THEN dst END) + 1
+                    AS BIGINT) AS cluster_size
+        FROM reach
+        GROUP BY src
     )
-    SELECT src AS doc_id,
-           least(src, min(dst)) AS cluster_id,
-           CAST(count(DISTINCT CASE WHEN dst <> src THEN dst END) + 1
-                AS BIGINT) AS cluster_size
-    FROM reach
-    GROUP BY src
+"""
+
+
+@query(
+    "dd_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_CLUSTERS_CTES}
+    SELECT doc_id, cluster_id, cluster_size FROM clusters
     """,
 )
 def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,6 +564,56 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return labels.join(sizes, "label").select(
         "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+    )
+
+
+@query(
+    "dd_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_CLUSTERS_CTES},
+    ranked AS (
+        SELECT c.cluster_id, c.cluster_size, d.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rk
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT cluster_id,
+           doc_id AS kept_doc_id,
+           CAST(n_chars AS BIGINT) AS kept_chars,
+           CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rk = 1
+    """,
+)
+def dd_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection — the step AFTER clustering: from each
+    near-dup cluster keep the single best document (here: most content,
+    ``n_chars`` DESC, doc_id ASC tiebreak — production pipelines plug a
+    quality score into the same slot) and report what was dropped.
+
+    Plan shape: the cluster assignment (small — dup docs only, a sliver
+    of the corpus at production dup rates) joins the doc-stats projection
+    on ``doc_id``, then one ``row_number`` window per cluster. Both the
+    join and the window shuffle the same sliver, never the full corpus;
+    at 100 TB the 2-column stats projection is pruned at the parquet scan.
+    """
+    clusters = dd_duplicate_clusters(spark, sf_dir)
+    stats = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    return (
+        clusters.join(stats, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_chars"),
+            (F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+        )
     )
 
 

@@ -404,3 +404,86 @@ def smp_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("threshold") / TEMP_BUCKETS, 4).alias("keep_rate"),
         )
     )
+
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@query(
+    "pack_chunk_overlap",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, w,
+               CASE WHEN len(w) <= {CHUNK_TOKENS} THEN 1
+                    ELSE 1 + (len(w) - {CHUNK_TOKENS} + {_CHUNK_STRIDE - 1})
+                             // {_CHUNK_STRIDE}
+               END AS nc
+        FROM tok
+    ),
+    chunks AS (
+        SELECT doc_id, w, unnest(range(0, nc)) AS chunk_idx FROM base
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(w[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                      chunk_idx * {_CHUNK_STRIDE} + {CHUNK_TOKENS}])
+                AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(
+               w[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                 chunk_idx * {_CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '))
+               AS chunk_md5
+    FROM chunks
+    """,
+)
+def pack_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split every document into
+    {CHUNK_TOKENS}-token windows advancing by {_CHUNK_STRIDE} tokens
+    ({CHUNK_OVERLAP}-token overlap) — the long-document counterpart to
+    ``pack_token_budget``'s concat-and-cut (RAG indexing and
+    long-context pretraining both chunk THEN pack). The final window is
+    allowed to run short rather than re-anchoring at the document tail,
+    so every token appears in ≥1 chunk and chunk boundaries are a pure
+    function of position (stable as the corpus grows).
+
+    Plan shape: tokenize → per-row chunk count (integer arithmetic, no
+    shuffle) → ``explode(sequence(...))`` → ``slice``. Narrow end to
+    end — ZERO shuffles: chunking is embarrassingly parallel and the
+    explode fan-out (~n_tokens/stride per doc) lands on the
+    pre-repartitioned scan, so no partition outgrows its input by more
+    than that constant factor. Chunk identity is the md5 of the joined
+    window text, computed without materializing chunk strings anywhere
+    but inside the hash expression.
+    """
+    toks = tokens()
+    n = F.size("w")
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1).cast("bigint")).otherwise(
+        1
+        + F.floor(
+            (n - CHUNK_TOKENS + (_CHUNK_STRIDE - 1)) / _CHUNK_STRIDE
+        ).cast("bigint")
+    )
+    start = (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("int")
+    chunk = F.slice("w", start, CHUNK_TOKENS)
+    return (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", toks.alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(chunk).cast("bigint").alias("chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.relational import salted_join
 from ..registry import query
 from ..session import read_table
 
@@ -92,6 +93,75 @@ def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("is_order") == 0)
         .drop("is_order")
+    )
+
+
+@query(
+    "rng_events_prior_hour",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           CAST(count(e.event_id) AS BIGINT) AS n_prior,
+           round(coalesce(sum(e.value), 0), 2) AS val_prior
+    FROM events p
+    LEFT JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 1 HOUR
+     AND e.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def rng_events_prior_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — the batch sibling of the stream-stream
+    interval join: for every purchase event, the same user's activity in
+    the strictly-preceding hour ``[ts-1h, ts)`` (attribution windows,
+    feature backfills). Spark has no native range-join optimizer rule, so
+    a naive formulation becomes a per-user nested loop; this is the
+    standard *banded* rewrite:
+
+    1. bucket both sides by hour (``floor(epoch/3600)``);
+    2. explode the probe side to its 2 admissible buckets (window length
+       = band width ⇒ a match lies in bucket b-1 or b — proven, not
+       heuristic);
+    3. equi-join on ``(user_id, bucket)`` — a plain shuffled hash join —
+       and apply the exact interval predicate inside the join.
+
+    Cost is O(events x density of the matching user-hour), never
+    all-pairs per user; a hot user-hour is bounded by that user's event
+    rate, and the standard salt applies if one user floods an hour. The
+    LEFT join keeps zero-activity purchases (count 0 from both exploded
+    probe rows — null matches are not counted twice).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / 3600)  # noqa: E731
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", bucket("ts").alias("pb"))
+        .withColumn("b", F.explode(F.array(F.col("pb") - 1, F.col("pb"))))
+    )
+    e = ev.select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("e_id"),
+        F.col("ts").alias("t"),
+        "value",
+        bucket("ts").alias("eb"),
+    )
+    cond = (
+        (p["user_id"] == e["e_user"])
+        & (p["b"] == e["eb"])
+        & (e["t"] >= p["ts"] - F.expr("INTERVAL 1 HOUR"))
+        & (e["t"] < p["ts"])
+    )
+    return (
+        p.join(e, cond, "left")
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count("e_id").cast("bigint").alias("n_prior"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias(
+                "val_prior"
+            ),
+        )
     )
 
 
@@ -512,4 +582,50 @@ def win_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("duration_secs"),
         "n_events",
         "total_value",
+    )
+
+
+@query(
+    "jn_salted_priority_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(14, 2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4, 2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def jn_salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join routed through :func:`salted_join` — the
+    explicit hot-key fallback (``operators/relational.py``) exercised as
+    a full query so its semantics-preservation is hash-gated, not just
+    unit-tested: the salted plan must produce bit-identical aggregates
+    to the oracle's plain join.
+
+    Shape: lineitem rows get a deterministic row-hash salt, orders are
+    replicated once per salt value, and the join key becomes
+    ``(orderkey, salt)`` — one hot orderkey now spreads over 8 reducers
+    instead of funnelling through one. Revenue runs in exact DECIMAL
+    until the final round (money-parity rule), so salting's different
+    partial-sum grouping cannot shift a low bit.
+    """
+    v = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", v.alias("rev")
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, "l_orderkey", num_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+        )
     )

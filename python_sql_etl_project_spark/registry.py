@@ -89,7 +89,17 @@ _PRIORITY_PREFIXES: tuple[tuple[int, tuple[str, ...]], ...] = (
 #: queries whose constituent stages are already hash-checked individually,
 #: and derived corpus reports whose inputs (tokenize/explode/aggregate
 #: stages) other checked queries exercise.
-SPILL_LAST = ("dd_lsh_recall_audit", "txt_tfidf_top_terms")
+SPILL_LAST = (
+    "dd_lsh_recall_audit",
+    "txt_tfidf_top_terms",
+    # round-2 additions that COMPOSE already-checked stages (clusters →
+    # representative pick; tokenize → window slice; history → interval
+    # filter): their driver rows carry less marginal evidence than the
+    # verdict-mandated streaming family they would displace.
+    "dd_keep_best",
+    "pack_chunk_overlap",
+    "scd2_point_in_time",
+)
 
 
 def _priority(name: str) -> int:
