@@ -42,3 +42,90 @@ def test_no_unbounded_join_strategies(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: unintended nested-loop join"
         )
+
+
+#: Column signatures of tables that are fact-scale at the 100 TB
+#: posture. A size-threshold auto-broadcast is scale-ADAPTIVE (Catalyst
+#: only picks it while the side is genuinely small), but an explicit
+#: ``F.broadcast()`` hint overrides the threshold at ANY scale — hinting
+#: a raw fact side OOMs executors at 100 TB even though the plan is a
+#: legal BroadcastHashJoin at test scale (ADVICE.md round 1). The
+#: signature is the table's key column as printed in the analyzed plan's
+#: ``Relation [...]`` line.
+_FACT_SIGNATURES = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+#: Logical nodes that bound a hinted subtree's size regardless of its
+#: source table: an aggregation, distinct, limit or sample between the
+#: fact relation and the hint means a *derivative* (candidate set,
+#: global total, hot-key census, tiny probe set) is broadcast, not the
+#: fact itself.
+_BOUNDING_NODES = ("Aggregate", "Deduplicate", "GlobalLimit", "Sample")
+
+#: name → reason a broadcast hint over a fact-table subtree is bounded
+#: by something the node-detector can't see (e.g. a constant key-range
+#: filter that fixes the row count independent of corpus size).
+FACT_HINT_ALLOWED = {
+    "sim_knn_brute": "query set is Filter(vec_id < 8): constant 8 rows",
+    "sim_knn_pandas_udf": "query set is Filter(vec_id < 8): constant 8 rows",
+}
+
+
+def _node_depth(line: str) -> int:
+    """Depth of a plan-tree line = offset of the operator name past the
+    ':  +- ' scaffolding."""
+    i = 0
+    while i < len(line) and line[i] in " :+-*(0123456789)":
+        i += 1
+    return i
+
+
+def _hinted_subtrees(plan: str):
+    """Yield the list of lines under each broadcast ResolvedHint node of
+    an analyzed logical plan."""
+    lines = plan.splitlines()
+    for idx, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line:
+            continue
+        depth = _node_depth(line)
+        sub = []
+        for nxt in lines[idx + 1 :]:
+            if nxt.strip() and _node_depth(nxt) <= depth:
+                break
+            sub.append(nxt)
+        yield sub
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n in registry.QUERIES
+        if n not in SKIP and n not in FACT_HINT_ALLOWED
+    ),
+)
+def test_no_raw_fact_broadcast_hint(spark, name):
+    """No explicit broadcast hint may cover an unbounded fact-table scan:
+    every ``F.broadcast()`` whose subtree reads a fact table must pass
+    through an aggregation/distinct/limit first. Checked on the analyzed
+    logical plan (where hints are still visible) rather than the physical
+    plan, so Catalyst's own threshold-gated auto-broadcasts — which stop
+    happening once the side outgrows the threshold — don't false-alarm."""
+    df = registry.QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for sub in _hinted_subtrees(plan):
+        text = "\n".join(sub)
+        scans_fact = any(
+            f" {sig}" in text or f"[{sig}" in text
+            for sig in _FACT_SIGNATURES.values()
+        ) and "Relation" in text
+        if scans_fact:
+            bounded = any(n in text for n in _BOUNDING_NODES)
+            assert bounded, (
+                f"{name}: broadcast hint over a raw fact scan:\n{text[:2000]}"
+            )
