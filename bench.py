@@ -76,6 +76,11 @@ HEADLINE = [
     "rng_events_prior_hour",
     "jn_salted_priority_revenue",
     "scd2_customer_status_history",
+    # round-2 additions: Lloyd KMeans codebook, cross-source dup matrix,
+    # blocked-levenshtein entity resolution
+    "sim_kmeans_codebook",
+    "dd_cross_source_matrix",
+    "dd_fuzzy_part_names",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

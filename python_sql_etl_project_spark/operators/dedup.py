@@ -694,3 +694,154 @@ def dd_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_precision"
         ),
     )
+
+
+#: Pair fan-out caps for the two blocked-join operators below. At test
+#: scales nothing is dropped (max exact-dup group ≈ single digits, max
+#: name block 128); at corpus scale they bound the quadratic blow-up of
+#: a hot block the same way MAX_SHINGLE_DF bounds hot shingles.
+MAX_DUP_GROUP = 1_000
+MAX_NAME_BLOCK = 5_000
+FUZZY_MAX_DISTANCE = 4
+
+
+@query(
+    "dd_cross_source_matrix",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, source, md5({_NORM_SQL}) AS fingerprint
+        FROM documents
+    ),
+    dup AS (
+        SELECT fingerprint FROM fp GROUP BY fingerprint
+        HAVING count(*) BETWEEN 2 AND {MAX_DUP_GROUP}
+    ),
+    pairs AS (
+        SELECT a.source AS s_a, b.source AS s_b
+        FROM fp a
+        JOIN fp b ON b.fingerprint = a.fingerprint AND a.doc_id < b.doc_id
+        JOIN dup d ON d.fingerprint = a.fingerprint
+    )
+    SELECT least(s_a, s_b) AS source_a,
+           greatest(s_a, s_b) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def dd_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, how many exact-duplicate document pairs straddle them — the
+    first question after dedup at corpus scale ("which feeds are copies
+    of each other?") and the evidence behind per-source keep/drop rules.
+
+    Plan: fingerprint (md5 over normalized text, same as
+    :func:`dd_exact_text`) → self-equi-join on fingerprint restricted to
+    groups of 2..``MAX_DUP_GROUP`` members (a boilerplate fingerprint
+    duplicated 100k× would otherwise explode quadratically — the cap
+    drops it, mirroring the hot-shingle rule) → unordered-pair source
+    census. The shuffle moves (fingerprint, source) rows only; text
+    never leaves the first projection.
+    """
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    fp = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(norm).alias("fingerprint")
+    )
+    dup = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= MAX_DUP_GROUP))
+        .select("fingerprint")
+    )
+    a = fp.select("fingerprint", F.col("doc_id").alias("id_a"), F.col("source").alias("s_a"))
+    b = fp.select("fingerprint", F.col("doc_id").alias("id_b"), F.col("source").alias("s_b"))
+    pairs = (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(dup, "fingerprint", "left_semi")
+    )
+    return (
+        pairs.groupBy(
+            F.least("s_a", "s_b").alias("source_a"),
+            F.greatest("s_a", "s_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    )
+
+
+@query(
+    "dd_fuzzy_part_names",
+    oracle=f"""
+    WITH p AS (
+        SELECT p_partkey, p_brand, p_name,
+               split_part(p_name, ' ', 1) AS blk
+        FROM part
+    ),
+    ok AS (
+        SELECT p_brand, blk FROM p GROUP BY p_brand, blk
+        HAVING count(*) <= {MAX_NAME_BLOCK}
+    ),
+    pairs AS (
+        SELECT a.p_brand AS brand,
+               levenshtein(a.p_name, b.p_name) AS distance
+        FROM p a
+        JOIN p b ON b.p_brand = a.p_brand AND b.blk = a.blk
+                AND a.p_partkey < b.p_partkey
+        JOIN ok ON ok.p_brand = a.p_brand AND ok.blk = a.blk
+    )
+    SELECT brand, CAST(distance AS BIGINT) AS distance,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    WHERE distance <= {FUZZY_MAX_DISTANCE}
+    GROUP BY 1, 2
+    """,
+)
+def dd_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution by bounded edit distance — the catalog-side
+    sibling of document near-dup: part names within the same
+    (brand, first-token) block whose Levenshtein distance is ≤
+    ``FUZZY_MAX_DISTANCE``, reported as a per-brand distance census.
+
+    The blocked self-equi-join is the classic ER shape: candidate pairs
+    come only from block equality (shuffle on the block key — never an
+    all-pairs name cross join), Levenshtein runs JVM-side on candidates,
+    and blocks above ``MAX_NAME_BLOCK`` rows are dropped by census
+    (the hot-block cap; production stacks multi-pass blocking instead).
+    Levenshtein is integer-exact and identical in both engines — no
+    float rules needed.
+    """
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    )
+    ok = (
+        p.groupBy("p_brand", "blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= MAX_NAME_BLOCK)
+        .select("p_brand", "blk")
+    )
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        "blk",
+        F.col("p_partkey").alias("k_a"),
+        F.col("p_name").alias("n_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        "blk",
+        F.col("p_partkey").alias("k_b"),
+        F.col("p_name").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, ["brand", "blk"])
+        .filter(F.col("k_a") < F.col("k_b"))
+        .join(
+            ok.withColumnRenamed("p_brand", "brand"), ["brand", "blk"], "left_semi"
+        )
+        .select("brand", F.levenshtein("n_a", "n_b").alias("distance"))
+        .filter(F.col("distance") <= FUZZY_MAX_DISTANCE)
+    )
+    return pairs.groupBy(
+        "brand", F.col("distance").cast("bigint").alias("distance")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))

@@ -664,3 +664,154 @@ def sim_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cos_vd"), 4).alias("avg_cosine_fidelity"),
         F.round(F.max("max_err"), 6).alias("max_abs_err"),
     )
+
+
+K_CODEBOOK = 8  # Lloyd cells; init = embeddings of vec_id < K_CODEBOOK
+N_LLOYD = 2  # unrolled iterations (fixed so the oracle can unroll too)
+
+
+def _lloyd_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd assignment step: nearest cell per vector.
+
+    Same shape as :func:`sim_ivf_topk`'s cell assignment — the KB-scale
+    codebook is broadcast, squared-L2 is a sequential fold over the
+    array (never an exploded row join: corpus×K rows, not corpus×K×64),
+    and d2 is rounded before the rank so near-equidistant cells can't
+    flip across engines.
+    """
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    dist = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", F.round(d2, 6).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def _lloyd_update(emb: DataFrame, assign: DataFrame) -> DataFrame:
+    """One Lloyd update step: per-(cell, dim) mean, exploded form.
+
+    The shuffle key (cell, dim) spreads the reduce across the cluster
+    (K×64 reducer groups); ``avg`` is a map-side-combined partial mean.
+    Components are rounded so the next iteration's distance ranking sees
+    identical centroids in both engines (parallel vs serial summation).
+    """
+    return (
+        emb.join(assign, "vec_id")
+        .select("cell", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+    )
+
+
+def _pack_centroids(cents_expl: DataFrame) -> DataFrame:
+    """(cell, dim, c) rows → (cell, centroid array) for the next assign."""
+    return (
+        cents_expl.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select("cell", F.transform("dc", lambda s: s["c"]).alias("centroid"))
+    )
+
+
+def _lloyd_sql(cent_cte: str, out_assign: str, out_cent: str) -> str:
+    """One unrolled Lloyd iteration (assign + update) as oracle CTEs."""
+    return f"""
+    d_{out_assign} AS (
+        SELECT e.vec_id, c.cell, round(sum((e.v - c.c) ^ 2), 6) AS d2
+        FROM expl e JOIN {cent_cte} c ON c.dim = e.dim
+        GROUP BY e.vec_id, c.cell
+    ),
+    {out_assign} AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) AS rn
+            FROM d_{out_assign})
+        WHERE rn = 1
+    ),
+    {out_cent} AS (
+        SELECT a.cell, e.dim, round(avg(e.v), 6) AS c
+        FROM expl e JOIN {out_assign} a ON a.vec_id = e.vec_id
+        GROUP BY a.cell, e.dim
+    )"""
+
+
+@query(
+    "sim_kmeans_codebook",
+    oracle=f"""
+    WITH expl AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cell, dim, v AS c FROM expl
+        WHERE vec_id < {K_CODEBOOK}
+    ),
+    {_lloyd_sql("c0", "a1", "c1")},
+    {_lloyd_sql("c1", "a2", "c2")},
+    sizes AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+        FROM a2 GROUP BY cell
+    )
+    SELECT c2.cell, c2.dim, c2.c, s.n_members
+    FROM c2 JOIN sizes s ON s.cell = c2.cell
+    """,
+)
+def sim_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans codebook training — ``N_LLOYD`` deterministic Lloyd
+    iterations over the corpus, making real the coarse quantizer that
+    :func:`sim_ivf_topk`'s docstring defers to ("sampled KMeans at
+    scale"). Init is the first ``K_CODEBOOK`` vectors by ``vec_id``
+    (the deterministic stand-in for a seeded sample).
+
+    Each iteration is two linear passes — assignment (broadcast codebook,
+    sequential-fold L2, window argmin) and update (posexplode →
+    groupBy(cell, dim) → partial-combined avg) — so the cluster cost is
+    O(iterations × corpus), no quadratic join anywhere. At 100 TB you
+    train on a ~1% sample (this plan unchanged, fed by ``smp_hash_split``)
+    and broadcast the resulting KB-scale codebook corpus-wide; the
+    iteration count is fixed, so lineage stays bounded without
+    checkpointing. Cross-engine determinism: d2 and centroid components
+    rounded every iteration, argmin ties broken on cell id — the float
+    rules proven by the IVF query.
+    """
+    from pyspark import StorageLevel
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # scanned by every pass
+
+    cents = emb.filter(F.col("vec_id") < K_CODEBOOK).select(
+        F.col("vec_id").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    assign = None
+    for i in range(N_LLOYD):
+        assign = _lloyd_assign(emb, cents)
+        if i < N_LLOYD - 1:  # the last update feeds output, not a re-pack
+            cents = _pack_centroids(_lloyd_update(emb, assign))
+    # the final assignment is read twice (centroid update + sizes)
+    assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
+    final_cents = _lloyd_update(emb, assign)
+    sizes = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return final_cents.join(sizes, "cell").select(
+        "cell",
+        (F.col("dim") + 1).cast("bigint").alias("dim"),  # oracle is 1-based
+        "c",
+        "n_members",
+    )

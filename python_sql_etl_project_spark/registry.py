@@ -99,6 +99,12 @@ SPILL_LAST = (
     "dd_keep_best",
     "pack_chunk_overlap",
     "scd2_point_in_time",
+    # round-2 additions past the window freeze: locally oracle-gated
+    # (tests/test_oracle_parity.py); displacing a verdict-mandated family
+    # from the driver window would cost more evidence than they add.
+    "sim_kmeans_codebook",
+    "dd_cross_source_matrix",
+    "dd_fuzzy_part_names",
 )
 
 

@@ -22,6 +22,7 @@ BNLJ_ALLOWED = {
     "sim_knn_brute": "tiny query set broadcast against corpus (k-NN baseline)",
     "q22_dormant_rich_customers": "1-row scalar subquery broadcast",
     "sim_ivf_topk": "KB-scale codebook broadcast for cell assignment",
+    "sim_kmeans_codebook": "KB-scale codebook broadcast per Lloyd iteration",
     "sim_knn_pandas_udf": "tiny query set broadcast against corpus",
     "q11_revenue_concentration": "1-row global-total broadcast",
 }
@@ -73,6 +74,10 @@ _BOUNDING_NODES = ("Aggregate", "Deduplicate", "GlobalLimit", "Sample")
 FACT_HINT_ALLOWED = {
     "sim_knn_brute": "query set is Filter(vec_id < 8): constant 8 rows",
     "sim_knn_pandas_udf": "query set is Filter(vec_id < 8): constant 8 rows",
+    "sim_kmeans_codebook": (
+        "initial codebook is Filter(vec_id < K): constant K rows; later "
+        "iterations' codebooks pass through the Aggregate bound"
+    ),
 }
 
 
