@@ -48,6 +48,50 @@ def apply_runtime_semantics(spark: SparkSession) -> None:
     """Pin the engine's semantic confs on an externally built session."""
     for k, v in RUNTIME_SEMANTICS.items():
         spark.conf.set(k, v)
+    _ship_package(spark)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors via ``addPyFile`` (idempotent).
+
+    Pandas-UDF / ``mapInPandas`` / ``applyInPandasWithState`` callables
+    defined at module level are cloudpickled **by reference** — executors
+    must be able to ``import python_sql_etl_project_spark`` to run them.
+    On a real cluster that means shipping the package (``--py-files`` /
+    ``addPyFile``); an externally built local session whose Python
+    workers don't inherit this repo on ``PYTHONPATH`` has the same need.
+    The zip is content-addressed (source file sizes+mtimes) so edits in a
+    long-lived dev box never serve a stale package.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_sql_etl_pkg_shipped", False):
+        return
+    import hashlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    h = hashlib.md5()
+    for p in sorted(sources):
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, pkg_dir)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}_{h.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in sorted(sources):
+                z.write(p, os.path.join(pkg_name, os.path.relpath(p, pkg_dir)))
+        os.replace(tmp, zpath)  # atomic: concurrent sessions race safely
+    sc.addPyFile(zpath)
+    sc._sql_etl_pkg_shipped = True
 
 
 def build_spark(
@@ -117,18 +161,27 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Lazy parquet scan of one testdata table (column-pruned, pushdown-able).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), surfaced as a long via
-    ``nanosAsLong``; convert to a microsecond timestamp with integer
-    division (``div`` — a double round-trip would lose precision above
-    2^53 ns). Floor-truncation to µs matches DuckDB's read of the same
-    column.
+    ``events.ts`` is normalized to TIMESTAMP regardless of the file's
+    physical encoding: ns-encoded files surface as a long (via
+    ``nanosAsLong``) and are integer-divided to µs (``div`` — a double
+    round-trip would lose precision above 2^53 ns, and floor-truncation
+    matches DuckDB's read); µs-encoded files surface as TIMESTAMP_NTZ
+    and are cast (value-preserving under the pinned UTC session tz).
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # µs-encoded files surface as TIMESTAMP_NTZ; time functions
+            # (unix_micros, window, watermark) require TIMESTAMP. The
+            # session tz is pinned UTC, so the cast is value-preserving
+            # and matches DuckDB's naive read of the same column.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

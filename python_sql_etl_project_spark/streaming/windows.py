@@ -35,17 +35,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import query
 
-#: Parquet-declared schema under ``nanosAsLong`` (ts arrives as raw ns).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, path: str) -> T.StructType:
+    """File-stream sources require a user-declared schema; derive it from
+    the parquet footer via a batch read so the stream sees the same
+    physical types the batch path does. ``ts`` may surface as either a
+    proper TIMESTAMP (µs-encoded files) or a raw-ns LongType (ns-encoded
+    files under ``nanosAsLong``) — :func:`stream_events` normalizes."""
+    return spark.read.parquet(path).schema
 
 SESSION_GAP = "30 minutes"
 
@@ -79,11 +75,21 @@ def stream_events(
     to feed multiple files); ``max_files_per_trigger`` caps batch size so
     a multi-file landing dir yields genuine multi-micro-batch runs.
     """
-    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    src = landing_dir or _events_stream_dir(sf_dir)
+    schema = _events_schema(spark, src)
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(landing_dir or _events_stream_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = reader.parquet(src)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        # ns-encoded file read under nanosAsLong: integer-divide to µs
+        # (a double round-trip would lose precision above 2^53 ns)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks require TIMESTAMP (ltz); the session tz is pinned
+        # UTC so the cast is value-preserving and DuckDB-consistent
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _run_to_table(
