@@ -845,3 +845,92 @@ def dd_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         "brand", F.col("distance").cast("bigint").alias("distance")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+
+
+#: Embedding-cosine bar a candidate pair must also clear to be
+#: ``confirmed`` in the hybrid dedup (same calibration as
+#: ``sim_cosine_neardup_pairs``: the synthetic corpus's max
+#: off-diagonal cosine is ~0.51).
+SEMANTIC_COS_THRESHOLD = 0.35
+
+from .similarity import _COS_SQL as _HYBRID_COS_SQL  # noqa: E402
+
+
+@query(
+    "dd_semantic_confirmed_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+        SELECT doc_id, {_minhash_aggs_sql()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_band_selects_sql()}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    shared AS (
+        SELECT c.d1, c.d2, count(*) AS shared
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.d1
+        JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT sh0.d1, sh0.d2,
+               round(CAST(shared AS DOUBLE) / (n1.n + n2.n - shared), 4)
+                 AS jaccard
+        FROM shared sh0
+        JOIN sh_n n1 ON n1.doc_id = sh0.d1
+        JOIN sh_n n2 ON n2.doc_id = sh0.d2
+    )
+    SELECT j.d1, j.d2, j.jaccard,
+           {_HYBRID_COS_SQL} AS cosine,
+           (j.jaccard >= {JACCARD_THRESHOLD}
+            AND {_HYBRID_COS_SQL} >= {SEMANTIC_COS_THRESHOLD}) AS confirmed
+    FROM jac j
+    JOIN embeddings a ON a.vec_id = j.d1
+    JOIN embeddings b ON b.vec_id = j.d2
+    """,
+)
+def dd_semantic_confirmed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic dedup: MinHash-LSH candidate pairs scored
+    by BOTH exact shingle Jaccard and embedding cosine (``doc_id`` and
+    ``vec_id`` share an id space in the testdata), with a ``confirmed``
+    flag requiring both signals. This is the production guard against
+    LSH false positives (boilerplate-heavy pages that share shingles but
+    say different things) — a second, independent modality must agree
+    before a pair is dropped.
+
+    Plan shape: candidate generation and Jaccard verify are the same
+    blocked/broadcast stages as :func:`dd_minhash_lsh_pairs`; the cosine
+    adds two hash joins against the embeddings table keyed on vec_id —
+    candidate-pair-sized, never corpus×corpus.
+    """
+    from .similarity import _cosine
+
+    sh = shingles(spark, sf_dir)
+    cand = _minhash_candidates(sh)
+    jac = _verify_jaccard(cand, sh)
+    emb = read_table(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("eb"))
+    return (
+        jac.join(ea, "d1")
+        .join(eb, "d2")
+        .select(
+            "d1",
+            "d2",
+            "jaccard",
+            _cosine(F.col("ea"), F.col("eb")).alias("cosine"),
+        )
+        .withColumn(
+            "confirmed",
+            (F.col("jaccard") >= JACCARD_THRESHOLD)
+            & (F.col("cosine") >= SEMANTIC_COS_THRESHOLD),
+        )
+    )

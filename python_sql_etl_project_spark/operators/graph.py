@@ -1,0 +1,119 @@
+"""Iterative graph analytics over relational-derived graphs.
+
+The reference has no graph operators; this extends the engine's
+iterative-algorithm family (alongside connected components in
+``dedup.dd_duplicate_clusters``) with a PageRank over the part
+co-purchase graph — the "related items" signal every large catalog
+pipeline derives from order data.
+
+Cross-engine determinism strategy: the rank vector is kept in **integer
+micro-units** (1.0 → 1_000_000) and every update uses only integer ops —
+floor division for the per-edge contribution (``div`` in Spark, ``//``
+in DuckDB; identical on non-negative values), exact BIGINT sums, and the
+damping factor 0.85 applied as the exact rational ``(85 * x) div 100``.
+Parallel vs serial summation therefore produces bit-identical results,
+with no float-rounding collapse needed anywhere in the iteration. The
+floor-quantization deviates from real-valued PageRank by at most
+``outdeg × 1e-6`` per node per round — documented, deterministic, and
+irrelevant for ranking use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import read_table
+
+#: Fixed-point scale: 1.0 rank unit = 1_000_000 micro-units.
+PR_SCALE = 1_000_000
+#: Damping 0.85 as an exact rational (85/100); teleport = 0.15.
+PR_TELEPORT_MICRO = 150_000
+N_PR_ITERS = 3
+
+_PR_EDGES_CTE = """
+    pairs AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM pairs GROUP BY src),
+    e AS (SELECT p.src, p.dst, d.deg FROM pairs p JOIN deg d USING (src))
+"""
+
+
+def _pr_iter_sql(prev: str, this: str) -> str:
+    return f"""
+    {this} AS (
+        SELECT e.dst AS node,
+               CAST({PR_TELEPORT_MICRO}
+                    + (85 * sum({prev}.pr // e.deg)) // 100 AS BIGINT) AS pr
+        FROM e JOIN {prev} ON {prev}.node = e.src
+        GROUP BY e.dst
+    )"""
+
+
+@query(
+    "graph_pagerank_3iter",
+    oracle=f"""
+    WITH {_PR_EDGES_CTE},
+    r0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS pr FROM deg),
+    {_pr_iter_sql("r0", "r1")},
+    {_pr_iter_sql("r1", "r2")},
+    {_pr_iter_sql("r2", "r3")}
+    SELECT node AS part_key,
+           pr AS pr_micro,
+           round(pr / {PR_SCALE}.0, 6) AS pagerank
+    FROM r3
+    """,
+)
+def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank, 3 iterations, over the part co-purchase
+    graph (parts sharing an order are linked; undirected → symmetric
+    edge list, so there are no dangling nodes).
+
+    Plan shape at scale: the edge build is ONE shuffle on ``l_orderkey``
+    (self-equi-join, fan-out bounded by order size, never a cross join)
+    plus a distinct; each iteration joins the small rank vector
+    (|parts| rows) to the edge list on ``src`` and re-aggregates on
+    ``dst`` — rank-vector-sized state, edge-list-sized flow, the
+    standard Pregel-as-joins shape. The edge list is persisted once and
+    reused by all {N_PR_ITERS} iterations. Integer micro-unit arithmetic
+    keeps every engine bit-identical (see module docstring).
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges = pairs.join(deg, "src").persist()
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("pr")
+    )
+    for _ in range(N_PR_ITERS):
+        ranks = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("pr div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(PR_TELEPORT_MICRO) + F.expr(f"(85 * s) div 100"))
+                .cast("bigint")
+                .alias("pr"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("part_key"),
+        F.col("pr").alias("pr_micro"),
+        F.round(F.col("pr") / PR_SCALE, 6).alias("pagerank"),
+    )

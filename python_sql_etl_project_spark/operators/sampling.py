@@ -487,3 +487,59 @@ def pack_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
         )
     )
+
+
+#: Mixture-weight exponent α=0.5 applied as INTEGER ``floor(sqrt(n))``
+#: so the weight denominators are exact BIGINT sums in both engines (a
+#: float pow + float total would make the normalization order-dependent).
+@query(
+    "smp_mixture_weights",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source, lang,
+               len(string_split_regex(trim(text), '\s+')) AS n_tok
+        FROM documents
+    ),
+    grp AS (
+        SELECT source, lang,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(floor(sqrt(CAST(sum(n_tok) AS BIGINT))) AS BIGINT) AS w_int
+        FROM tok GROUP BY source, lang
+    )
+    SELECT source, lang, n_tokens, w_int,
+           round(CAST(w_int AS DOUBLE)
+                 / CAST((SELECT sum(w_int) FROM grp) AS DOUBLE), 6) AS weight
+    FROM grp
+    """,
+)
+def smp_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture weights per (source, lang) stratum — the knob a
+    training-data build turns to rebalance domains: weight ∝ n_tokens^α
+    with α=0.5 (sublinear, up-weights small strata the way multilingual
+    sampling schemes do), normalized to sum to 1.
+
+    Determinism: the α-power is integer-quantized (``floor(sqrt(n))``,
+    exact in both engines — sqrt of a BIGINT is correctly rounded IEEE)
+    and the normalizing denominator is an exact BIGINT sum, so the final
+    rounded ratio cannot drift with aggregation order. One shuffle on
+    (source, lang); the denominator is a scalar broadcast.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    grp = (
+        docs.select("source", "lang", F.size(tokens()).alias("n_tok"))
+        .groupBy("source", "lang")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+        .withColumn(
+            "w_int", F.floor(F.sqrt(F.col("n_tokens"))).cast("bigint")
+        )
+    )
+    total = Window.partitionBy()
+    return grp.select(
+        "source",
+        "lang",
+        "n_tokens",
+        "w_int",
+        F.round(
+            F.col("w_int") / F.sum("w_int").over(total).cast("double"), 6
+        ).alias("weight"),
+    )

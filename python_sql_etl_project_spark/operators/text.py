@@ -573,3 +573,45 @@ def txt_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TFIDF_TOP_N)
         .select("source", "rank", "term", "tfidf")
     )
+
+
+@query(
+    "txt_length_histogram",
+    oracle="""
+    SELECT source,
+           CAST(length(bin(n_chars)) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def txt_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram per source — the standard
+    first look at a crawl snapshot (truncation spikes, boilerplate
+    floors, length-filter calibration).
+
+    The bucket is ``bit_length(n_chars)`` = ``floor(log2 n)+1`` computed
+    as the LENGTH OF THE BINARY STRING (``bin``) — pure integer string
+    ops, identical in both engines, where a float ``log2`` would risk
+    boundary misclassification at exact powers of two. One shuffle on
+    (source, bucket) with map-side partials; the scan prunes to two
+    columns.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            F.length(F.bin(F.col("n_chars"))).cast("int").alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )

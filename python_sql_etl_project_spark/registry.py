@@ -65,7 +65,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .plans import advanced, analytics, tpch  # noqa: F401
-    from .operators import dedup, multimodal, sampling, similarity, text  # noqa: F401
+    from .operators import (  # noqa: F401
+        dedup,
+        graph,
+        multimodal,
+        sampling,
+        similarity,
+        text,
+    )
     from .streaming import windows  # noqa: F401
     from .load import scd  # noqa: F401
 
@@ -105,6 +112,10 @@ SPILL_LAST = (
     "sim_kmeans_codebook",
     "dd_cross_source_matrix",
     "dd_fuzzy_part_names",
+    # round-2 additions after the window froze, same rationale:
+    "dd_semantic_confirmed_pairs",
+    "smp_mixture_weights",
+    "txt_length_histogram",
 )
 
 
