@@ -81,6 +81,12 @@ HEADLINE = [
     "sim_kmeans_codebook",
     "dd_cross_source_matrix",
     "dd_fuzzy_part_names",
+    # round-2 additions: iterative PageRank, hybrid lexical+semantic
+    # dedup, corpus mixture weights, length histogram
+    "graph_pagerank_3iter",
+    "dd_semantic_confirmed_pairs",
+    "smp_mixture_weights",
+    "txt_length_histogram",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

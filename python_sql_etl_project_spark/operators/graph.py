@@ -83,15 +83,21 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused by all {N_PR_ITERS} iterations. Integer micro-unit arithmetic
     keeps every engine bit-identical (see module docstring).
     """
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # Pair generation WITHOUT a self-join: one shuffle on l_orderkey
+    # collects each order's distinct part set (order size is bounded —
+    # TPC-H ≤ 7 lines; a pathological mega-order would need an array
+    # cap, noted not hit here), then the src×dst expansion is a narrow
+    # double-explode. A lineitem⋈lineitem self-join would shuffle the
+    # projection twice and still need the same downstream distinct.
+    parts_per_order = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        parts_per_order.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
     deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
