@@ -44,6 +44,27 @@ _PR_EDGES_CTE = """
 """
 
 
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric distinct co-purchase edge list, WITHOUT a self-join:
+    one shuffle on ``l_orderkey`` collects each order's distinct part
+    set (order size is bounded — TPC-H ≤ 7 lines; a pathological
+    mega-order would need an array cap, noted not hit here), then the
+    src×dst expansion is a narrow double-explode. A lineitem⋈lineitem
+    self-join would shuffle the projection twice and still need the
+    same downstream distinct."""
+    parts_per_order = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    return (
+        parts_per_order.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def _pr_iter_sql(prev: str, this: str) -> str:
     return f"""
     {this} AS (
@@ -83,23 +104,7 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused by all {N_PR_ITERS} iterations. Integer micro-unit arithmetic
     keeps every engine bit-identical (see module docstring).
     """
-    # Pair generation WITHOUT a self-join: one shuffle on l_orderkey
-    # collects each order's distinct part set (order size is bounded —
-    # TPC-H ≤ 7 lines; a pathological mega-order would need an array
-    # cap, noted not hit here), then the src×dst expansion is a narrow
-    # double-explode. A lineitem⋈lineitem self-join would shuffle the
-    # projection twice and still need the same downstream distinct.
-    parts_per_order = (
-        read_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("parts"))
-    )
-    pairs = (
-        parts_per_order.select(F.explode("parts").alias("src"), "parts")
-        .select("src", F.explode("parts").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges = pairs.join(deg, "src").persist()
     ranks = deg.select(
@@ -113,7 +118,7 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("s"))
             .select(
                 F.col("dst").alias("node"),
-                (F.lit(PR_TELEPORT_MICRO) + F.expr(f"(85 * s) div 100"))
+                (F.lit(PR_TELEPORT_MICRO) + F.expr("(85 * s) div 100"))
                 .cast("bigint")
                 .alias("pr"),
             )
@@ -122,4 +127,63 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part_key"),
         F.col("pr").alias("pr_micro"),
         F.round(F.col("pr") / PR_SCALE, 6).alias("pagerank"),
+    )
+
+
+#: BFS horizon: min-levels are exact for nodes within this many hops
+#: (the co-purchase graph's diameter is ~2 — the bound is a safety rail
+#: that also terminates the oracle's recursive CTE).
+BFS_MAX_DEPTH = 4
+
+
+@query(
+    "graph_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE {_PR_EDGES_CTE},
+    walk(node, lvl) AS (
+        SELECT (SELECT min(src) FROM pairs), 0
+        UNION
+        SELECT p.dst, w.lvl + 1
+        FROM walk w JOIN pairs p ON p.src = w.node
+        WHERE w.lvl < {BFS_MAX_DEPTH}
+    )
+    SELECT node AS part_key, CAST(min(lvl) AS INT) AS level
+    FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path levels from a deterministic root (the minimum
+    part key) over the part co-purchase graph — frontier expansion as
+    iterative relaxation: each round joins the known level set to the
+    edge list and keeps the per-node minimum, so after k rounds every
+    node within k hops has its exact BFS distance. The same shape
+    (small-state vector ⋈ edge list per round, ``localCheckpoint``
+    lineage truncation) as connected components; the oracle derives
+    identical levels with a recursive CTE. Integer levels — nothing to
+    round, bit-identical across engines.
+    """
+    pairs = _copurchase_pairs(spark, sf_dir).persist()
+    levels = (
+        pairs.agg(F.min("src").alias("node"))
+        .withColumn("level", F.lit(0))
+        .localCheckpoint()
+    )
+    for _ in range(BFS_MAX_DEPTH):
+        nxt = (
+            pairs.join(
+                levels.select(
+                    F.col("node").alias("src"), F.col("level").alias("lvl")
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("node"), (F.col("lvl") + 1).alias("level"))
+        )
+        levels = (
+            levels.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("level").alias("level"))
+            .localCheckpoint()
+        )
+    return levels.select(
+        F.col("node").alias("part_key"), F.col("level").cast("int").alias("level")
     )
