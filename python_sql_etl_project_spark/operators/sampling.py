@@ -543,3 +543,86 @@ def smp_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w_int") / F.sum("w_int").over(total).cast("double"), 6
         ).alias("weight"),
     )
+
+
+#: Corpus-curation gate: minimum whitespace tokens / chars a document
+#: needs to enter the training set (calibrated to the synthetic corpus's
+#: ~50-token docs so the gate has real selectivity at every SF).
+CURATION_MIN_TOKENS = 20
+CURATION_MIN_CHARS = 150
+
+
+@query(
+    "pipe_corpus_curation",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, source, n_chars,
+               len(string_split_regex(trim(text), '\s+')) AS n_tok,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+               substr(md5(concat('split:', doc_id)), 1, 2) AS bucket
+        FROM documents
+    ),
+    gated AS (
+        SELECT * FROM tok
+        WHERE n_tok >= {CURATION_MIN_TOKENS} AND n_chars >= {CURATION_MIN_CHARS}
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    )
+    SELECT CASE WHEN bucket < '{SPLIT_TRAIN_UPPER}' THEN 'train'
+                WHEN bucket < '{SPLIT_VAL_UPPER}' THEN 'val'
+                ELSE 'test' END AS split,
+           source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM kept
+    GROUP BY 1, 2
+    """,
+)
+def pipe_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the composition a training-data build
+    actually ships, as ONE declarative plan: quality gate (length floor)
+    → exact dedup (md5 of normalized text, deterministic min-doc_id
+    survivor) → stable hash train/val/test split → per-(split, source)
+    audit stats.
+
+    Composing the stages into one DataFrame lets Catalyst fuse them:
+    the gate and both hash projections are narrow and run inside the
+    scan stage; the only shuffles are the dedup window (keyed on the
+    fingerprint) and the final small aggregate. A stage-per-job
+    orchestration of the same logic would materialize the corpus twice;
+    this plan touches it once — at 100 TB that IS the optimization.
+    """
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    bucket = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 2)
+    split = (
+        F.when(bucket < SPLIT_TRAIN_UPPER, "train")
+        .when(bucket < SPLIT_VAL_UPPER, "val")
+        .otherwise("test")
+    )
+    gated = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.size(tokens()).alias("n_tok"),
+            F.md5(norm).alias("fp"),
+            split.alias("split"),
+        )
+        .filter(
+            (F.col("n_tok") >= CURATION_MIN_TOKENS)
+            & (F.col("n_chars") >= CURATION_MIN_CHARS)
+        )
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
