@@ -257,3 +257,40 @@ def test_single_shuffle_window_queries(spark, sf_dir):
         )
         n_exchanges = plan.count("Exchange")
         assert n_exchanges == 1, f"{name}: {n_exchanges} exchanges\n{plan}"
+
+
+def test_corpus_curation_single_scan(spark, sf_dir):
+    """pipe_corpus_curation's whole value is FUSION: gate + fingerprint +
+    split assignment must all ride the one documents scan, with shuffles
+    only for the dedup window and the final audit aggregate. A refactor
+    that materializes a stage would show up here as a second scan."""
+    from python_sql_etl_project_spark import registry
+
+    qs = registry.all_queries()
+    plan = (
+        qs["pipe_corpus_curation"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, f"{n_scans} scans (stage got materialized?)\n{plan}"
+    n_exchanges = plan.count("Exchange")
+    # repartition (read_table_parallel) + window-by-fingerprint + final agg
+    assert n_exchanges <= 3, f"{n_exchanges} exchanges\n{plan}"
+
+
+def test_graph_edge_build_no_self_join(spark, sf_dir):
+    """The co-purchase edge list comes from collect_set + double-explode:
+    ONE lineitem scan and ONE shuffle (on l_orderkey) before the
+    distinct — never a lineitem⋈lineitem self-join (two scans)."""
+    from python_sql_etl_project_spark.operators.graph import _copurchase_pairs
+
+    plan = (
+        _copurchase_pairs(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
