@@ -121,11 +121,16 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    jvm_system = spark.sparkContext._jvm.java.lang.System
     for name in names:
         # isolate queries: blocks persisted by a previous query otherwise
         # occupy the heap and GC-tax later measurements (a query's OWN
-        # caching still lands inside its timing)
+        # caching still lands inside its timing). The explicit GC flushes
+        # the PREVIOUS query's garbage before the clock starts — without
+        # it, sub-second queries measured 10x slower purely from
+        # inherited heap debt (observed: 1.2s isolated vs 13s in-sequence)
         spark.catalog.clearCache()
+        jvm_system.gc()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
