@@ -629,3 +629,71 @@ def jn_salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "ts_hourly_rollup_gapfill",
+    oracle="""
+    WITH ev AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, value FROM events
+    ),
+    span AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+    hours AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    grid AS (SELECT h, event_type FROM hours CROSS JOIN types),
+    agg AS (
+        SELECT h, event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS tv
+        FROM ev GROUP BY 1, 2
+    )
+    SELECT g.h AS hour, g.event_type,
+           COALESCE(a.n, 0) AS n_events,
+           COALESCE(a.tv, 0.0) AS total_value
+    FROM grid g
+    LEFT JOIN agg a ON a.h = g.h AND a.event_type = g.event_type
+    """,
+)
+def ts_hourly_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous rollup: hourly per-event-type sums
+    over the events stream with GAP FILLING — silent hours materialize
+    as explicit zero rows, which is what makes the rollup chartable and
+    window-joinable downstream (a naive groupBy just omits them).
+
+    The dense (hour × type) grid is built from two broadcast-scale
+    inputs: the min/max span (one row) exploded through ``sequence``,
+    cross-joined with the distinct type dimension — bounded at
+    |hours|×|types|, independent of event volume. The heavy side is one
+    shuffled aggregate of the raw events; the gap-fill left join
+    broadcasts the aggregate onto the grid (or vice versa — both sides
+    are rollup-sized, and AQE picks). At 100 TB this is the operator a
+    time-series store calls a continuous aggregate refresh.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
+    )
+    hours = (
+        ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    agg = ev.groupBy("h", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 4).alias("tv"),
+    )
+    return (
+        grid.join(agg, ["h", "event_type"], "left")
+        .select(
+            F.col("h").alias("hour"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(F.col("tv"), F.lit(0.0)).alias("total_value"),
+        )
+    )
