@@ -87,6 +87,13 @@ HEADLINE = [
     "dd_semantic_confirmed_pairs",
     "smp_mixture_weights",
     "txt_length_histogram",
+    # round-2 additions: BFS levels, fused curation pipeline, grouping
+    # sets, gap-filled rollup + LOCF time-series
+    "graph_bfs_levels",
+    "pipe_corpus_curation",
+    "gsets_nation_status_revenue",
+    "ts_hourly_rollup_gapfill",
+    "ts_locf_hourly_value",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -697,3 +697,109 @@ def ts_hourly_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("tv"), F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+@query(
+    "gsets_nation_status_revenue",
+    oracle="""
+    SELECT n.n_name, o.o_orderstatus,
+           CAST(grouping(n.n_name) AS INT) AS g_nation,
+           CAST(grouping(o.o_orderstatus) AS INT) AS g_status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (o.o_orderstatus), ())
+    """,
+)
+def gsets_nation_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP and CUBE
+    specialize: per-nation totals, per-status totals, and the grand
+    total in ONE pass (a single Expand + hash aggregate, not three
+    scans), with ``grouping()`` flags disambiguating real NULLs from
+    subtotal rows. Dim joins (customer, nation) resolve to broadcast
+    hash joins under the size threshold; the only full shuffle is the
+    aggregate itself.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        n, c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.groupingSets(
+            [["n_name"], ["o_orderstatus"], []], "n_name", "o_orderstatus"
+        )
+        .agg(
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "ts_locf_hourly_value",
+    oracle="""
+    WITH ev AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, value FROM events
+    ),
+    span AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+    hours AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    grid AS (SELECT h, event_type FROM hours CROSS JOIN types),
+    agg AS (
+        SELECT h, event_type, round(avg(value), 4) AS av
+        FROM ev GROUP BY 1, 2
+    )
+    SELECT g.h AS hour, g.event_type,
+           last_value(a.av IGNORE NULLS)
+             OVER (PARTITION BY g.event_type ORDER BY g.h
+                   ROWS UNBOUNDED PRECEDING) AS avg_value_locf
+    FROM grid g
+    LEFT JOIN agg a ON a.h = g.h AND a.event_type = g.event_type
+    """,
+)
+def ts_locf_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over the gap-filled hourly grid:
+    silent hours inherit the series' previous hourly average (the
+    standard time-series imputation before charting or feature
+    extraction; leading gaps stay NULL in both engines). The per-series
+    window orders on the hour — unique within a series, so the fill is
+    deterministic. Same bounded grid as the rollup; the ffill is one
+    window over rollup-sized (not event-sized) data.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
+    )
+    hours = (
+        ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h")
+        )
+    )
+    grid = hours.crossJoin(ev.select("event_type").distinct())
+    agg = ev.groupBy("h", "event_type").agg(
+        F.round(F.avg("value"), 4).alias("av")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["h", "event_type"], "left")
+        .select(
+            F.col("h").alias("hour"),
+            "event_type",
+            F.last("av", ignorenulls=True).over(w).alias("avg_value_locf"),
+        )
+    )

@@ -29,6 +29,9 @@ BNLJ_ALLOWED = {
         "dense hour×type grid from a 1-row span and the tiny type dim — "
         "bounded at |hours|×|types|, independent of event volume"
     ),
+    "ts_locf_hourly_value": (
+        "same bounded hour×type grid as ts_hourly_rollup_gapfill"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
