@@ -266,6 +266,7 @@ def test_corpus_curation_single_scan(spark, sf_dir):
     that materializes a stage would show up here as a second scan."""
     from python_sql_etl_project_spark import registry
 
+    spark.catalog.clearCache()  # a cached input would mask the scan count
     qs = registry.all_queries()
     plan = (
         qs["pipe_corpus_curation"](spark, sf_dir)
@@ -285,6 +286,8 @@ def test_graph_edge_build_no_self_join(spark, sf_dir):
     ONE lineitem scan and ONE shuffle (on l_orderkey) before the
     distinct — never a lineitem⋈lineitem self-join (two scans)."""
     from python_sql_etl_project_spark.operators.graph import _copurchase_pairs
+
+    spark.catalog.clearCache()  # a cached input would mask the scan count
 
     plan = (
         _copurchase_pairs(spark, SF_DIR)
