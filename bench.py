@@ -94,6 +94,9 @@ HEADLINE = [
     "gsets_nation_status_revenue",
     "ts_hourly_rollup_gapfill",
     "ts_locf_hourly_value",
+    # dd_substring_overlap_pairs is correctness-gated but NOT benched:
+    # like txt_winnow_fingerprints it is an audit-class op whose cost is
+    # the per-character rolling-hash expression, not a plan property
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

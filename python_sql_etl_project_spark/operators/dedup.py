@@ -934,3 +934,117 @@ def dd_semantic_confirmed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cosine") >= SEMANTIC_COS_THRESHOLD),
         )
     )
+
+
+#: Substring-overlap blocking: fingerprints seen in more docs than this
+#: are dropped (same hot-key discipline as MAX_SHINGLE_DF); a pair needs
+#: MIN_SHARED_FP shared fingerprints (cheap integer pre-filter before
+#: the ratio) AND containment ≥ CONTAINMENT_THRESHOLD to be reported —
+#: incidental shared 11-char substrings (common words) give containment
+#: ~0.05-0.15 on this corpus, genuine copied passages ≥ 0.35.
+MAX_FP_DF = 100
+MIN_SHARED_FP = 5
+CONTAINMENT_THRESHOLD = 0.35
+
+_WINNOW_FP_CTE = """
+    wnorm AS (
+        SELECT doc_id,
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+        FROM documents
+    ),
+    wgrams AS (
+        SELECT doc_id,
+               list_transform(range(1, len(t) - {K} + 2),
+                              i -> md5(substring(t, i, {K}))) AS gh
+        FROM wnorm
+        WHERE len(t) >= {K}
+    ),
+    wwindows AS (
+        SELECT doc_id,
+               list_transform(range(1, len(gh) - {W} + 2),
+                              i -> list_min(gh[i:i+{W}-1])) AS mins
+        FROM wgrams
+        WHERE len(gh) >= {W}
+    ),
+    wfp_all AS (
+        SELECT DISTINCT doc_id, unnest(mins) AS fingerprint FROM wwindows
+    ),
+    wfp AS (
+        SELECT doc_id, fingerprint FROM wfp_all
+        WHERE fingerprint IN (
+            SELECT fingerprint FROM wfp_all
+            GROUP BY fingerprint HAVING count(*) <= {MAXDF}
+        )
+    ),
+    wfp_n AS (SELECT doc_id, count(*) AS n FROM wfp GROUP BY doc_id)
+"""
+
+
+@query(
+    "dd_substring_overlap_pairs",
+    oracle=f"""
+    WITH {_WINNOW_FP_CTE.format(K=8, W=4, MAXDF=MAX_FP_DF)},
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        FROM wfp a JOIN wfp b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.d1, p.d2, CAST(p.shared AS BIGINT) AS shared_fp,
+           round(CAST(p.shared AS DOUBLE) / least(n1.n, n2.n), 4)
+             AS containment
+    FROM pairs p
+    JOIN wfp_n n1 ON n1.doc_id = p.d1
+    JOIN wfp_n n2 ON n2.doc_id = p.d2
+    WHERE p.shared >= {MIN_SHARED_FP}
+      AND round(CAST(p.shared AS DOUBLE) / least(n1.n, n2.n), 4)
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dd_substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level dedup pairs — the scalable approximation of
+    suffix-array substring dedup: two documents sharing any substring of
+    length ≥ K+W-1 = 11 chars necessarily share a winnowing fingerprint
+    (MOSS guarantee), so fingerprint-equality blocking finds copied
+    passages that token-level Jaccard dilutes away in long documents.
+    Reported per pair: shared fingerprint count and a containment score
+    (shared / smaller doc's fingerprint set — robust when a short doc is
+    embedded in a long one, exactly where Jaccard fails).
+
+    Same scale shape as the shingle path: hot fingerprints capped
+    (``MAX_FP_DF``) so the blocking self-join stays skew-free; the
+    shuffle keys are fingerprints and pairs, never doc×doc.
+    """
+    from .text import txt_winnow_fingerprints
+
+    fp_all = txt_winnow_fingerprints(spark, sf_dir).persist()
+    hot = (
+        fp_all.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_FP_DF)
+        .select("fingerprint")
+    )
+    fp = fp_all.join(F.broadcast(hot), "fingerprint", "left_anti")
+    n = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = fp.select(F.col("doc_id").alias("d1"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("d2"), "fingerprint")
+    pairs = (
+        a.join(b, "fingerprint")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= MIN_SHARED_FP)
+    )
+    return (
+        pairs.join(n.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(n.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.col("shared").cast("bigint").alias("shared_fp"),
+            F.round(
+                F.col("shared") / F.least(F.col("n1"), F.col("n2")), 4
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )

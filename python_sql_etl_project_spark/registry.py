@@ -116,6 +116,7 @@ SPILL_LAST = (
     "dd_semantic_confirmed_pairs",
     "smp_mixture_weights",
     "txt_length_histogram",
+    "dd_substring_overlap_pairs",
 )
 
 
