@@ -615,3 +615,67 @@ def txt_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+@query(
+    "txt_char_diversity",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        FROM documents
+    ),
+    chars AS (
+        SELECT doc_id, len(t) AS n,
+               unnest(list_transform(range(1, len(t) + 1),
+                                     i -> substring(t, i, 1))) AS c
+        FROM norm WHERE len(t) > 0
+    ),
+    counts AS (
+        SELECT doc_id, n, c, count(*) AS k FROM chars GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(1.0 - CAST(sum(k * k) AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
+             AS simpson_diversity
+    FROM counts
+    GROUP BY doc_id, n
+    """,
+)
+def txt_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Simpson diversity per document, 1 − Σ(kᶜ/n)² — a
+    gibberish/boilerplate quality signal (repeated-character spam scores
+    near 0, natural text near its alphabet's ceiling). Chosen over
+    Shannon entropy DELIBERATELY: Σk² and n² are exact BIGINT products,
+    so the score is a single exact rational rounded once — entropy's
+    per-term log2 would hang cross-engine parity on libm ulp behavior,
+    which this engine's determinism rules forbid.
+
+    Plan: per-position substring explode (same narrow expansion as the
+    winnowing operator, repartitioned ahead via ``read_table_parallel``),
+    one shuffle on (doc_id, char), one on doc_id.
+    """
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("t")),
+        lambda i: F.substring(F.col("t"), i, 1),
+    )
+    return (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", norm.alias("t"))
+        .filter(F.length("t") > 0)
+        .select("doc_id", F.length("t").alias("n"), F.explode(chars).alias("c"))
+        .groupBy("doc_id", "n", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.col("k") * F.col("k")).cast("double")
+                / (F.col("n").cast("double") * F.col("n")),
+                6,
+            ).alias("simpson_diversity"),
+        )
+        .drop("n")
+    )

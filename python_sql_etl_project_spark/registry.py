@@ -117,6 +117,7 @@ SPILL_LAST = (
     "smp_mixture_weights",
     "txt_length_histogram",
     "dd_substring_overlap_pairs",
+    "txt_char_diversity",
 )
 
 
