@@ -278,3 +278,50 @@ def mm_resize_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(w.cast("double") / h, 4).alias("aspect_ratio"),
         )
     )
+
+
+@query(
+    "mm_modality_mix",
+    oracle=f"""
+    WITH {_ASSETS_CTE}
+    SELECT mime,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+           round(avg(width * height), 4) AS avg_pixels,
+           CAST(sum(CASE WHEN mime LIKE 'video%' THEN n_frames ELSE 0 END)
+                AS BIGINT) AS total_video_frames
+    FROM assets
+    GROUP BY mime
+    """,
+)
+def mm_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality mix report — the first question against a multimodal
+    lake: how many assets per mime type, how many payload bytes, what
+    image geometry, how many video frames to sample. Metadata-only
+    aggregation: column pruning keeps the binary payloads unread except
+    for the byte-length, which parquet answers from column statistics at
+    scale. avg_pixels is an exact integer ratio rounded once.
+    """
+    a = assets(spark, sf_dir)
+    return (
+        a.select(
+            F.col("meta.mime").alias("mime"),
+            F.length("payload").cast("bigint").alias("nb"),
+            (
+                F.col("meta.width").cast("bigint") * F.col("meta.height")
+            ).alias("px"),
+            F.when(
+                F.col("meta.mime").startswith("video"), F.col("meta.n_frames")
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("vf"),
+        )
+        .groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+            F.round(F.avg("px"), 4).alias("avg_pixels"),
+            F.sum("vf").cast("bigint").alias("total_video_frames"),
+        )
+    )

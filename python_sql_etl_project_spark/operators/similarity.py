@@ -815,3 +815,74 @@ def sim_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         "n_members",
     )
+
+
+@query(
+    "sim_label_confusion",
+    oracle="""
+    WITH expl AS (
+        SELECT label, generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, dim, round(avg(v), 6) AS c
+        FROM expl GROUP BY label, dim
+    ),
+    nrm AS (
+        SELECT label, sqrt(sum(c * c)) AS n FROM cent GROUP BY label
+    ),
+    dots AS (
+        SELECT a.label AS l1, b.label AS l2, sum(a.c * b.c) AS dot
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT d.l1, d.l2,
+           round(d.dot / n1.n / n2.n, 6) AS centroid_cosine
+    FROM dots d
+    JOIN nrm n1 ON n1.label = d.l1
+    JOIN nrm n2 ON n2.label = d.l2
+    """,
+)
+def sim_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-class confusion matrix in embedding space: cosine between
+    every pair of label centroids — the QA readout that tells you which
+    classes an embedding model can't separate (cosine → 1) before any
+    classifier is trained. Centroid components are rounded first (the
+    engine's float-determinism rule for parallel avgs); the pairwise
+    stage joins |labels|×64 rows — codebook-scale, broadcast territory,
+    independent of corpus size.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = expl.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("c")
+    )
+    nrm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("n")
+    )
+    a = cent.select(
+        F.col("label").alias("l1"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("l2"), "dim", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("l1") < F.col("l2"))
+        .groupBy("l1", "l2")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    return (
+        dots.join(nrm.select(F.col("label").alias("l1"), F.col("n").alias("n1")), "l1")
+        .join(nrm.select(F.col("label").alias("l2"), F.col("n").alias("n2")), "l2")
+        .select(
+            "l1",
+            "l2",
+            F.round(F.col("dot") / F.col("n1") / F.col("n2"), 6).alias(
+                "centroid_cosine"
+            ),
+        )
+    )

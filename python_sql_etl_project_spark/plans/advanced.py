@@ -803,3 +803,31 @@ def ts_locf_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("av", ignorenulls=True).over(w).alias("avg_value_locf"),
         )
     )
+
+
+@query(
+    "win_value_distribution",
+    oracle="""
+    SELECT event_id, event_type, value,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def win_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank and cume_dist of
+    each event's value within its type. The (value, event_id) ordering
+    is unique, so ranks are total and both scores are exact small-integer
+    ratios — identical across engines by construction. One shuffle on
+    event_type; at scale a hot type would take the same salting
+    treatment as any skewed window key.
+    """
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -118,6 +118,8 @@ SPILL_LAST = (
     "txt_length_histogram",
     "dd_substring_overlap_pairs",
     "txt_char_diversity",
+    "sim_label_confusion",
+    "mm_modality_mix",
 )
 
 
