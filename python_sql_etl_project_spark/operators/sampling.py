@@ -626,3 +626,43 @@ def pipe_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+PER_STRATUM_K = 40
+
+
+@query(
+    "smp_fixed_k_per_stratum",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(concat('strat:', doc_id)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {PER_STRATUM_K}
+    """,
+)
+def smp_fixed_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k sample PER STRATUM (language): the k smallest salted-hash
+    values within each language — per-stratum quotas where
+    ``smp_fixed_k_sample`` draws one global k and rate-based
+    ``smp_stratified_sample`` can't hit an exact count. Same stability
+    property: a document's hash never changes, so growing the corpus
+    only ever displaces items at the quota boundary. The window is one
+    shuffle on lang; rank-k selection prunes everything past k at the
+    reducer — per-stratum TakeOrdered, not a global sort.
+    """
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id"))), "doc_id"
+    )
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select("lang", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= PER_STRATUM_K)
+    )

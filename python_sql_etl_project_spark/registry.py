@@ -120,6 +120,7 @@ SPILL_LAST = (
     "txt_char_diversity",
     "sim_label_confusion",
     "mm_modality_mix",
+    "smp_fixed_k_per_stratum",
 )
 
 
