@@ -297,3 +297,95 @@ def test_graph_edge_build_no_self_join(spark, sf_dir):
     )
     assert plan.count("Scan parquet") == 1, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_session_window_merges_across_micro_batches(spark, tmp_path):
+    """F.session_window state must MERGE across micro-batches: a session
+    whose events arrive in two different batches (within the gap) must
+    come out as ONE merged session identical to the all-data batch
+    answer — the stateful-merge guarantee sessionization at scale rides
+    on."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import types as T
+
+    from python_sql_etl_project_spark.streaming.windows import (
+        SESSION_GAP,
+        _run_to_table,
+        stream_events,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    US = 1_000_000
+    MIN = 60 * US
+    BASE = 1_700_000_000 * US  # epoch µs
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def write_batch(name, rows):
+        stage = str(tmp_path / f"stage_{name}")
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.timestamp_micros("ts")
+        )
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(part, f"{landing}/{name}.parquet")
+
+    # batch 1: two events 10 min apart (one open session for user 1)
+    write_batch(
+        "b1",
+        [
+            (1, BASE, 1, "view", 1.0, "{}"),
+            (2, BASE + 10 * MIN, 1, "view", 2.0, "{}"),
+        ],
+    )
+    time.sleep(1.1)  # file source orders batches by modification time
+    # batch 2: a third event 10 min later — within the 30-min gap, so it
+    # must MERGE into the batch-1 session, not open a new one; plus a
+    # second user far away (independent session)
+    write_batch(
+        "b2",
+        [
+            (3, BASE + 20 * MIN, 1, "view", 4.0, "{}"),
+            (4, BASE + 500 * MIN, 2, "view", 8.0, "{}"),
+        ],
+    )
+
+    ev = stream_events(
+        spark, SF_DIR, landing_dir=landing, max_files_per_trigger=1
+    ).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("long").alias("s"),
+            "n_events",
+            "total_value",
+        )
+    )
+    out = _run_to_table(spark, agg, "test_session_merge", "complete")
+    rows = {r.user_id: r for r in out.collect()}
+    assert len(rows) == 2
+    # user 1: ONE merged session spanning all three events
+    assert rows[1].n_events == 3
+    assert rows[1].total_value == 7.0
+    assert rows[1].s == BASE // 1_000_000
+    # user 2: independent single-event session
+    assert rows[2].n_events == 1
