@@ -57,8 +57,9 @@ def test_stateful_profile_accumulates_across_micro_batches(spark):
     )
 
     landing = tempfile.mkdtemp(prefix="events_multi_")
-    # raw read keeps ts as LONG nanos (nanosAsLong), matching the stream
-    # schema; 4 output files → 4 micro-batches
+    # re-written files keep whatever physical ts type the batch read
+    # surfaces — stream_events derives its schema from the files, so the
+    # landing dir always matches; 4 output files → 4 micro-batches
     spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(4).write.mode(
         "overwrite"
     ).parquet(landing)
