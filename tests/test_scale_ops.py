@@ -390,3 +390,72 @@ def test_session_window_merges_across_micro_batches(spark, tmp_path):
     assert rows[1].s == BASE // 1_000_000
     # user 2: independent single-event session
     assert rows[2].n_events == 1
+
+
+def test_incremental_rollup_refresh(spark, tmp_path):
+    """Continuous-aggregate refresh: first run materializes all closed
+    hours, a re-run appends nothing, new landing data extends the rollup
+    forward only — and the final table equals the from-scratch aggregate
+    over the same closed span (history rows untouched and correct)."""
+    import shutil
+
+    from python_sql_etl_project_spark.load.rollup import (
+        ROLLUP_TABLE,
+        refresh_hourly_rollup,
+    )
+    from python_sql_etl_project_spark.session import read_table
+
+    # stage a mutable copy of the events table AS A DIRECTORY (the
+    # testdata ships a single file; Spark appends need a dir target)
+    sf = str(tmp_path / "sf")
+    import os as _os
+
+    _os.makedirs(f"{sf}/events.parquet")
+    shutil.copy(
+        f"{SF_DIR}/events.parquet", f"{sf}/events.parquet/part-00000.parquet"
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    first = refresh_hourly_rollup(spark, sf, wh)
+    assert first > 0
+    # idempotent: nothing new → nothing appended
+    assert refresh_hourly_rollup(spark, sf, wh) == 0
+
+    # append future events: two new closed hours + one open hour
+    ev = read_table(spark, sf, "events")
+    mx = ev.agg(F.max("ts")).first()[0]
+    new = spark.createDataFrame(
+        [
+            (90001, None, 1, "late", 5.0, "{}"),
+            (90002, None, 2, "late", 7.0, "{}"),
+            (90003, None, 3, "late", 9.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).withColumn(
+        "ts",
+        F.lit(mx).cast("timestamp")
+        + F.when(F.col("event_id") == 90001, F.expr("interval 1 hour"))
+        .when(F.col("event_id") == 90002, F.expr("interval 2 hour"))
+        .otherwise(F.expr("interval 3 hour")),
+    )
+    new.coalesce(1).write.mode("append").parquet(f"{sf}/events.parquet")
+
+    second = refresh_hourly_rollup(spark, sf, wh)
+    assert second > 0
+
+    # ground truth: from-scratch aggregate over all CLOSED hours
+    ev2 = read_table(spark, sf, "events")
+    open_hour = ev2.agg(F.date_trunc("hour", F.max("ts"))).first()[0]
+    truth = (
+        ev2.filter(F.date_trunc("hour", F.col("ts")) < F.lit(open_hour))
+        .select(F.date_trunc("hour", "ts").alias("hour"), "event_type", "value")
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    got = wh.read(ROLLUP_TABLE)
+    assert got.count() == truth.count()
+    assert got.exceptAll(truth).count() == 0
+    assert truth.exceptAll(got).count() == 0
