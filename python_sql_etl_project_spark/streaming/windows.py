@@ -348,7 +348,6 @@ def stream_incremental_load(
     Returns the number of rows inserted across all batches.
     """
     from ..load.incremental import PK_MAP
-    from ..operators.relational import anti_join
 
     PK_MAP.setdefault(table, "event_id")
     inserted = {"n": 0}
