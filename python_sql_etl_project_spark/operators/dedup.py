@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..session import read_table, read_table_parallel
+from ..session import finalize_unpersist, read_table, read_table_parallel
+from . import text
 from .text import tokens
 
 SHINGLE_K = 3
@@ -685,7 +686,7 @@ def dd_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = lambda num, den: (  # noqa: E731
         F.round(num / F.lit(den), 4) if den else F.lit(None).cast("double")
     )
-    return hits.agg(
+    out = hits.agg(
         F.lit(n_truth).cast("bigint").alias("n_truth"),
         F.lit(n_cand).cast("bigint").alias("n_candidates"),
         F.count(F.lit(1)).cast("bigint").alias("n_hits"),
@@ -694,6 +695,8 @@ def dd_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_precision"
         ),
     )
+    # 1-row audit result — checkpoint it, release both candidate caches
+    return finalize_unpersist(out, cand, truth)
 
 
 #: Pair fan-out caps for the two blocked-join operators below. At test
@@ -983,7 +986,7 @@ _WINNOW_FP_CTE = """
 @query(
     "dd_substring_overlap_pairs",
     oracle=f"""
-    WITH {_WINNOW_FP_CTE.format(K=8, W=4, MAXDF=MAX_FP_DF)},
+    WITH {_WINNOW_FP_CTE.format(K=text.WINNOW_K, W=text.WINNOW_W, MAXDF=MAX_FP_DF)},
     pairs AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
         FROM wfp a JOIN wfp b
@@ -1035,7 +1038,7 @@ def dd_substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= MIN_SHARED_FP)
     )
-    return (
+    out = (
         pairs.join(n.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
         .join(n.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
         .select(
@@ -1048,3 +1051,6 @@ def dd_substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+    # reported-pair list is sliver-sized — checkpoint, free the
+    # fingerprint cache that fed census + both join sides
+    return finalize_unpersist(out, fp_all)

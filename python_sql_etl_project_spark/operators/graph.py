@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..session import read_table
+from ..session import finalize_unpersist, read_table
 
 #: Fixed-point scale: 1.0 rank unit = 1_000_000 micro-units.
 PR_SCALE = 1_000_000
@@ -123,11 +123,13 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("pr"),
             )
         )
-    return ranks.select(
+    out = ranks.select(
         F.col("node").alias("part_key"),
         F.col("pr").alias("pr_micro"),
         F.round(F.col("pr") / PR_SCALE, 6).alias("pagerank"),
     )
+    # rank vector is |parts|-sized — checkpoint it, then free the edges
+    return finalize_unpersist(out, edges)
 
 
 #: BFS horizon: min-levels are exact for nodes within this many hops
@@ -184,6 +186,9 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("level").alias("level"))
             .localCheckpoint()
         )
+    # levels is already checkpointed each round (lineage no longer
+    # references pairs), so the edge cache can be dropped directly
+    pairs.unpersist()
     return levels.select(
         F.col("node").alias("part_key"), F.col("level").cast("int").alias("level")
     )

@@ -185,6 +185,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def finalize_unpersist(df, *cached):
+    """Materialize ``df`` (eager ``localCheckpoint`` — small final results
+    only) and release the persisted intermediates that fed it.
+
+    Iterative operators (PageRank, BFS, LSH audits) persist an edge list
+    or fingerprint stage that every round re-reads. Returning a lazy
+    result that still references those caches would leak the blocks into
+    a long-lived session (bench.py masked this with ``clearCache``
+    between queries). Checkpointing the *small* final vector breaks that
+    lineage, after which the big intermediates can be dropped
+    immediately; the caller holds only result-sized blocks, freed when
+    the DataFrame is garbage-collected.
+    """
+    out = df.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 def read_table_parallel(spark: SparkSession, sf_dir: str, name: str, key: str):
     """Scan + hash-repartition across all cores before CPU-heavy stages.
 

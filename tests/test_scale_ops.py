@@ -459,3 +459,53 @@ def test_incremental_rollup_refresh(spark, tmp_path):
     assert got.count() == truth.count()
     assert got.exceptAll(truth).count() == 0
     assert truth.exceptAll(got).count() == 0
+
+
+def test_rollup_reconcile_detects_late_data(spark, tmp_path):
+    """Late events below the high-water mark are invisible to the
+    hwm-gated refresh (by design) but must surface in the reconciliation
+    drift report, pinpointing exactly the drifted (hour, event_type)."""
+    import shutil
+
+    from python_sql_etl_project_spark.load.rollup import (
+        refresh_hourly_rollup,
+        reconcile_hourly_rollup,
+    )
+    from python_sql_etl_project_spark.session import read_table
+
+    sf = str(tmp_path / "sf")
+    import os as _os
+
+    _os.makedirs(f"{sf}/events.parquet")
+    shutil.copy(
+        f"{SF_DIR}/events.parquet", f"{sf}/events.parquet/part-00000.parquet"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert refresh_hourly_rollup(spark, sf, wh) > 0
+    # clean state: reconciliation over the full materialized span is empty
+    assert reconcile_hourly_rollup(spark, sf, wh, last_hours=10**6).count() == 0
+
+    # a LATE event lands 2 hours below the hwm — refresh must ignore it,
+    # reconcile must flag exactly that one (hour, event_type) row
+    ev = read_table(spark, sf, "events")
+    mx = ev.agg(F.max("ts")).first()[0]
+    late = spark.createDataFrame(
+        [(91001, None, 4, "purchase", 11.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn(
+        "ts", F.lit(mx).cast("timestamp") - F.expr("interval 2 hours")
+    )
+    late.coalesce(1).write.mode("append").parquet(f"{sf}/events.parquet")
+
+    assert refresh_hourly_rollup(spark, sf, wh) == 0
+    drift = reconcile_hourly_rollup(spark, sf, wh, last_hours=6).toPandas()
+    assert len(drift) == 1
+    row = drift.iloc[0]
+    assert row["event_type"] == "purchase"
+    import pandas as pd
+
+    stored_n = (
+        0 if pd.isna(row["n_events_stored"]) else int(row["n_events_stored"])
+    )
+    assert int(row["n_events_actual"]) == stored_n + 1
