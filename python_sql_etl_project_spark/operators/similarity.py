@@ -544,18 +544,43 @@ def cosine_batch_udf():
         dots = np.einsum("ij,ij->i", ma, mb)
         na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
         nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
-        return pd.Series(dots / (na * nb))
+        # two divisions, not /(na*nb): same op order as _COS_SQL and
+        # _cosine_prenorm, so all three paths round identically at 1e-6
+        return pd.Series(dots / na / nb)
 
     return F.pandas_udf(kernel, "double")
 
 
-@query("sim_knn_pandas_udf")  # no oracle: pairwise vs sequential summation
+@query(
+    "sim_knn_pandas_udf",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_COS_SQL} AS cosine
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
 def sim_knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force k-NN scored by the vectorized Pandas UDF (north-star
     'vectorized Pandas UDF' path) — identical plan shape to
     :func:`sim_knn_brute` (broadcast queries, one corpus pass, window
     top-k), only the scoring kernel differs. `tests/test_approx.py`
-    asserts it reproduces the JVM ranking."""
+    asserts it reproduces the JVM ranking.
+
+    Hash-gateable despite numpy's pairwise summation: the kernel keeps
+    the oracle's op order (float64 accumulate, dot / n1 / n2) and rounds
+    to 6 decimals BEFORE ranking — the same collapse rule that pins every
+    other cosine query — so einsum-vs-sequential-fold low-bit drift
+    cannot reorder neighbors or change the hashed values."""
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
