@@ -130,20 +130,34 @@ def main() -> None:
             spark, "/root/testdata/sf0.001"
         ).write.format("noop").mode("overwrite").save()
 
+    # min-of-N with the raw spread reported: single-shot timings on this
+    # box wobble 5-20x under GC/neighbor noise (round-1 vs round-2 bench
+    # showed 21.9s vs 1.7s for an identical plan), so each query runs
+    # REPEATS times and the headline number is the min — the noise floor
+    # is the plan's cost; the spread makes run-to-run comparisons
+    # self-evident instead of requiring out-of-band A/B isolation.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     jvm_system = spark.sparkContext._jvm.java.lang.System
     for name in names:
-        # isolate queries: blocks persisted by a previous query otherwise
-        # occupy the heap and GC-tax later measurements (a query's OWN
-        # caching still lands inside its timing). The explicit GC flushes
-        # the PREVIOUS query's garbage before the clock starts — without
-        # it, sub-second queries measured 10x slower purely from
-        # inherited heap debt (observed: 1.2s isolated vs 13s in-sequence)
-        spark.catalog.clearCache()
-        jvm_system.gc()
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(repeats):
+            # isolate runs: blocks persisted by a previous query otherwise
+            # occupy the heap and GC-tax later measurements (a query's OWN
+            # caching still lands inside its timing). The explicit GC
+            # flushes the PREVIOUS run's garbage before the clock starts —
+            # without it, sub-second queries measured 10x slower purely
+            # from inherited heap debt (1.2s isolated vs 13s in-sequence)
+            spark.catalog.clearCache()
+            jvm_system.gc()
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
+        spread[name] = runs
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -154,6 +168,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "repeats": repeats,
+                "spread": spread,
                 "sf": sf,
             }
         )
