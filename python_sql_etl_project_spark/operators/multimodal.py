@@ -71,19 +71,25 @@ def assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """Decode an encoded image to (width, height) — STUB.
+    """Decode an encoded image payload to ``(width, height)``.
 
-    Real implementation requires an image codec (Pillow/libvips), which
-    this environment does not ship. The engine treats payloads as opaque;
-    anything needing true pixel access must run where codecs exist.
+    Real and wired when a codec is present: uses Pillow, which reads the
+    header lazily — cheap even for large payloads. This container ships
+    no codec (documented boundary, README "Known boundary"), so here the
+    call raises ``NotImplementedError`` and the engine treats payloads
+    as opaque bytes; `tests/test_scale_ops.py::test_decode_image_via_pillow`
+    exercises the real path wherever Pillow exists (importorskip).
     """
     try:
-        import PIL.Image  # noqa: F401
+        import PIL.Image
     except ImportError as exc:  # pragma: no cover - no codec in container
         raise NotImplementedError(
             "image decode needs Pillow/libvips; payloads are opaque here"
         ) from exc
-    raise NotImplementedError("real decode path not wired in this build")
+    import io
+
+    with PIL.Image.open(io.BytesIO(payload)) as im:
+        return im.size
 
 
 @query(

@@ -509,3 +509,37 @@ def test_rollup_reconcile_detects_late_data(spark, tmp_path):
         0 if pd.isna(row["n_events_stored"]) else int(row["n_events_stored"])
     )
     assert int(row["n_events_actual"]) == stored_n + 1
+
+
+def test_decode_image_raises_cleanly_without_codec():
+    """The decode boundary is explicit: no codec → NotImplementedError
+    with an actionable message (never a bare ImportError surprise)."""
+    import pytest
+
+    from python_sql_etl_project_spark.operators.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("codec present — covered by test_decode_image_via_pillow")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="codec|Pillow|opaque"):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_decode_image_via_pillow():
+    """Real decode path, exercised wherever Pillow exists (skipped in
+    codec-less containers): a generated 1-pixel PNG round-trips to its
+    true dimensions."""
+    import io
+
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    from python_sql_etl_project_spark.operators.multimodal import decode_image
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (3, 2)).save(buf, format="PNG")
+    assert decode_image(buf.getvalue()) == (3, 2)
