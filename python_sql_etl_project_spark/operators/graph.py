@@ -106,6 +106,10 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = _copurchase_pairs(spark, sf_dir)
     deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # plain persist: the per-iteration join builds a broadcast of the
+    # |V|-sized rank vector against the cached edges — no edge shuffle at
+    # all. (Pre-hash-partitioning the cache only pays once |V| outgrows
+    # the broadcast threshold and the join degrades to sort-merge.)
     edges = pairs.join(deg, "src").persist()
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("pr")
@@ -155,37 +159,52 @@ BFS_MAX_DEPTH = 4
 )
 def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS shortest-path levels from a deterministic root (the minimum
-    part key) over the part co-purchase graph — frontier expansion as
-    iterative relaxation: each round joins the known level set to the
-    edge list and keeps the per-node minimum, so after k rounds every
-    node within k hops has its exact BFS distance. The same shape
-    (small-state vector ⋈ edge list per round, ``localCheckpoint``
-    lineage truncation) as connected components; the oracle derives
-    identical levels with a recursive CTE. Integer levels — nothing to
-    round, bit-identical across engines.
+    part key) over the part co-purchase graph — frontier expansion: each
+    round joins only the nodes discovered LAST round to the edge list,
+    anti-joins the seen set (in BFS, first discovery is the minimum
+    level), and stops early when the frontier drains. ``localCheckpoint``
+    truncates lineage per round; the cached edge list is pre-partitioned
+    on the join key so rounds shuffle only the frontier. The oracle
+    derives identical levels with a recursive CTE. Integer levels —
+    nothing to round, bit-identical across engines.
     """
     pairs = _copurchase_pairs(spark, sf_dir).persist()
     levels = (
         pairs.agg(F.min("src").alias("node"))
-        .withColumn("level", F.lit(0))
+        .withColumn("level", F.lit(0).cast("int"))
         .localCheckpoint()
     )
-    for _ in range(BFS_MAX_DEPTH):
+    frontier = levels
+    for depth in range(1, BFS_MAX_DEPTH + 1):
+        # frontier expansion (textbook Pregel BFS): only NEWLY-discovered
+        # nodes probe the edge list, so each round flows O(edges touching
+        # the frontier), not O(all-levels ⋈ E). In BFS first discovery IS
+        # the minimum level, so anti-joining the seen set replaces the
+        # full union+groupBy(min) re-aggregation. The frontier probe
+        # broadcasts the frontier (bounded by the largest BFS level, and
+        # only node ids — no edge shuffle); the seen-set anti-join is
+        # left unhinted because levels grows to |V|: AQE picks broadcast
+        # while it fits and degrades to shuffle cleanly beyond. Early
+        # exit when the frontier drains; the one eager checkpoint per
+        # round is the frontier materialization isEmpty() then reads for
+        # free. levels needs no checkpoint: it is a shallow union of
+        # checkpointed frontiers.
         nxt = (
             pairs.join(
-                levels.select(
-                    F.col("node").alias("src"), F.col("level").alias("lvl")
-                ),
+                F.broadcast(frontier.select(F.col("node").alias("src"))),
                 "src",
             )
-            .select(F.col("dst").alias("node"), (F.col("lvl") + 1).alias("level"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
         )
-        levels = (
-            levels.unionByName(nxt)
-            .groupBy("node")
-            .agg(F.min("level").alias("level"))
+        frontier = (
+            nxt.join(levels, "node", "left_anti")
+            .withColumn("level", F.lit(depth).cast("int"))
             .localCheckpoint()
         )
+        if frontier.isEmpty():
+            break
+        levels = levels.unionByName(frontier)
     # levels is already checkpointed each round (lineage no longer
     # references pairs), so the edge cache can be dropped directly
     pairs.unpersist()

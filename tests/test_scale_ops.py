@@ -543,3 +543,23 @@ def test_decode_image_via_pillow():
     buf = io.BytesIO()
     PIL_Image.new("RGB", (3, 2)).save(buf, format="PNG")
     assert decode_image(buf.getvalue()) == (3, 2)
+
+
+def test_shared_shingle_stage_parity(spark, monkeypatch):
+    """SPARK_GRAFT_SHARED_SHINGLES=1 memoizes the shingle stage per
+    (session, sf_dir) — results must be identical to the cold path and
+    the second call must reuse the exact same DataFrame object."""
+    from python_sql_etl_project_spark.operators import dedup
+
+    cold = dedup.dd_shingle_jaccard_pairs(spark, SF_DIR).collect()
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_SHINGLES", "1")
+    dedup._SHINGLE_MEMO.clear()
+    try:
+        warm1 = dedup.shingles(spark, SF_DIR)
+        warm2 = dedup.shingles(spark, SF_DIR)
+        assert warm1 is warm2
+        shared = dedup.dd_shingle_jaccard_pairs(spark, SF_DIR).collect()
+    finally:
+        dedup._SHINGLE_MEMO.clear()
+    assert sorted(map(tuple, cold)) == sorted(map(tuple, shared))
