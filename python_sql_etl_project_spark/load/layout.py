@@ -1,0 +1,204 @@
+"""Physical-layout operators: small-file compaction and Z-order clustering.
+
+Neither exists in the reference (its sink is a row-at-a-time SQL INSERT,
+``/root/reference/src/load.py``); both are table-maintenance primitives a
+parquet warehouse needs at 100 TB:
+
+* **Compaction** — streaming/incremental appends leave thousands of
+  KB-sized files per partition; each file costs a scan task, a footer
+  read and a NameNode entry, so scan parallelism degenerates into task-
+  scheduling overhead. Compacting to ~128 MB files restores the
+  scan-bandwidth regime Spark's splits are designed for.
+* **Z-order** — range-partitioning on a Morton (bit-interleaved) code
+  clusters rows that are close in BOTH key dimensions into the same
+  files, so parquet min/max row-group stats prune multi-dimensional
+  point/range predicates — the same layout trick Delta's OPTIMIZE
+  ZORDER applies. The interleave is pure integer bit-arithmetic,
+  generated once for Spark and once for the DuckDB oracle from the same
+  loop, so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import read_table
+
+
+# --------------------------------------------------------------------------
+# filesystem helpers (Hadoop FS API — works for local paths here and for
+# HDFS/object stores on a real cluster)
+# --------------------------------------------------------------------------
+
+def list_data_files(spark: SparkSession, directory: str) -> list[tuple[str, int]]:
+    """(name, bytes) for every data file in ``directory`` (hidden/metadata
+    files like ``_SUCCESS`` excluded), via the Hadoop FileSystem API."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(directory)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            out.append((name, int(st.getLen())))
+    return sorted(out)
+
+
+@dataclass(frozen=True)
+class CompactResult:
+    files_before: int
+    files_after: int
+    rows: int
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    *,
+    target_rows_per_file: int | None = None,
+    target_file_bytes: int | None = None,
+) -> CompactResult:
+    """Rewrite a parquet directory into ~evenly-sized larger files.
+
+    Output file count = ``ceil(rows / target_rows_per_file)`` (exact,
+    deterministic — the oracle-checkable mode) or
+    ``ceil(input_bytes / target_file_bytes)`` (the production mode; size
+    is the operative budget on a real cluster). The rewrite is one
+    round-robin shuffle — no key skew possible — and each output task
+    writes exactly one file.
+    """
+    if (target_rows_per_file is None) == (target_file_bytes is None):
+        raise ValueError("pass exactly one of target_rows_per_file / target_file_bytes")
+    files = list_data_files(spark, src_dir)
+    df = spark.read.parquet(src_dir)
+    if target_rows_per_file is not None:
+        rows = df.count()
+        n_out = max(1, math.ceil(rows / target_rows_per_file))
+    else:
+        total = sum(sz for _, sz in files)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        rows = df.count()
+    df.repartition(n_out).write.mode("overwrite").parquet(dst_dir)
+    out_files = list_data_files(spark, dst_dir)
+    return CompactResult(len(files), len(out_files), rows)
+
+
+# --------------------------------------------------------------------------
+# Morton (Z-order) interleave — Spark Column and DuckDB SQL from one loop
+# --------------------------------------------------------------------------
+
+def morton_col(a: Column, b: Column, bits: int) -> Column:
+    """Bit-interleave two non-negative ints: bit i of ``a`` → position 2i,
+    bit i of ``b`` → 2i+1. Pure JVM integer expressions (whole-stage
+    codegen), no UDF."""
+    z = F.lit(0).cast("bigint")
+    a = a.cast("bigint")
+    b = b.cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def morton_sql(a: str, b: str, bits: int) -> str:
+    """The same interleave as :func:`morton_col`, as ANSI/DuckDB SQL text —
+    generated from the same loop so the oracle can never drift from the
+    implementation."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a}) >> {i}) & 1) << {2 * i}")
+        terms.append(f"((({b}) >> {i}) & 1) << {2 * i + 1}")
+    return " | ".join(f"({t})" for t in terms)
+
+
+def zorder_write(
+    df: DataFrame, zcol: str, out_dir: str, n_files: int
+) -> None:
+    """Range-partition on the Morton code and sort within partitions, so
+    each output file covers one compact Z-curve segment (→ tight min/max
+    stats on BOTH interleaved dimensions). ``repartitionByRange`` samples
+    boundaries — one shuffle, no global sort bottleneck."""
+    (
+        df.repartitionByRange(n_files, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+# --------------------------------------------------------------------------
+# registered queries
+# --------------------------------------------------------------------------
+
+COMPACT_SMALL_FILES = 64
+COMPACT_TARGET_ROWS = 15_000
+
+_ZBITS = 10
+_ZA = "l_partkey % 1024"
+_ZB = "l_suppkey % 1024"
+
+
+@query(
+    "ld_compact_small_files",
+    oracle=f"""
+    SELECT CAST({COMPACT_SMALL_FILES} AS BIGINT) AS files_before,
+           CAST(ceil(count(*) / {COMPACT_TARGET_ROWS}.0) AS BIGINT) AS files_after,
+           CAST(count(*) AS BIGINT) AS rows
+    FROM lineitem
+    """,
+)
+def ld_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, end to end: scatter lineitem into
+    {COMPACT_SMALL_FILES} small files (the streaming-append pathology),
+    compact to ceil(rows/{COMPACT_TARGET_ROWS}) files, and report the
+    manifest. The oracle independently predicts the exact output file
+    count and row conservation — verifying the rewrite is lossless and
+    the sizing math is exact, not approximate."""
+    base = tempfile.mkdtemp(prefix="compact_q_")
+    try:
+        small, big = os.path.join(base, "small"), os.path.join(base, "big")
+        li = read_table(spark, sf_dir, "lineitem")
+        li.repartition(COMPACT_SMALL_FILES).write.mode("overwrite").parquet(small)
+        res = compact_parquet(
+            spark, small, big, target_rows_per_file=COMPACT_TARGET_ROWS
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(res.files_before, res.files_after, res.rows)],
+        "files_before bigint, files_after bigint, rows bigint",
+    )
+
+
+@query(
+    "ld_zorder_code",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({morton_sql(_ZA, _ZB, _ZBITS)} AS BIGINT) AS zval
+    FROM lineitem
+    """,
+)
+def ld_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton Z-order code over (partkey, suppkey) buckets for every
+    lineitem row — the clustering key :func:`zorder_write` lays files out
+    by. Oracle SQL is generated from the same bit-interleave loop as the
+    Spark expression, so the two dialects cannot drift."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        morton_col(
+            F.col("l_partkey") % 1024, F.col("l_suppkey") % 1024, _ZBITS
+        ).alias("zval"),
+    )

@@ -12,6 +12,8 @@ tiebreakers.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -678,4 +680,70 @@ def txt_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("simpson_diversity"),
         )
         .drop("n")
+    )
+
+
+@query(
+    "txt_unigram_lm_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    vocab AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+    scored AS (
+        SELECT tok.doc_id, round(ln(cnt / n), 6) AS lp
+        FROM tok JOIN vocab USING (t) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lp), 4) AS avg_logprob,
+           round(-avg(lp) / ln(2), 4) AS bits_per_token
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def txt_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (the CCNet-style perplexity
+    filter, reduced to its order-0 form): fit token frequencies on the
+    corpus itself, then score each document by its mean token log-prob
+    and bits-per-token. Low bits-per-token = repetitive/boilerplate;
+    high = rare-token gibberish — both tails are what a training-mix
+    curator trims.
+
+    Cross-engine determinism: ``ln`` is libm-dependent, so each
+    per-token log-prob is rounded to 6 places BEFORE aggregation (ulp
+    differences collapse); the mean of those identical values drifts
+    only by summation order (~1e-13), far inside the final round-to-4.
+
+    Plan: one tokenize→explode pass (repartitioned ahead of the
+    explode) feeds the vocabulary aggregate (shuffle on token) and the
+    scalar corpus size (column-pruned count, same budget as the TF-IDF
+    N). Scoring joins tokens back to the vocabulary on the token key —
+    at 100 TB the vocabulary aggregate is millions of rows against
+    trillions of token rows, an AQE-broadcastable or hash-colocated
+    equi-join, never a cross product. One final shuffle on doc_id.
+    """
+    from pyspark import StorageLevel
+
+    toks = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", F.explode(tokens()).alias("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_total = toks.count()  # scalar; one column-pruned pass
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    lp = F.round(F.log(F.col("cnt") / F.lit(float(n_total))), 6)
+    return (
+        toks.join(vocab, "t")
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+            F.round(-F.avg("lp") / F.lit(math.log(2.0)), 4).alias(
+                "bits_per_token"
+            ),
+        )
     )

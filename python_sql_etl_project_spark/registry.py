@@ -74,7 +74,7 @@ def load_all() -> None:
         text,
     )
     from .streaming import windows  # noqa: F401
-    from .load import scd  # noqa: F401
+    from .load import layout, scd  # noqa: F401
 
 
 #: Round-3 driver window: the external gate checks exactly the FIRST 50
@@ -148,6 +148,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "txt_token_stats",
     "mm_feature_extract",
     "scd2_customer_status_history",
+)
+
+#: Queries added AFTER this round's driver window froze. They are fully
+#: oracle-gated locally (tests/test_oracle_parity.py + tools/driver_sim.py
+#: at sf0.01) but cannot displace the window mid-round without
+#: invalidating the deliberate budget above; they are the FIRST
+#: candidates for the next round's window rotation. The union-coverage
+#: test allows exactly these names to lack a historical driver row.
+PENDING_EXTERNAL: tuple[str, ...] = (
+    "txt_unigram_lm_score",
+    "ld_compact_small_files",
+    "ld_zorder_code",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

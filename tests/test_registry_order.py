@@ -41,7 +41,12 @@ def test_window_completes_union_driver_coverage():
             with open(p) as fh:
                 seen |= set(json.load(fh))
     uncovered = set(registry.all_queries()) - seen
+    pending = uncovered & set(registry.PENDING_EXTERNAL)
+    uncovered -= set(registry.PENDING_EXTERNAL)
     assert not uncovered, f"queries with no driver row in any round: {uncovered}"
+    # Pending names must be real registrations (no stale declarations).
+    assert set(registry.PENDING_EXTERNAL) <= set(registry.QUERIES)
+    assert pending == set(registry.PENDING_EXTERNAL) - set(registry.DRIVER_WINDOW)
 
 
 def test_oracles_follow_query_order():

@@ -563,3 +563,87 @@ def test_shared_shingle_stage_parity(spark, monkeypatch):
     finally:
         dedup._SHINGLE_MEMO.clear()
     assert sorted(map(tuple, cold)) == sorted(map(tuple, shared))
+
+
+def test_compact_parquet_reduces_files_losslessly(spark, tmp_path):
+    """Compaction must hit the exact predicted file count and keep every
+    row (the small-files pathology → scan-bandwidth regime)."""
+    from python_sql_etl_project_spark.load.layout import compact_parquet
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n = li.count()
+    small = str(tmp_path / "small")
+    li.repartition(32).write.parquet(small)
+    res = compact_parquet(
+        spark, small, str(tmp_path / "big"), target_rows_per_file=2000
+    )
+    assert res.files_before == 32
+    assert res.files_after == -(-n // 2000)
+    assert res.rows == n
+    assert spark.read.parquet(str(tmp_path / "big")).count() == n
+
+
+def test_compact_parquet_by_bytes(spark, tmp_path):
+    from python_sql_etl_project_spark.load.layout import (
+        compact_parquet,
+        list_data_files,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    small = str(tmp_path / "small")
+    li.repartition(32).write.parquet(small)
+    total = sum(sz for _, sz in list_data_files(spark, small))
+    res = compact_parquet(
+        spark, small, str(tmp_path / "big"), target_file_bytes=total // 4 + 1
+    )
+    assert res.files_after <= 4 < res.files_before
+    assert res.rows == li.count()
+
+
+def test_zorder_layout_tightens_per_file_ranges(spark, tmp_path):
+    """Z-order writing must cluster BOTH interleaved dimensions: the mean
+    per-file min/max span of each key has to shrink vs a round-robin
+    layout — that span is exactly what parquet row-group stats prune by."""
+    from python_sql_etl_project_spark.load.layout import morton_col, zorder_write
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .withColumn(
+            "zval",
+            morton_col(F.col("l_orderkey") % 256, F.col("l_partkey") % 256, 8),
+        )
+    )
+    zdir, ndir = str(tmp_path / "z"), str(tmp_path / "n")
+    zorder_write(li, "zval", zdir, n_files=32)
+    li.repartition(32).write.parquet(ndir)
+
+    def mean_span(path: str, col: str) -> float:
+        per_file = (
+            spark.read.parquet(path)
+            .withColumn("c", F.col(col) % 256)
+            .groupBy(F.input_file_name())
+            .agg((F.max("c") - F.min("c")).alias("span"))
+        )
+        return per_file.agg(F.avg("span")).first()[0]
+
+    for key in ("l_orderkey", "l_partkey"):
+        z_span, n_span = mean_span(zdir, key), mean_span(ndir, key)
+        # round-robin files see ~the whole 0..255 range; z-ordered files
+        # must cover well under half of it on BOTH dimensions
+        assert z_span < 0.5 * n_span, (key, z_span, n_span)
+
+
+def test_morton_sql_matches_morton_col(spark):
+    """The generated SQL text and the Column expression come from the
+    same loop — pin that they agree on real keys."""
+    from python_sql_etl_project_spark.load.layout import morton_col, morton_sql
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(500)
+    via_col = li.select(
+        morton_col(F.col("l_partkey") % 64, F.col("l_suppkey") % 64, 6).alias("z")
+    )
+    via_sql = li.selectExpr(
+        f"CAST({morton_sql('l_partkey % 64', 'l_suppkey % 64', 6)} AS BIGINT) AS z"
+    )
+    assert via_col.collect() == via_sql.collect()
