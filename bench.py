@@ -97,6 +97,11 @@ HEADLINE = [
     # dd_substring_overlap_pairs is correctness-gated but NOT benched:
     # like txt_winnow_fingerprints it is an audit-class op whose cost is
     # the per-character rolling-hash expression, not a plan property
+    # round-3 additions: unigram-LM quality filter, physical-layout
+    # maintenance (small-file compaction, Z-order clustering code)
+    "txt_unigram_lm_score",
+    "ld_compact_small_files",
+    "ld_zorder_code",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -309,10 +309,10 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_candidates(sh: DataFrame) -> DataFrame:
-    """LSH candidate pairs from banded minhash signatures (the candidate-
-    generation stage of :func:`dd_minhash_lsh_pairs`, shared with the
-    recall audit)."""
+def _band_frame(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH bucket keys from banded minhash
+    signatures — the blocking structure every minhash consumer joins on
+    (self-join for batch dedup, batch⋈corpus for incremental dedup)."""
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("s")))).alias(f"mh{s}")
@@ -339,9 +339,16 @@ def _minhash_candidates(sh: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", "bk.band_id", "bk.band_key"
     )
+
+
+def _minhash_candidates(sh: DataFrame) -> DataFrame:
+    """LSH candidate pairs from banded minhash signatures (the candidate-
+    generation stage of :func:`dd_minhash_lsh_pairs`, shared with the
+    recall audit)."""
+    bands = _band_frame(sh)
     a = bands.select(F.col("doc_id").alias("d1"), "band_id", "band_key")
     b = bands.select(F.col("doc_id").alias("d2"), "band_id", "band_key")
     return (
@@ -1074,3 +1081,92 @@ def dd_substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reported-pair list is sliver-sized — checkpoint, free the
     # fingerprint cache that fed census + both join sides
     return finalize_unpersist(out, fp_all)
+
+
+@query(
+    "dd_incremental_minhash",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+        SELECT doc_id, {_minhash_aggs_sql()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_band_selects_sql()}
+    ),
+    cand AS (
+        SELECT DISTINCT nb.doc_id AS d1, cb.doc_id AS d2
+        FROM bands nb
+        JOIN bands cb ON nb.band_id = cb.band_id
+                     AND nb.band_key = cb.band_key
+        WHERE nb.doc_id % 10 = 0 AND cb.doc_id % 10 <> 0
+    ),
+    shared AS (
+        SELECT c.d1, c.d2, count(*) AS shared
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.d1
+        JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT s0.d1, s0.d2,
+               round(CAST(shared AS DOUBLE) / (n1.n + n2.n - shared), 4) AS j
+        FROM shared s0
+        JOIN sh_n n1 ON n1.doc_id = s0.d1
+        JOIN sh_n n2 ON n2.doc_id = s0.d2
+    ),
+    best AS (
+        SELECT d1, d2, j,
+               row_number() OVER (PARTITION BY d1 ORDER BY j DESC, d2) AS rn
+        FROM scored WHERE j >= {JACCARD_THRESHOLD}
+    )
+    SELECT d.doc_id,
+           CASE WHEN b.d2 IS NOT NULL THEN 'drop' ELSE 'keep' END AS decision,
+           b.d2 AS dup_of,
+           b.j AS jaccard
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.d1 = d.doc_id
+    WHERE d.doc_id % 10 = 0
+    """,
+)
+def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup — the continuous-ingestion shape: a new
+    batch (here docs with ``doc_id % 10 = 0``) is deduped AGAINST the
+    existing corpus, never against itself, and every batch doc gets a
+    keep/drop decision with its best corpus match. This is the shape a
+    crawl pipeline runs daily: the corpus band index is a precomputed
+    artifact, the join is batch-bands ⋈ corpus-bands — candidate fan-out
+    bounded by bucket population exactly like the batch LSH, but the
+    left side is only the new data, so daily cost scales with the BATCH,
+    not the corpus.
+
+    Verify stage scores candidates only; the keep/drop projection is a
+    left join from the batch roster so zero-shingle docs (too short to
+    block on) surface as 'keep' rather than vanishing.
+    """
+    sh = shingles(spark, sf_dir)
+    bands = _band_frame(sh)
+    is_new = F.col("doc_id") % 10 == 0
+    nb = bands.filter(is_new).select(
+        F.col("doc_id").alias("d1"), "band_id", "band_key"
+    )
+    cb = bands.filter(~is_new).select(
+        F.col("doc_id").alias("d2"), "band_id", "band_key"
+    )
+    cand = nb.join(cb, ["band_id", "band_key"]).select("d1", "d2").distinct()
+    scored = _verify_jaccard(cand, sh).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    w = Window.partitionBy("d1").orderBy(F.desc("jaccard"), "d2")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    batch = read_table(spark, sf_dir, "documents").filter(is_new).select("doc_id")
+    return batch.join(best, batch.doc_id == best.d1, "left").select(
+        "doc_id",
+        F.when(F.col("d2").isNotNull(), "drop").otherwise("keep").alias("decision"),
+        F.col("d2").alias("dup_of"),
+        F.col("jaccard"),
+    )

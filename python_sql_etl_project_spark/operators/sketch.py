@@ -1,0 +1,170 @@
+"""Sketch-based semi-join reduction: an explicit Bloom-filter prefilter.
+
+The classic 100 TB move when a selective dim-side predicate must prune a
+huge fact scan and the key set is too big to ship as an IN-list but far
+smaller than the fact: hash the dim keys into an m-bit Bloom filter, ship
+the filter (KBs), and drop fact rows whose probe misses — no false
+negatives, a measurable false-positive sliver, and the expensive exact
+join runs only on survivors. Spark 3.3+ injects a runtime version of this
+itself (``spark.sql.optimizer.runtime.bloomFilter.enabled``); this
+operator makes the technique explicit, deterministic and auditable.
+
+Engine-portability: positions come from md5 hex digits (the repo-wide
+cross-engine hash primitive — see ``dedup._simhash_bit_sums_sql`` for the
+same ``instr('0123456789abcdef', …)`` digit trick), so Spark and the
+DuckDB oracle build bit-identical filters. The filter itself is 64
+BIGINT words (m = 4096 bits) built with ``bit_or`` aggregation; the probe
+is two broadcast equi-joins against the 64-row word table — no
+driver-side set, no nested-loop join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import read_table
+
+BLOOM_BITS = 4096  # m: 64 words x 64 bits
+BLOOM_HASHES = 2  # k: seeded md5 probes per key
+_KEY_PRED_SQL = "s_nationkey < 5"
+
+
+def _hexpos(hexpr: str) -> str:
+    """First 3 md5 hex digits → int in [0, 4096) — identical SQL text in
+    Spark and DuckDB (instr/substring behave the same)."""
+    def d(i: int) -> str:
+        return f"(instr('0123456789abcdef', substring({hexpr}, {i}, 1)) - 1)"
+
+    return f"({d(1)} * 256 + {d(2)} * 16 + {d(3)})"
+
+
+def _pos_sql(key: str, seed: int, cast_type: str) -> str:
+    return _hexpos(f"md5('{seed}:' || CAST({key} AS {cast_type}))")
+
+
+def bloom_build(keys: DataFrame, key: str, spark: SparkSession) -> DataFrame:
+    """(idx, w) 64-row dense word table for the key set — the shippable
+    filter artifact. ``bit_or`` partial-aggregates map-side, so building
+    it over N keys is one tiny shuffle of ≤64×parallelism rows."""
+    pos = keys.selectExpr(
+        *[f"CAST({_pos_sql(key, s, 'STRING')} AS BIGINT) AS pos{s}"
+          for s in range(BLOOM_HASHES)]
+    )
+    stacked = pos.select(
+        F.explode(F.array(*[F.col(f"pos{s}") for s in range(BLOOM_HASHES)])).alias(
+            "pos"
+        )
+    )
+    words = (
+        stacked.select(
+            F.floor(F.col("pos") / 64).cast("int").alias("idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("idx")
+        .agg(F.expr("bit_or(bit)").alias("w"))
+    )
+    grid = spark.range(64).select(F.col("id").cast("int").alias("idx"))
+    return grid.join(words, "idx", "left").select(
+        "idx", F.coalesce("w", F.lit(0)).cast("bigint").alias("w")
+    )
+
+
+@query(
+    "flt_bloom_prefilter",
+    oracle=f"""
+    WITH keys AS (
+        SELECT DISTINCT s_suppkey AS k FROM supplier WHERE {_KEY_PRED_SQL}
+    ),
+    kp AS (
+        SELECT CAST({_pos_sql('k', 0, 'VARCHAR')} AS BIGINT) AS pos FROM keys
+        UNION ALL
+        SELECT CAST({_pos_sql('k', 1, 'VARCHAR')} AS BIGINT) AS pos FROM keys
+    ),
+    words AS (
+        SELECT CAST(floor(pos / 64) AS INT) AS idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 64 AS INT)) AS w
+        FROM kp GROUP BY 1
+    ),
+    grid AS (
+        SELECT g.idx, coalesce(words.w, 0) AS w
+        FROM (SELECT unnest(range(0, 64)) AS idx) g
+        LEFT JOIN words ON words.idx = g.idx
+    ),
+    fpos AS (
+        SELECT l_suppkey AS k,
+               CAST({_pos_sql('l_suppkey', 0, 'VARCHAR')} AS BIGINT) AS pos0,
+               CAST({_pos_sql('l_suppkey', 1, 'VARCHAR')} AS BIGINT) AS pos1
+        FROM lineitem
+    ),
+    tested AS (
+        SELECT f.k,
+               ((g0.w >> CAST(f.pos0 % 64 AS INT)) & 1) = 1
+               AND ((g1.w >> CAST(f.pos1 % 64 AS INT)) & 1) = 1 AS pass,
+               keys.k IS NOT NULL AS member
+        FROM fpos f
+        JOIN grid g0 ON g0.idx = CAST(floor(f.pos0 / 64) AS INT)
+        JOIN grid g1 ON g1.idx = CAST(floor(f.pos1 / 64) AS INT)
+        LEFT JOIN keys ON keys.k = f.k
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+           CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+           CAST(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_pos
+    FROM tested
+    """,
+)
+def flt_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join audit: build the filter over the selective supplier
+    key set, probe every lineitem row, and report the exact pass /
+    true-match / false-positive census against the real semi-join. The
+    invariant the test pins (no false negatives: every true match
+    passes) is the property that makes the prefilter safe to splice in
+    front of any equi-join at scale."""
+    keys = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.expr(_KEY_PRED_SQL))
+        .select(F.col("s_suppkey").alias("k"))
+        .distinct()
+    )
+    bloom = bloom_build(keys, "k", spark)
+    fact = read_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_suppkey AS k",
+        f"CAST({_pos_sql('l_suppkey', 0, 'STRING')} AS BIGINT) AS pos0",
+        f"CAST({_pos_sql('l_suppkey', 1, 'STRING')} AS BIGINT) AS pos1",
+    )
+    g0 = bloom.select(F.col("idx").alias("idx0"), F.col("w").alias("w0"))
+    g1 = bloom.select(F.col("idx").alias("idx1"), F.col("w").alias("w1"))
+    probed = (
+        fact.withColumn("idx0", F.floor(F.col("pos0") / 64).cast("int"))
+        .withColumn("idx1", F.floor(F.col("pos1") / 64).cast("int"))
+        .join(F.broadcast(g0), "idx0")
+        .join(F.broadcast(g1), "idx1")
+        .withColumn(
+            "pass",
+            F.expr(
+                "(shiftright(w0, CAST(pos0 % 64 AS INT)) & 1) = 1 "
+                "AND (shiftright(w1, CAST(pos1 % 64 AS INT)) & 1) = 1"
+            ),
+        )
+        .join(
+            keys.withColumn("member_tag", F.lit(1)), "k", "left"
+        )
+        .withColumn("member", F.col("member_tag").isNotNull())
+    )
+    return probed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("bigint").alias(
+            "n_pass_bloom"
+        ),
+        F.sum(F.when(F.col("member"), 1).otherwise(0)).cast("bigint").alias(
+            "n_true_match"
+        ),
+        F.sum(F.when(F.col("pass") & ~F.col("member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )

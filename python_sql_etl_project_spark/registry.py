@@ -71,6 +71,7 @@ def load_all() -> None:
         multimodal,
         sampling,
         similarity,
+        sketch,
         text,
     )
     from .streaming import windows  # noqa: F401
@@ -160,6 +161,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "txt_unigram_lm_score",
     "ld_compact_small_files",
     "ld_zorder_code",
+    "dd_incremental_minhash",
+    "flt_bloom_prefilter",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -647,3 +647,71 @@ def test_morton_sql_matches_morton_col(spark):
         f"CAST({morton_sql('l_partkey % 64', 'l_suppkey % 64', 6)} AS BIGINT) AS z"
     )
     assert via_col.collect() == via_sql.collect()
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every true member must pass the Bloom probe — the invariant that
+    makes the prefilter safe in front of any equi-join."""
+    from python_sql_etl_project_spark.operators.sketch import (
+        _pos_sql,
+        bloom_build,
+    )
+
+    keys = (
+        spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+        .filter("s_nationkey < 5")
+        .select(F.col("s_suppkey").alias("k"))
+        .distinct()
+    )
+    bloom = bloom_build(keys, "k", spark)
+    probes = keys.selectExpr(
+        "k",
+        f"CAST({_pos_sql('k', 0, 'STRING')} AS BIGINT) AS pos0",
+        f"CAST({_pos_sql('k', 1, 'STRING')} AS BIGINT) AS pos1",
+    )
+    g0 = bloom.select(F.col("idx").alias("idx0"), F.col("w").alias("w0"))
+    g1 = bloom.select(F.col("idx").alias("idx1"), F.col("w").alias("w1"))
+    missed = (
+        probes.withColumn("idx0", F.floor(F.col("pos0") / 64).cast("int"))
+        .withColumn("idx1", F.floor(F.col("pos1") / 64).cast("int"))
+        .join(g0, "idx0")
+        .join(g1, "idx1")
+        .filter(
+            ~F.expr(
+                "(shiftright(w0, CAST(pos0 % 64 AS INT)) & 1) = 1 "
+                "AND (shiftright(w1, CAST(pos1 % 64 AS INT)) & 1) = 1"
+            )
+        )
+        .count()
+    )
+    assert missed == 0
+
+
+def test_bloom_audit_query_invariants(spark):
+    """The registered audit row must show pass ⊇ truth and a small
+    false-positive sliver (m=4096 over a few dozen keys)."""
+    from python_sql_etl_project_spark import registry
+
+    registry.load_all()
+    row = registry.QUERIES["flt_bloom_prefilter"](spark, SF_DIR).first()
+    assert row.n_pass_bloom == row.n_true_match + row.n_false_pos
+    assert row.n_true_match > 0
+    assert row.n_false_pos < 0.05 * row.n_total
+
+
+def test_incremental_minhash_decisions_cover_batch(spark):
+    """Every new-batch doc gets exactly one decision; dup_of is set iff
+    the decision is drop; dup_of always points into the corpus side."""
+    from python_sql_etl_project_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["dd_incremental_minhash"](spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_batch = docs.filter("doc_id % 10 = 0").count()
+    rows = out.collect()
+    assert len(rows) == n_batch
+    for r in rows:
+        assert (r.decision == "drop") == (r.dup_of is not None)
+        if r.dup_of is not None:
+            assert r.dup_of % 10 != 0
+            assert r.jaccard >= 0.8
