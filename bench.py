@@ -102,6 +102,10 @@ HEADLINE = [
     "txt_unigram_lm_score",
     "ld_compact_small_files",
     "ld_zorder_code",
+    "dd_incremental_minhash",
+    "flt_bloom_prefilter",
+    "dq_constraint_audit",
+    "txt_bigram_lm_score",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

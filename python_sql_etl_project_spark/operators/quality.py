@@ -1,0 +1,158 @@
+"""Data-quality constraint auditing (the dbt-tests / Deequ-style gate).
+
+The reference hard-codes its validity rules inline (coercion filters,
+null drops — ``/root/reference/src/transform.py:61-64,120``); a warehouse
+running continuous loads needs them as a declarative, *auditable* rule
+set: every rule yields (rule, n_checked, n_violations, passed) and the
+whole audit runs as a handful of aggregates, never a per-rule table scan.
+
+Scale design: all row-level predicate rules for one table compile into a
+SINGLE aggregate pass over that table (one scan, map-side partial sums);
+uniqueness is count-vs-distinct in the same pass shape; referential
+integrity is one fact⋈dim key join aggregated to a scalar. Result frames
+are rule-count-sized — unioning them is free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import read_table
+
+
+@dataclass(frozen=True)
+class PredicateRule:
+    """Row-level rule: a violation is a row where ``violation_sql`` is true."""
+
+    name: str
+    violation_sql: str
+
+
+def predicate_audit(df: DataFrame, rules: list[PredicateRule]) -> DataFrame:
+    """All predicate rules for one table in ONE aggregate pass."""
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.when(F.expr(r.violation_sql), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"__v{i}")
+        for i, r in enumerate(rules)
+    ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{r.name}', __v{i}" for i, r in enumerate(rules))
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stack}) AS (rule, n_violations)",
+        "__n AS n_checked",
+    ).select("rule", F.col("n_checked").cast("bigint"), "n_violations")
+
+
+def uniqueness_audit(df: DataFrame, key: str, name: str) -> DataFrame:
+    return df.agg(
+        F.lit(name).alias("rule"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct(key)).cast("bigint").alias(
+            "n_violations"
+        ),
+    ).select("rule", "n_checked", "n_violations")
+
+
+def fk_audit(
+    fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str, name: str
+) -> DataFrame:
+    """Orphan census: one equi-join (dim side reduced to distinct keys,
+    broadcast when small) aggregated to a scalar — never a per-row
+    driver check."""
+    tagged = fact.select(F.col(fact_key).alias("__k")).join(
+        dim.select(F.col(dim_key).alias("__k")).distinct().withColumn(
+            "__hit", F.lit(1)
+        ),
+        "__k",
+        "left",
+    )
+    return tagged.agg(
+        F.lit(name).alias("rule"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+    ).select("rule", "n_checked", "n_violations")
+
+
+ORDER_RULES = [
+    PredicateRule("orders.custkey_not_null", "o_custkey IS NULL"),
+    PredicateRule(
+        "orders.status_enum", "o_orderstatus NOT IN ('F', 'O', 'P')"
+    ),
+    PredicateRule("orders.totalprice_positive", "o_totalprice <= 0"),
+]
+
+LINEITEM_RULES = [
+    PredicateRule("lineitem.quantity_range", "l_quantity < 1 OR l_quantity > 50"),
+    PredicateRule("lineitem.discount_range", "l_discount < 0 OR l_discount > 0.1"),
+    PredicateRule("lineitem.extendedprice_positive", "l_extendedprice <= 0"),
+]
+
+
+@query(
+    "dq_constraint_audit",
+    oracle="""
+    SELECT 'orders.custkey_not_null' AS rule,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders.status_enum', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.totalprice_positive', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.quantity_range', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.discount_range', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.extendedprice_positive', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders.orderkey_unique', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.orderkey_fk', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+           ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint audit over the warehouse: not-null, enum,
+    range, PK uniqueness and FK integrity — eight
+    rules, four jobs (one agg pass per table's predicate set, one
+    distinct-count, one key join), each emitting
+    (rule, n_checked, n_violations)."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    frames = [
+        predicate_audit(o, ORDER_RULES),
+        predicate_audit(li, LINEITEM_RULES),
+        uniqueness_audit(o, "o_orderkey", "orders.orderkey_unique"),
+        fk_audit(li, "l_orderkey", o, "o_orderkey", "lineitem.orderkey_fk"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

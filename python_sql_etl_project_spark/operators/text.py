@@ -747,3 +747,82 @@ def txt_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "txt_bigram_lm_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1])) AS b
+        FROM tok WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b),
+    ctx AS (
+        SELECT split_part(b, ' ', 1) AS p, CAST(sum(c2) AS BIGINT) AS c1
+        FROM c2 GROUP BY 1
+    ),
+    scored AS (
+        SELECT bg.doc_id, round(ln(CAST(c2.c2 AS DOUBLE) / ctx.c1), 6) AS lp
+        FROM bg
+        JOIN c2 ON c2.b = bg.b
+        JOIN ctx ON ctx.p = split_part(bg.b, ' ', 1)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 4) AS avg_logprob,
+           round(-avg(lp) / ln(2), 4) AS bits_per_bigram
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def txt_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-1 (bigram) conditional LM quality score — the next rung
+    above :func:`txt_unigram_lm_score` on the CCNet ladder: each
+    transition is scored by p(w|prev) = c(prev,w) / c(prev,·), so
+    formulaic boilerplate (high-probability transitions) and shuffled
+    gibberish (low) separate far more sharply than under the order-0
+    model. Same determinism contract: per-transition log-probs rounded
+    to 6 before the doc-level mean collapses libm ulp drift.
+
+    Plan: bigram extraction is a narrow array stage (no shuffle);
+    transition counts shuffle on the bigram key; context counts derive
+    from the transition counts (vocab-sized, not corpus-sized); scoring
+    joins transitions back on bigram then context key — both
+    AQE-broadcastable at the dimension's true scale. One final doc_id
+    shuffle.
+    """
+    w = tokens()
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1)),
+    )
+    bg = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .filter(F.size(w) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+    )
+    c2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = (
+        c2.groupBy(F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("p"))
+        .agg(F.sum("c2").cast("bigint").alias("c1"))
+    )
+    lp = F.round(F.log(F.col("c2").cast("double") / F.col("c1")), 6)
+    return (
+        bg.join(c2, "b")
+        .join(ctx, F.split_part(F.col("b"), F.lit(" "), F.lit(1)) == F.col("p"))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+            F.round(-F.avg("lp") / F.lit(math.log(2.0)), 4).alias(
+                "bits_per_bigram"
+            ),
+        )
+    )

@@ -69,6 +69,7 @@ def load_all() -> None:
         dedup,
         graph,
         multimodal,
+        quality,
         sampling,
         similarity,
         sketch,
@@ -163,6 +164,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "ld_zorder_code",
     "dd_incremental_minhash",
     "flt_bloom_prefilter",
+    "dq_constraint_audit",
+    "txt_bigram_lm_score",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
