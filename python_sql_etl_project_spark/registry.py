@@ -91,11 +91,13 @@ def load_all() -> None:
 #:   after this round every registered query has ≥1 external row and
 #:   union driver coverage across rounds reaches 115/115 (QUERIES.md
 #:   tracks the ledger);
-#: * slots 40–50 — re-validation representatives: the verdict-named
-#:   flagships (q1/q9/q18, win_trailing_7d_revenue) plus one proven row
-#:   per family whose failure modes are environmental (streaming's
-#:   testdata-encoding sensitivity, mm_feature_extract's pandas-UDF
-#:   package shipping, core dedup/ANN/text/SCD paths).
+#: * slots 40–44 — round-3 NEW operators (unigram LM, incremental
+#:   minhash dedup, bloom prefilter, constraint audit, z-order code):
+#:   first external check in the round they were built;
+#: * slots 45–50 — re-validation representatives: the verdict-named
+#:   flagships (q1/q9/q18, win_trailing_7d_revenue — none had a prior
+#:   driver row) plus one row per family whose failure modes are
+#:   environmental (streaming state, pandas-UDF package shipping).
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- tier 0: reference parity (pinned) --------------------------------
     "ref_daily_cumulative_metrics",
@@ -138,18 +140,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "smp_mixture_weights",
     "smp_fixed_k_per_stratum",
     "scd2_point_in_time",
+    # -- round-3 additions (new operators, first external check) ----------
+    "txt_unigram_lm_score",
+    "dd_incremental_minhash",
+    "flt_bloom_prefilter",
+    "dq_constraint_audit",
+    "ld_zorder_code",
     # -- re-validation representatives ------------------------------------
+    # (kept: the never-before-checked flagships q1/q9/q18 + trailing-7d,
+    # plus one row per environmental-risk family — streaming state and
+    # pandas-UDF package shipping. Displaced to make room for the round-3
+    # additions, all with ≥1 green historical row: strm_session_windows,
+    # dd_minhash_lsh_pairs, sim_ivf_topk, txt_token_stats,
+    # scd2_customer_status_history.)
     "q1_pricing_summary",
     "q9_profit_by_nation_year",
     "q18_large_volume_customers",
     "win_trailing_7d_revenue",
-    "strm_session_windows",
     "strm_stateful_user_profile",
-    "dd_minhash_lsh_pairs",
-    "sim_ivf_topk",
-    "txt_token_stats",
     "mm_feature_extract",
-    "scd2_customer_status_history",
 )
 
 #: Queries added AFTER this round's driver window froze. They are fully
@@ -159,12 +168,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: candidates for the next round's window rotation. The union-coverage
 #: test allows exactly these names to lack a historical driver row.
 PENDING_EXTERNAL: tuple[str, ...] = (
-    "txt_unigram_lm_score",
+    # round-3 additions that did NOT fit the 50-slot window after the
+    # rotation (both fully oracle-gated locally at sf0.001 and sf0.01):
+    # first candidates for the round-4 window.
     "ld_compact_small_files",
-    "ld_zorder_code",
-    "dd_incremental_minhash",
-    "flt_bloom_prefilter",
-    "dq_constraint_audit",
     "txt_bigram_lm_score",
 )
 
