@@ -173,6 +173,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     # first candidates for the round-4 window.
     "ld_compact_small_files",
     "txt_bigram_lm_score",
+    "strm_scd2_foreachbatch",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -481,3 +481,105 @@ def strm_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total_value"),
     )
     return _run_to_table(spark, agg, "strm_dedup_events", "complete")
+
+
+@query(
+    "strm_scd2_foreachbatch",
+    oracle="""
+    WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+               lag(o_orderstatus) OVER w AS prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+        FROM log WHERE prev IS NULL OR o_orderstatus <> prev
+    )
+    SELECT o_custkey AS custkey,
+           o_orderstatus AS status,
+           strftime(o_orderdate, '%Y-%m-%d') AS effective_from,
+           strftime(lead(o_orderdate) OVER w2, '%Y-%m-%d') AS effective_to,
+           CASE WHEN lead(o_orderdate) OVER w2 IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def strm_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming lakehouse landing → SCD2 dimension: the orders change
+    log arrives as a file stream in three chronological micro-batches
+    (``maxFilesPerTrigger=1``), and each batch is merged into the
+    versioned dimension with :func:`..load.scd.scd2_merge` inside
+    ``foreachBatch`` — the foreachBatch+MERGE pattern every Delta/Iceberg
+    ingestion job runs. The oracle is the ONE-SHOT windowed history SQL:
+    the streaming fold must hash-match the batch build exactly (the same
+    fold==one-shot law ``tests/test_scd2.py`` pins for the batch
+    operator, here enforced end-to-end through a real stream).
+
+    Batch-ordering contract: SCD2 folding requires chronologically
+    ordered batches; the landing stage writes date-range files with
+    strictly increasing mtimes (``os.utime``) because the file source
+    schedules oldest-first. A production stream gets the same guarantee
+    from its log (Kafka partitions / CDC LSN order).
+
+    State posture at scale: the dimension state lives in the lakehouse
+    table, not in stream memory — each batch's merge shuffles on the
+    dimension key only; ``localCheckpoint`` stands in for the table
+    rewrite a Delta MERGE would do.
+    """
+    from ..load.scd import scd2_merge
+    from ..session import read_table
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        F.col("o_orderkey").alias("tb"),
+    )
+    landing = tempfile.mkdtemp(prefix="orders_scd_stream_")
+    cuts = [("", "1994-06-01"), ("1994-06-01", "1996-06-01"), ("1996-06-01", "~")]
+    t0 = 1_000_000_000
+    for i, (lo, hi) in enumerate(cuts):
+        part = (
+            o.filter((F.col("d") >= lo) & (F.col("d") < hi))
+            if hi != "~"
+            else o.filter(F.col("d") >= lo)
+        )
+        tmp = os.path.join(landing, f"_stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        dst = os.path.join(landing, f"batch_{i:03d}.parquet")
+        os.rename(os.path.join(tmp, src), dst)
+        # file source schedules oldest-mtime-first: make order explicit
+        os.utime(dst, (t0 + i, t0 + i))
+
+    schema = spark.read.parquet(os.path.join(landing, "batch_000.parquet")).schema
+    state: dict[str, DataFrame | None] = {"dim": None}
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        merged = scd2_merge(
+            state["dim"], batch_df, "custkey", ["status"], "d", tiebreak="tb"
+        )
+        # eager materialization = the micro-batch's table commit; also
+        # truncates lineage so state doesn't deepen per batch
+        state["dim"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_scd2_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["dim"] is not None
+    return state["dim"].select(
+        "custkey", "status", "effective_from", "effective_to", "is_current"
+    )
