@@ -106,6 +106,9 @@ HEADLINE = [
     "flt_bloom_prefilter",
     "dq_constraint_audit",
     "txt_bigram_lm_score",
+    "graph_triangle_count",
+    "win_cumulative_distinct_users",
+    "ts_anomaly_zscore",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

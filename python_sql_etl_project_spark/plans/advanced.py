@@ -831,3 +831,117 @@ def win_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "win_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ),
+    new_per_day AS (
+        SELECT d, count(*) AS n_new FROM first_seen GROUP BY d
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new_users,
+           CAST(sum(coalesce(n.n_new, 0))
+                OVER (ORDER BY days.d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_cum_users
+    FROM days LEFT JOIN new_per_day n ON n.d = days.d
+    """,
+)
+def win_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT users per day — the growth-curve query whose
+    naive form (``COUNT(DISTINCT user) OVER (ORDER BY day)``) either
+    isn't supported or degenerates to O(days × users) state. The
+    scalable rewrite: distinct is an ARRIVAL property — take each
+    user's FIRST day (one shuffle on user_id), count arrivals per day
+    (tiny), and run an ordinary running sum over the day grid. State
+    per window step is one integer instead of a user set; the same
+    rewrite holds for any append-only distinct-over-time curve.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("d"))
+    new_per_day = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    days = ev.select("d").distinct()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(new_per_day, "d", "left")
+        .select("d", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("n_new").cast("bigint").alias("n_new_users"),
+            F.sum("n_new").over(w).cast("bigint").alias("n_cum_users"),
+        )
+    )
+
+
+#: |z| above which an hour is flagged anomalous.
+ZSCORE_THRESHOLD = 2.0
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               round(sum(value), 4) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               count(*) AS n,
+               round(sum(x), 4) AS s1,
+               round(sum(x * x), 2) AS s2
+        FROM hourly GROUP BY event_type
+    )
+    SELECT hourly.h AS hour, hourly.event_type, hourly.x AS hourly_value,
+           round((x - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4)
+               AS zscore,
+           abs(round((x - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4))
+               > {ZSCORE_THRESHOLD} AS is_anomaly
+    FROM hourly JOIN stats USING (event_type)
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly anomaly flags: z-score of each hour's total value
+    against that event type's full-series mean/stddev — the monitoring
+    query every event pipeline runs over its rollups.
+
+    Determinism: the per-type moments (n, Σx, Σx²) are rounded BEFORE
+    the z-score arithmetic, and every IEEE-754 op downstream (÷, −, ×,
+    correctly-rounded sqrt) is bit-identical across engines given
+    identical inputs — so the rounded moments make the whole score
+    deterministic without any integer contortions. Plan: one shuffle
+    to hourly, one tiny per-type aggregate joined back (broadcast at
+    any scale — |event types| rows), no window state.
+    """
+    hourly = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("h"),
+            "event_type",
+        )
+        .agg(F.round(F.sum("value"), 4).alias("x"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("x"), 4).alias("s1"),
+        F.round(F.sum(F.col("x") * F.col("x")), 2).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    z = F.round(
+        (F.col("x") - mean) / F.sqrt(F.col("s2") / F.col("n") - mean * mean), 4
+    )
+    return hourly.join(stats, "event_type").select(
+        F.col("h").alias("hour"),
+        "event_type",
+        F.col("x").alias("hourly_value"),
+        z.alias("zscore"),
+        (F.abs(z) > ZSCORE_THRESHOLD).alias("is_anomaly"),
+    )

@@ -174,6 +174,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "ld_compact_small_files",
     "txt_bigram_lm_score",
     "strm_scd2_foreachbatch",
+    "graph_triangle_count",
+    "win_cumulative_distinct_users",
+    "ts_anomaly_zscore",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

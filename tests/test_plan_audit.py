@@ -25,6 +25,7 @@ BNLJ_ALLOWED = {
     "sim_kmeans_codebook": "KB-scale codebook broadcast per Lloyd iteration",
     "sim_knn_pandas_udf": "tiny query set broadcast against corpus",
     "q11_revenue_concentration": "1-row global-total broadcast",
+    "graph_triangle_count": "two 1-row aggregates (census ⨯ triangle total)",
     "ts_hourly_rollup_gapfill": (
         "dense hour×type grid from a 1-row span and the tiny type dim — "
         "bounded at |hours|×|types|, independent of event volume"
