@@ -109,6 +109,7 @@ HEADLINE = [
     "graph_triangle_count",
     "win_cumulative_distinct_users",
     "ts_anomaly_zscore",
+    "ld_column_stats",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

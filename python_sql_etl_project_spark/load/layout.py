@@ -202,3 +202,58 @@ def ld_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey") % 1024, F.col("l_suppkey") % 1024, _ZBITS
         ).alias("zval"),
     )
+
+
+STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "ld_column_stats",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           round(min({c}), 4) AS min_val,
+           round(max({c}), 4) AS max_val,
+           round(avg({c}), 4) AS avg_val
+    FROM lineitem
+    """
+        for c in STATS_COLS
+    ),
+)
+def ld_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics (count / nulls / NDV / min / max /
+    mean) for the fact table's numeric measures — the stats a
+    cost-based optimizer, a data catalog, or a drift monitor consumes.
+    All four columns share ONE scan: the per-column aggregates compute
+    in a single pass and a ``stack`` melts the wide row into the
+    per-column layout. Exact NDV here; the approx_count_distinct swap
+    for trillion-row tables is a one-word change (and the sketch query
+    ``agg_approx_sketches`` already audits its error)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in STATS_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"null_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"ndv_{c}"),
+            F.round(F.min(c), 4).alias(f"min_{c}"),
+            F.round(F.max(c), 4).alias(f"max_{c}"),
+            F.round(F.avg(c), 4).alias(f"avg_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', null_{c}, ndv_{c}, min_{c}, max_{c}, avg_{c}"
+        for c in STATS_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(STATS_COLS)}, {stack}) AS "
+        "(col, n_null, n_distinct, min_val, max_val, avg_val)",
+        "n_rows",
+    ).select(
+        "col", "n_rows", "n_null", "n_distinct", "min_val", "max_val", "avg_val"
+    )

@@ -177,6 +177,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "graph_triangle_count",
     "win_cumulative_distinct_users",
     "ts_anomaly_zscore",
+    "ld_column_stats",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
