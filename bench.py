@@ -110,6 +110,7 @@ HEADLINE = [
     "win_cumulative_distinct_users",
     "ts_anomaly_zscore",
     "ld_column_stats",
+    "pipe_incremental_curation",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -1170,3 +1170,122 @@ def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2").alias("dup_of"),
         F.col("jaccard"),
     )
+
+
+@query(
+    "pipe_incremental_curation",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+        SELECT doc_id, {_minhash_aggs_sql()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_band_selects_sql()}
+    ),
+    cand AS (
+        SELECT DISTINCT nb.doc_id AS d1, cb.doc_id AS d2
+        FROM bands nb
+        JOIN bands cb ON nb.band_id = cb.band_id
+                     AND nb.band_key = cb.band_key
+        WHERE nb.doc_id % 10 = 0 AND cb.doc_id % 10 <> 0
+    ),
+    shared AS (
+        SELECT c.d1, c.d2, count(*) AS shared
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.d1
+        JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+        GROUP BY 1, 2
+    ),
+    dup AS (
+        SELECT DISTINCT s0.d1
+        FROM shared s0
+        JOIN sh_n n1 ON n1.doc_id = s0.d1
+        JOIN sh_n n2 ON n2.doc_id = s0.d2
+        WHERE round(CAST(shared AS DOUBLE) / (n1.n + n2.n - shared), 4)
+              >= {JACCARD_THRESHOLD}
+    ),
+    batch AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    dec AS (
+        SELECT b.source,
+               CASE
+                 WHEN NOT (len(b.w) >= 20
+                           AND CAST(len(list_distinct(b.w)) AS DOUBLE)
+                               / len(b.w) >= 0.2) THEN 'quality_fail'
+                 WHEN dup.d1 IS NOT NULL THEN 'dup_drop'
+                 ELSE 'keep'
+               END AS decision
+        FROM batch b LEFT JOIN dup ON dup.d1 = b.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(CASE WHEN decision = 'quality_fail' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quality_fail,
+           CAST(sum(CASE WHEN decision = 'dup_drop' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_drop,
+           CAST(sum(CASE WHEN decision = 'keep' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM dec
+    GROUP BY source
+    """,
+)
+def pipe_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAILY-BATCH curation pipeline, fused: quality-gate the new
+    batch (CCNet-style token/TTR thresholds), drop batch docs that
+    near-duplicate the EXISTING corpus (incremental LSH — the
+    batch⋈corpus band join from :func:`dd_incremental_minhash`, never a
+    self-join), and emit the per-source ingestion manifest
+    (batch / quality_fail / dup_drop / kept). This is the report a
+    crawl-ingestion owner reads every morning; at 100 TB the corpus
+    band index is a precomputed artifact and daily cost scales with the
+    batch. Gate order is pinned: quality first (a low-quality dup
+    counts as quality_fail), dedup second.
+    """
+    sh = shingles(spark, sf_dir)
+    bands = _band_frame(sh)
+    is_new = F.col("doc_id") % 10 == 0
+    nb = bands.filter(is_new).select(
+        F.col("doc_id").alias("d1"), "band_id", "band_key"
+    )
+    cb = bands.filter(~is_new).select(
+        F.col("doc_id").alias("d2"), "band_id", "band_key"
+    )
+    cand = nb.join(cb, ["band_id", "band_key"]).select("d1", "d2").distinct()
+    dup = (
+        _verify_jaccard(cand, sh)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1")
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    w = tokens()
+    quality_ok = (F.size(w) >= 20) & (
+        F.size(F.array_distinct(w)) / F.size(w) >= 0.2
+    )
+    batch = (
+        read_table(spark, sf_dir, "documents")
+        .filter(is_new)
+        .select("doc_id", "source", quality_ok.alias("q"))
+    )
+    dec = batch.join(dup, batch.doc_id == dup.d1, "left").select(
+        "source",
+        F.when(~F.col("q"), "quality_fail")
+        .when(F.col("_dup").isNotNull(), "dup_drop")
+        .otherwise("keep")
+        .alias("decision"),
+    )
+    return dec.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+        F.sum(F.when(F.col("decision") == "quality_fail", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quality_fail"),
+        F.sum(F.when(F.col("decision") == "dup_drop", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_drop"),
+        F.sum(F.when(F.col("decision") == "keep", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+    )

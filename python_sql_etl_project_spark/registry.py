@@ -178,6 +178,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "win_cumulative_distinct_users",
     "ts_anomaly_zscore",
     "ld_column_stats",
+    "pipe_incremental_curation",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
