@@ -111,6 +111,8 @@ HEADLINE = [
     "ts_anomaly_zscore",
     "ld_column_stats",
     "pipe_incremental_curation",
+    "jn_bucketed_colocated_revenue",
+    "sim_ivf_recall_audit",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -911,3 +911,117 @@ def sim_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Every 20th vector is a recall-audit query point.
+RECALL_QUERY_MOD = 20
+
+
+def _ivf_recall_oracle() -> str:
+    """Audit oracle assembled from the REGISTERED IVF oracle text (so the
+    audited definition can never drift from the audited query) plus an
+    exact brute-force top-k over the sampled query points."""
+    ivf = ORACLES["sim_ivf_topk"]
+    return f"""
+    WITH ivf AS ({ivf}),
+    brute AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_COS_SQL} AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id % {RECALL_QUERY_MOD} = 0
+    ),
+    brute_ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM brute
+    ),
+    bt AS (SELECT query_id, neighbor_id FROM brute_ranked WHERE rank <= {TOP_K}),
+    it AS (SELECT query_id, neighbor_id FROM ivf
+           WHERE query_id % {RECALL_QUERY_MOD} = 0),
+    hits AS (
+        SELECT bt.query_id, count(it.neighbor_id) AS h
+        FROM bt LEFT JOIN it ON it.query_id = bt.query_id
+                            AND it.neighbor_id = bt.neighbor_id
+        GROUP BY bt.query_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(CAST(sum(h) AS DOUBLE) / ({TOP_K} * count(*)), 4)
+               AS avg_recall_at_k,
+           CAST(sum(CASE WHEN h = {TOP_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_perfect
+    FROM hits
+    """
+
+
+from ..registry import ORACLES  # noqa: E402  (needed before registration below)
+
+
+@query("sim_ivf_recall_audit", oracle=_ivf_recall_oracle())
+def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the IVF ANN path against exact brute-force
+    ground truth on a 1-in-{RECALL_QUERY_MOD} query sample — the audit
+    that tells an index owner whether n_probe/codebook settings are
+    losing real neighbors (mirrors ``dd_lsh_recall_audit`` for the
+    dedup LSH). The brute side is the allowlisted broadcast baseline
+    over SAMPLED queries only; the IVF side is the production plan
+    itself — auditing the exact query that serves traffic, not a copy.
+    """
+    from ..registry import QUERIES
+
+    qmod = F.col("vec_id") % RECALL_QUERY_MOD == 0
+    emb = read_table(spark, sf_dir, "embeddings")
+    normed = emb.withColumn("nrm", _norm(F.col("embedding")))
+    qs = normed.filter(qmod).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    corpus = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    brute = (
+        corpus.join(
+            F.broadcast(qs), F.col("neighbor_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_prenorm(
+                F.col("qe"), F.col("ne"), F.col("qn"), F.col("nn")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    bt = (
+        brute.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    it = (
+        QUERIES["sim_ivf_topk"](spark, sf_dir)
+        .filter(F.col("query_id") % RECALL_QUERY_MOD == 0)
+        .select("query_id", F.col("neighbor_id").alias("ivf_neighbor"))
+    )
+    hits = (
+        bt.join(
+            it,
+            (bt.query_id == it.query_id)
+            & (bt.neighbor_id == it.ivf_neighbor),
+            "left",
+        )
+        .groupBy(bt.query_id)
+        .agg(F.count(it.ivf_neighbor).alias("h"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.round(
+            F.sum("h").cast("double") / (TOP_K * F.count(F.lit(1))), 4
+        ).alias("avg_recall_at_k"),
+        F.sum(F.when(F.col("h") == TOP_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_perfect"),
+    )

@@ -945,3 +945,62 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) > ZSCORE_THRESHOLD).alias("is_anomaly"),
     )
+
+
+@query(
+    "jn_bucketed_colocated_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(14, 2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4, 2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def jn_bucketed_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CO-LOCATED join strategy end to end: both fact tables are
+    written bucketed (and sorted) on the join key, then joined — Spark
+    plans a zero-exchange sort-merge join over aligned buckets
+    (``tests/test_scale_ops.py::test_bucketed_join_has_no_exchange``
+    pins the no-shuffle property; this query hash-gates the SEMANTICS).
+    This is the strategy for fact⋈fact joins repeated across a daily
+    query fleet: the shuffle is paid once at write time, then every
+    downstream join is bucket-local — at 100 TB the difference between
+    a full-cluster exchange per query and none. Revenue runs in exact
+    DECIMAL until the final round (money-parity rule), so bucket-local
+    partial sums cannot shift a low bit.
+    """
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from ..load.incremental import write_bucketed
+
+    v = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", v.alias("rev"))
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    # idempotence across sessions: a fresh in-memory metastore does not
+    # know a previous run's managed tables, so DROP alone cannot clear
+    # the orphaned warehouse location — remove it explicitly
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("bq_lineitem", "bq_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    write_bucketed(li, "bq_lineitem", "l_orderkey", num_buckets=16)
+    write_bucketed(o, "bq_orders", "l_orderkey", num_buckets=16)
+    return (
+        spark.table("bq_lineitem")
+        .join(spark.table("bq_orders"), "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+        )
+    )

@@ -179,6 +179,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "ts_anomaly_zscore",
     "ld_column_stats",
     "pipe_incremental_curation",
+    "jn_bucketed_colocated_revenue",
+    "sim_ivf_recall_audit",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -22,6 +22,10 @@ BNLJ_ALLOWED = {
     "sim_knn_brute": "tiny query set broadcast against corpus (k-NN baseline)",
     "q22_dormant_rich_customers": "1-row scalar subquery broadcast",
     "sim_ivf_topk": "KB-scale codebook broadcast for cell assignment",
+    "sim_ivf_recall_audit": (
+        "sampled query set broadcast for the exact-recall baseline + the "
+        "audited IVF plan's own codebook broadcast"
+    ),
     "sim_kmeans_codebook": "KB-scale codebook broadcast per Lloyd iteration",
     "sim_knn_pandas_udf": "tiny query set broadcast against corpus",
     "q11_revenue_concentration": "1-row global-total broadcast",
