@@ -913,8 +913,11 @@ def sim_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Every 20th vector is a recall-audit query point.
-RECALL_QUERY_MOD = 20
+#: Fixed recall-audit query budget: the first N vec_ids. A constant
+#: query set (not a modulo sample) keeps the exact-baseline broadcast
+#: bounded at any corpus size — the audit cost must not scale with the
+#: table.
+RECALL_N_QUERIES = 25
 
 
 def _ivf_recall_oracle() -> str:
@@ -929,7 +932,7 @@ def _ivf_recall_oracle() -> str:
                {_COS_SQL} AS cosine
         FROM embeddings a
         JOIN embeddings b ON b.vec_id <> a.vec_id
-        WHERE a.vec_id % {RECALL_QUERY_MOD} = 0
+        WHERE a.vec_id < {RECALL_N_QUERIES}
     ),
     brute_ranked AS (
         SELECT query_id, neighbor_id,
@@ -939,7 +942,7 @@ def _ivf_recall_oracle() -> str:
     ),
     bt AS (SELECT query_id, neighbor_id FROM brute_ranked WHERE rank <= {TOP_K}),
     it AS (SELECT query_id, neighbor_id FROM ivf
-           WHERE query_id % {RECALL_QUERY_MOD} = 0),
+           WHERE query_id < {RECALL_N_QUERIES}),
     hits AS (
         SELECT bt.query_id, count(it.neighbor_id) AS h
         FROM bt LEFT JOIN it ON it.query_id = bt.query_id
@@ -961,7 +964,8 @@ from ..registry import ORACLES  # noqa: E402  (needed before registration below)
 @query("sim_ivf_recall_audit", oracle=_ivf_recall_oracle())
 def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{TOP_K} of the IVF ANN path against exact brute-force
-    ground truth on a 1-in-{RECALL_QUERY_MOD} query sample — the audit
+    ground truth on a fixed {RECALL_N_QUERIES}-query budget (constant
+    at any corpus size, so the exact baseline stays broadcastable) — the audit
     that tells an index owner whether n_probe/codebook settings are
     losing real neighbors (mirrors ``dd_lsh_recall_audit`` for the
     dedup LSH). The brute side is the allowlisted broadcast baseline
@@ -970,7 +974,7 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..registry import QUERIES
 
-    qmod = F.col("vec_id") % RECALL_QUERY_MOD == 0
+    qmod = F.col("vec_id") < RECALL_N_QUERIES
     emb = read_table(spark, sf_dir, "embeddings")
     normed = emb.withColumn("nrm", _norm(F.col("embedding")))
     qs = normed.filter(qmod).select(
@@ -1003,7 +1007,7 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     it = (
         QUERIES["sim_ivf_topk"](spark, sf_dir)
-        .filter(F.col("query_id") % RECALL_QUERY_MOD == 0)
+        .filter(F.col("query_id") < RECALL_N_QUERIES)
         .select("query_id", F.col("neighbor_id").alias("ivf_neighbor"))
     )
     hits = (

@@ -86,6 +86,9 @@ _BOUNDING_NODES = ("Aggregate", "Deduplicate", "GlobalLimit", "Sample")
 FACT_HINT_ALLOWED = {
     "sim_knn_brute": "query set is Filter(vec_id < 8): constant 8 rows",
     "sim_knn_pandas_udf": "query set is Filter(vec_id < 8): constant 8 rows",
+    "sim_ivf_recall_audit": (
+        "exact-baseline query set is Filter(vec_id < 25): constant 25 rows"
+    ),
     "sim_kmeans_codebook": (
         "initial codebook is Filter(vec_id < K): constant K rows; later "
         "iterations' codebooks pass through the Aggregate bound"
