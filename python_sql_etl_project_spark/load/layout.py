@@ -159,10 +159,9 @@ _ZB = "l_suppkey % 1024"
     """,
 )
 def ld_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-file compaction, end to end: scatter lineitem into
-    {COMPACT_SMALL_FILES} small files (the streaming-append pathology),
-    compact to ceil(rows/{COMPACT_TARGET_ROWS}) files, and report the
-    manifest. The oracle independently predicts the exact output file
+    """Small-file compaction, end to end: scatter lineitem into 64
+    small files (the streaming-append pathology), compact to
+    ceil(rows / 15000) files, and report the manifest. The oracle independently predicts the exact output file
     count and row conservation — verifying the rewrite is lossless and
     the sizing math is exact, not approximate."""
     base = tempfile.mkdtemp(prefix="compact_q_")

@@ -963,8 +963,8 @@ from ..registry import ORACLES  # noqa: E402  (needed before registration below)
 
 @query("sim_ivf_recall_audit", oracle=_ivf_recall_oracle())
 def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{TOP_K} of the IVF ANN path against exact brute-force
-    ground truth on a fixed {RECALL_N_QUERIES}-query budget (constant
+    """Recall@k (k=5) of the IVF ANN path against exact brute-force
+    ground truth on a fixed 25-query budget (constant
     at any corpus size, so the exact baseline stays broadcastable) — the audit
     that tells an index owner whether n_probe/codebook settings are
     losing real neighbors (mirrors ``dd_lsh_recall_audit`` for the
