@@ -113,6 +113,7 @@ HEADLINE = [
     "pipe_incremental_curation",
     "jn_bucketed_colocated_revenue",
     "sim_ivf_recall_audit",
+    "txt_shingle_novelty",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -1289,3 +1289,61 @@ def pipe_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_kept"),
     )
+
+
+@query(
+    "txt_shingle_novelty",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    df AS (SELECT s, count(*) AS df FROM sh_all GROUP BY s),
+    j AS (SELECT a.doc_id, df.df FROM sh_all a JOIN df USING (s))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS novelty_ratio,
+           round(avg(CAST(df AS DOUBLE)), 4) AS avg_shingle_df
+    FROM j GROUP BY doc_id
+    """,
+)
+def txt_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's word-shingles that
+    appear NOWHERE else in the corpus, plus its mean shingle document
+    frequency — the self-information signal a mixture owner uses to
+    up-weight genuinely novel text and down-weight near-boilerplate
+    (complements the LM scores: novelty is set-based, not probability-
+    based). Uses the UNCAPPED shingle set — the hot-shingle cap that
+    protects the dedup blocking join must not bias a frequency census.
+
+    Plan: narrow shingle derivation (no shuffle), df aggregate (one
+    shuffle on shingle), join back on shingle (AQE-broadcastable df
+    table), one doc_id aggregate.
+    """
+    w = tokens()
+    shingle_arr = F.when(
+        F.size(w) >= SHINGLE_K,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - SHINGLE_K),
+            lambda i: F.concat_ws(
+                " ", *[F.get(w, i + j) for j in range(SHINGLE_K)]
+            ),
+        ),
+    )
+    sh_all = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(shingle_arr)).alias("s")
+    )
+    df = sh_all.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh_all.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty_ratio"),
+            F.round(F.avg(F.col("df").cast("double")), 4).alias(
+                "avg_shingle_df"
+            ),
+        )
+    )

@@ -181,6 +181,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "pipe_incremental_curation",
     "jn_bucketed_colocated_revenue",
     "sim_ivf_recall_audit",
+    "txt_shingle_novelty",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
