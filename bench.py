@@ -114,6 +114,7 @@ HEADLINE = [
     "jn_bucketed_colocated_revenue",
     "sim_ivf_recall_audit",
     "txt_shingle_novelty",
+    "sim_semdedup_prune",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -394,10 +394,12 @@ def _centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "sim_ivf_topk",
-    oracle=f"""
-    WITH expl AS (
+#: Shared coarse-quantizer assignment CTEs (centroids → squared
+#: distances → ranked cell assignment) — one definition feeding the IVF
+#: ANN oracle AND the SemDeDup oracle, so the assignment semantics
+#: cannot drift between them.
+_IVF_ASSIGN_CTES = """
+    expl AS (
         SELECT label, generate_subscripts(embedding, 1) AS dim,
                CAST(unnest(embedding) AS DOUBLE) AS v
         FROM embeddings
@@ -419,8 +421,15 @@ def _centroids(emb: DataFrame) -> DataFrame:
                                   ORDER BY d2, cell) AS cell_rank
         FROM dist
     ),
+    home AS (SELECT vec_id, cell FROM assign WHERE cell_rank = 1)
+"""
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTES},
     probes AS (SELECT * FROM assign WHERE cell_rank <= {N_PROBE_CELLS}),
-    home AS (SELECT vec_id, cell FROM assign WHERE cell_rank = 1),
     cand AS (
         SELECT p.vec_id AS query_id, h.vec_id AS neighbor_id
         FROM probes p JOIN home h ON h.cell = p.cell
@@ -1029,3 +1038,115 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_perfect"),
     )
+
+
+#: SemDeDup within-cell cosine threshold: pairs at or above it are
+#: semantic duplicates and the higher vec_id is pruned.
+SEMDEDUP_TAU = 0.3
+
+
+def _home_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell): each vector's nearest-centroid cell — the home
+    assignment stage of the IVF path as a reusable frame."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    dist = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", F.round(d2, 6).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    return (
+        dist.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+@query(
+    "sim_semdedup_prune",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTES},
+    pairs AS (
+        SELECT h1.cell, h1.vec_id AS d1, h2.vec_id AS d2
+        FROM home h1
+        JOIN home h2 ON h2.cell = h1.cell AND h1.vec_id < h2.vec_id
+    ),
+    scored AS (
+        SELECT p.cell, p.d1, p.d2, {_COS_SQL} AS cosine
+        FROM pairs p
+        JOIN embeddings a ON a.vec_id = p.d1
+        JOIN embeddings b ON b.vec_id = p.d2
+    ),
+    drops AS (
+        SELECT DISTINCT d2 AS vec_id FROM scored WHERE cosine >= {SEMDEDUP_TAU}
+    )
+    SELECT h.vec_id, h.cell,
+           CASE WHEN drops.vec_id IS NOT NULL THEN 'drop' ELSE 'keep' END
+               AS decision
+    FROM home h LEFT JOIN drops ON drops.vec_id = h.vec_id
+    """,
+)
+def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space dedup that k-means-
+    clusters the corpus, compares cosines only WITHIN each cluster, and
+    prunes every vector that has a semantic near-duplicate with a lower
+    id (the deterministic keep-earliest rule). This is the method's
+    whole scale trick reproduced faithfully: the cluster assignment
+    turns an O(n²) corpus-wide comparison into Σ|cell|² bounded work,
+    exactly like the paper's per-cluster pass over LAION embeddings.
+
+    Plan: broadcast codebook assignment (one narrow pass + tiny
+    window), within-cell self-join on the cell key (shuffle bounded by
+    cell population), cosine on candidate pairs only, one left join for
+    the keep/drop roster. Oracle shares ``_IVF_ASSIGN_CTES`` with the
+    IVF ANN oracle, so assignment semantics cannot drift.
+    """
+    home = _home_cells(spark, sf_dir).persist()
+    emb = read_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    h1 = home.select("cell", F.col("vec_id").alias("d1"))
+    h2 = home.select("cell", F.col("vec_id").alias("d2"))
+    pairs = h1.join(h2, "cell").filter(F.col("d1") < F.col("d2"))
+    a = emb.select(
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    drops = (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .select(
+            "d2",
+            _cosine_prenorm(
+                F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+        .select(F.col("d2").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    out = home.join(drops, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("_drop").isNotNull(), "drop")
+        .otherwise("keep")
+        .alias("decision"),
+    )
+    from ..session import finalize_unpersist
+
+    return finalize_unpersist(out, home)

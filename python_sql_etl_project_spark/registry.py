@@ -182,6 +182,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "jn_bucketed_colocated_revenue",
     "sim_ivf_recall_audit",
     "txt_shingle_novelty",
+    "sim_semdedup_prune",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
