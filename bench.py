@@ -115,6 +115,7 @@ HEADLINE = [
     "sim_ivf_recall_audit",
     "txt_shingle_novelty",
     "sim_semdedup_prune",
+    "smp_deterministic_shuffle",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -666,3 +666,58 @@ def smp_fixed_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= PER_STRATUM_K)
     )
+
+
+N_SHUFFLE_SHARDS = 8
+
+
+@query(
+    "smp_deterministic_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5(concat('shuf:', doc_id)) AS k
+        FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, k,
+               CAST(instr('0123456789abcdef', substring(k, 1, 1)) - 1
+                    AS BIGINT) % {N_SHUFFLE_SHARDS} AS shard
+        FROM keyed
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM sharded
+    """,
+)
+def smp_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed corpus shuffle — the training-data
+    ordering primitive: every doc gets a seeded md5 shuffle key, the key's
+    first hex digit mod 8 picks its shard, and the
+    within-shard order is the key order. Reading shards round-robin
+    reproduces the exact same epoch order on any cluster, any run —
+    seeded reproducibility without any engine RNG (``rand()`` is neither
+    cross-engine nor rerun stable; md5 is both).
+
+    Scale shape: NO global sort — the only shuffle is the hash partition
+    on shard, and each shard sorts independently (row_number windows per
+    shard run in parallel). A global-position variant would serialize on
+    one partition; shard-relative positions are what epoch readers
+    actually consume.
+    """
+    k = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id")))
+    shard = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.col("k"), 1, 1)) - 1
+    ).cast("bigint") % N_SHUFFLE_SHARDS
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", k.alias("k"))
+        .withColumn("shard", shard)
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+        )
+    )

@@ -183,6 +183,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "sim_ivf_recall_audit",
     "txt_shingle_novelty",
     "sim_semdedup_prune",
+    "smp_deterministic_shuffle",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
