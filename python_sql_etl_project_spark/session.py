@@ -197,7 +197,17 @@ def finalize_unpersist(df, *cached):
     lineage, after which the big intermediates can be dropped
     immediately; the caller holds only result-sized blocks, freed when
     the DataFrame is garbage-collected.
+
+    ``SPARK_GRAFT_NO_CHECKPOINT=1`` returns the LAZY plan instead (no
+    checkpoint, caches kept): the plan-audit tests set it so they can
+    inspect the query's REAL physical plan — a checkpoint would truncate
+    lineage to a ``LogicalRDD`` scan and hide every join strategy from
+    the audit. Never set it in production paths.
     """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_CHECKPOINT") == "1":
+        return df
     out = df.localCheckpoint(eager=True)
     for c in cached:
         c.unpersist()

@@ -17,6 +17,14 @@ registry.load_all()
 
 SF_DIR = "/root/testdata/sf0.001"
 
+
+@pytest.fixture(autouse=True)
+def _no_checkpoint(monkeypatch):
+    """Audit the REAL plan: finalize_unpersist normally checkpoints the
+    result (truncating lineage to a LogicalRDD scan, which would hide
+    every join strategy of the iterative queries from this audit)."""
+    monkeypatch.setenv("SPARK_GRAFT_NO_CHECKPOINT", "1")
+
 #: name → reason a BroadcastNestedLoopJoin is intended and bounded.
 BNLJ_ALLOWED = {
     "sim_knn_brute": "tiny query set broadcast against corpus (k-NN baseline)",
@@ -27,6 +35,7 @@ BNLJ_ALLOWED = {
         "audited IVF plan's own codebook broadcast"
     ),
     "sim_kmeans_codebook": "KB-scale codebook broadcast per Lloyd iteration",
+    "sim_semdedup_prune": "KB-scale codebook broadcast for cell assignment",
     "sim_knn_pandas_udf": "tiny query set broadcast against corpus",
     "q11_revenue_concentration": "1-row global-total broadcast",
     "graph_triangle_count": "two 1-row aggregates (census ⨯ triangle total)",
