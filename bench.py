@@ -116,6 +116,7 @@ HEADLINE = [
     "txt_shingle_novelty",
     "sim_semdedup_prune",
     "smp_deterministic_shuffle",
+    "win_activity_islands",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

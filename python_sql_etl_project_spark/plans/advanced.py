@@ -1004,3 +1004,56 @@ def jn_bucketed_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "win_activity_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grp AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS anchor
+        FROM days
+    ),
+    islands AS (
+        SELECT user_id,
+               strftime(min(d), '%Y-%m-%d') AS streak_start,
+               strftime(max(d), '%Y-%m-%d') AS streak_end,
+               CAST(count(*) AS BIGINT) AS streak_days
+        FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id, streak_start, streak_end, streak_days
+    FROM islands WHERE streak_days >= 3
+    """,
+)
+def win_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's runs of CONSECUTIVE active days
+    (streaks of 3+ reported) — the canonical retention/streak query,
+    via the classic anchor trick: date minus per-user row_number is
+    constant exactly within a consecutive run, so one window scan plus
+    one group-by finds every island with no self-join and no iteration.
+    Distinct-day dedup, the window, and the island aggregate all share
+    the user_id partitioning — a single shuffle end to end.
+    """
+    days = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return (
+        grp.groupBy("user_id", "anchor")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+            F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 3)
+        .drop("anchor")
+    )

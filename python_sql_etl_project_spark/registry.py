@@ -184,6 +184,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "txt_shingle_novelty",
     "sim_semdedup_prune",
     "smp_deterministic_shuffle",
+    "win_activity_islands",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
