@@ -1,0 +1,129 @@
+"""Empirical scaling probe: how do the headline plans behave at 8x data?
+
+Builds an 8x replica of the largest sf0.1 tables (fact PKs shifted per
+copy so keys stay unique; FK columns into the small dimensions are left
+unshifted so dim joins still resolve; dimensions are not replicated —
+facts grow faster than dims in every real warehouse), then times a
+representative query slice at 1x and 8x and prints the wall-clock
+scaling factor per query.
+
+A plan whose cost scales ~linearly (factor ≈ 8 or below on a fixed-core
+box) is shuffle/partition-healthy; a superlinear factor flags a plan
+whose candidate structures blow up with data volume. Results are
+summarized in README.md §Scale design.
+
+Usage::
+
+    python tools/scale_probe.py [--mult 8] [--queries q1_pricing_summary,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+
+#: table -> columns to shift per replica (PK-like, must stay unique).
+SHIFT_COLS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+#: copied as-is (dimensions).
+PLAIN = ("region", "nation", "customer", "supplier", "part")
+
+DEFAULT_QUERIES = [
+    "q1_pricing_summary",
+    "q9_profit_by_nation_year",
+    "q18_large_volume_customers",
+    "ref_incremental_antijoin",
+    "win_sessionize_events",
+    "txt_unigram_lm_score",
+    "dd_exact_text",
+    "dd_minhash_lsh_pairs",
+    "sim_ann_band_lsh",
+    "smp_deterministic_shuffle",
+]
+
+SHIFT = 1_000_000_000
+
+
+def build_replica(spark, mult: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in PLAIN:
+        src = os.path.join(BASE, f"{name}.parquet")
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(dst):
+            spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+    for name, cols in SHIFT_COLS.items():
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(os.path.join(BASE, f"{name}.parquet"))
+        parts = []
+        for i in range(mult):
+            p = df
+            for c in cols:
+                p = p.withColumn(c, F.col(c) + F.lit(i * SHIFT))
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(dst)
+
+
+def time_query(spark, fn, sf_dir: str) -> float:
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.java.lang.System.gc()
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=8)
+    ap.add_argument("--queries", default=None)
+    ap.add_argument("--out", default="/tmp/scale_probe")
+    args = ap.parse_args()
+
+    from python_sql_etl_project_spark import registry
+    from python_sql_etl_project_spark.session import build_spark
+
+    spark = build_spark(app_name="scale-probe", master="local[32]")
+    registry.load_all()
+    names = (
+        [n for n in args.queries.split(",") if n]
+        if args.queries
+        else DEFAULT_QUERIES
+    )
+
+    rep_dir = os.path.join(args.out, f"x{args.mult}")
+    build_replica(spark, args.mult, rep_dir)
+
+    results = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        t1 = time_query(spark, fn, BASE)
+        t1 = min(t1, time_query(spark, fn, BASE))
+        tn = time_query(spark, fn, rep_dir)
+        tn = min(tn, time_query(spark, fn, rep_dir))
+        factor = round(tn / t1, 2) if t1 > 0 else None
+        results[name] = {"t_1x": t1, f"t_{args.mult}x": tn, "factor": factor}
+        print(f"{name:32s} 1x={t1:7.2f}s {args.mult}x={tn:7.2f}s factor={factor}", flush=True)
+
+    print(json.dumps({"mult": args.mult, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
