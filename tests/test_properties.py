@@ -109,3 +109,76 @@ def test_coercion_filter_bigint_float_strings(spark):
     )
     got = sorted(r["k"] for r in coercion_filter(df, "k", "bigint").collect())
     assert got == [7, 7, 100000]
+
+
+MORTON_COORD = st.integers(min_value=0, max_value=1023)
+COORD_PAIRS = st.lists(
+    st.tuples(MORTON_COORD, MORTON_COORD), min_size=1, max_size=30, unique=True
+)
+
+
+def _morton_py(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@SLOW_OK
+@given(pairs=COORD_PAIRS)
+def test_morton_col_is_the_bit_interleave_bijection(spark, pairs):
+    """morton_col == the reference Python interleave on arbitrary coords,
+    and distinct (a, b) pairs always yield distinct codes (bijectivity —
+    the property Z-order file pruning relies on)."""
+    from python_sql_etl_project_spark.load.layout import morton_col
+
+    df = _df(spark, pairs, cols=("a", "b"))
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", morton_col(F.col("a"), F.col("b"), 10).alias("z")
+        ).collect()
+    }
+    expected = {(a, b): _morton_py(a, b, 10) for a, b in pairs}
+    assert got == expected
+    assert len(set(got.values())) == len(pairs)
+
+
+@SLOW_OK
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40,
+        unique=True,
+    ),
+    probes=st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40,
+        unique=True,
+    ),
+)
+def test_bloom_membership_properties(spark, keys, probes):
+    """No false negatives for ANY key set (the safety property), and the
+    filter is deterministic across rebuilds."""
+    from python_sql_etl_project_spark.operators.sketch import (
+        _pos_sql,
+        bloom_build,
+    )
+
+    kdf = _df(spark, [(k, 0) for k in keys], cols=("k", "pad")).select("k")
+    words = {r["idx"]: r["w"] for r in bloom_build(kdf, "k", spark).collect()}
+    words2 = {r["idx"]: r["w"] for r in bloom_build(kdf, "k", spark).collect()}
+    assert words == words2
+
+    pdf = _df(spark, [(p, 0) for p in set(keys) | set(probes)], cols=("k", "pad"))
+    pos = pdf.selectExpr(
+        "k",
+        f"CAST({_pos_sql('k', 0, 'STRING')} AS BIGINT) AS p0",
+        f"CAST({_pos_sql('k', 1, 'STRING')} AS BIGINT) AS p1",
+    ).collect()
+
+    def hit(w, p):
+        return ((w.get(p // 64, 0) >> (p % 64)) & 1) == 1
+
+    for r in pos:
+        if r["k"] in keys:
+            assert hit(words, r["p0"]) and hit(words, r["p1"]), r["k"]
