@@ -23,7 +23,11 @@ from ..operators.similarity import (  # noqa: F401
 )
 from ..operators.text import tokens  # noqa: F401
 
+from .udtfs import ChunkDocument, register_udtfs
+
 __all__ = [
+    "ChunkDocument",
+    "register_udtfs",
     "tokens",
     "shingles",
     "dot",

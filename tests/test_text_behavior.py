@@ -111,3 +111,34 @@ def test_temperature_resample_rebalances_skew(spark, skewed_docs_dir):
     # post-resample sizes are closer together than the raw 16x spread
     kept = [out[s].n_kept for s in ("big", "mid", "small")]
     assert max(kept) / max(1, min(kept)) < 6
+
+
+def test_udtf_chunker_matches_sql_chunker(spark):
+    """The Python UDTF surface (§2.11) must produce EXACTLY the chunks
+    the production pure-SQL plan derives — same geometry, same text —
+    so the lateral-join escape hatch is verified against the scale path
+    it mirrors."""
+    import pyspark.sql.functions as F
+
+    from python_sql_etl_project_spark import registry
+    from python_sql_etl_project_spark.functions.udtfs import register_udtfs
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    register_udtfs(spark)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").limit(50)
+    docs.createOrReplaceTempView("udtf_docs")
+    via_udtf = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_tokens,
+               md5(c.chunk_text) AS chunk_md5
+        FROM udtf_docs d, LATERAL chunk_document(d.text) c
+        """
+    )
+    sql_side = (
+        registry.QUERIES["pack_chunk_overlap"](spark, sf)
+        .join(docs.select("doc_id"), "doc_id")
+    )
+    got = sorted(map(tuple, via_udtf.collect()))
+    want = sorted(map(tuple, sql_side.collect()))
+    assert got == want and len(got) > 50
