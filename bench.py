@@ -117,6 +117,8 @@ HEADLINE = [
     "sim_semdedup_prune",
     "smp_deterministic_shuffle",
     "win_activity_islands",
+    "dd_minhash_estimate_audit",
+    "win_ntile_customer_quartiles",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -1347,3 +1347,102 @@ def txt_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dd_minhash_estimate_audit",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+        SELECT doc_id, {_minhash_aggs_sql()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_band_selects_sql()}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.d1, c.d2,
+               round(({" + ".join(f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))})
+                     / {N_MINHASH}.0, 4) AS jaccard_est
+        FROM cand c
+        JOIN sig s1 ON s1.doc_id = c.d1
+        JOIN sig s2 ON s2.doc_id = c.d2
+    ),
+    shared AS (
+        SELECT c.d1, c.d2, count(*) AS shared
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.d1
+        JOIN sh y ON y.doc_id = c.d2 AND y.s = x.s
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT s0.d1, s0.d2,
+               round(CAST(shared AS DOUBLE) / (n1.n + n2.n - shared), 4)
+                   AS jaccard_exact
+        FROM shared s0
+        JOIN sh_n n1 ON n1.doc_id = s0.d1
+        JOIN sh_n n2 ON n2.doc_id = s0.d2
+    )
+    SELECT e.d1, e.d2, e.jaccard_est,
+           coalesce(x.jaccard_exact, 0.0) AS jaccard_exact,
+           round(abs(e.jaccard_est - coalesce(x.jaccard_exact, 0.0)), 4)
+               AS abs_err
+    FROM est e LEFT JOIN exact x ON x.d1 = e.d1 AND x.d2 = e.d2
+    """,
+)
+def dd_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash signatures: per LSH
+    candidate pair, the Jaccard ESTIMATE (fraction of agreeing
+    signature rows — the only number a signature-store-only pipeline
+    has) next to the exact shingle Jaccard and the absolute error. With
+    8 rows the estimator quantizes to eighths; the audit is what tells
+    an owner whether that resolution suffices before dropping the raw
+    shingle sets at scale. Candidates with zero shared shingles (pure
+    band collisions) surface with exact = 0 — the estimator's false
+    positives, not an error in the audit.
+
+    Plan: signature agreement is a signature⋈signature equi-join on the
+    candidate slivers; the exact side reuses the candidate-bounded
+    verify join. Nothing touches the corpus beyond the LSH stages
+    already audited.
+    """
+    sh = shingles(spark, sf_dir)
+    cand = _minhash_candidates(sh)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("s")))).alias(f"mh{s}")
+            for s in range(N_MINHASH)
+        ]
+    )
+    s1 = sig.select(
+        F.col("doc_id").alias("d1"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)]
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("d2"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)]
+    )
+    agree = sum(
+        (F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_MINHASH)),
+        start=F.lit(0),
+    )
+    est = (
+        F.broadcast(cand)
+        .join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", F.round(agree / float(N_MINHASH), 4).alias("jaccard_est"))
+    )
+    exact = _verify_jaccard(cand, sh).withColumnRenamed("jaccard", "jaccard_exact")
+    return est.join(exact, ["d1", "d2"], "left").select(
+        "d1",
+        "d2",
+        "jaccard_est",
+        F.coalesce("jaccard_exact", F.lit(0.0)).alias("jaccard_exact"),
+        F.round(
+            F.abs(F.col("jaccard_est") - F.coalesce("jaccard_exact", F.lit(0.0))), 4
+        ).alias("abs_err"),
+    )

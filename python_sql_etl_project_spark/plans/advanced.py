@@ -1057,3 +1057,63 @@ def win_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("streak_days") >= 3)
         .drop("anchor")
     )
+
+
+@query(
+    "win_ntile_customer_quartiles",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(14, 2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+        SELECT o_custkey, revenue,
+               ntile(4) OVER (ORDER BY revenue DESC, o_custkey) AS quartile
+        FROM rev
+    )
+    SELECT quartile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(CAST(revenue AS DECIMAL(16, 2))), 2) AS DOUBLE)
+               AS quartile_revenue,
+           round(min(revenue), 2) AS min_revenue,
+           round(max(revenue), 2) AS max_revenue
+    FROM tiled GROUP BY quartile
+    """,
+)
+def win_ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue quartiles via NTILE — the equal-population
+    banding primitive (distinct from percent_rank/cume_dist, already
+    covered by win_value_distribution): each customer lands in one of 4
+    revenue bands, reported as band-level totals. Ordering carries the
+    custkey tiebreaker so band boundaries are deterministic cross-engine;
+    revenue totals run in exact DECIMAL before the final round.
+
+    Scale note: NTILE over a global ORDER BY is a single-partition
+    window — fine for customer-grain aggregates (orders of magnitude
+    smaller than the fact), and the docstringed alternative for
+    fact-grain data is percentile-boundary banding via approx quantiles.
+    """
+    rev = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), "o_custkey")
+    return (
+        rev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum(F.col("revenue").cast("decimal(16,2)")), 2)
+            .cast("double")
+            .alias("quartile_revenue"),
+            F.round(F.min("revenue"), 2).alias("min_revenue"),
+            F.round(F.max("revenue"), 2).alias("max_revenue"),
+        )
+    )

@@ -185,6 +185,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "sim_semdedup_prune",
     "smp_deterministic_shuffle",
     "win_activity_islands",
+    "dd_minhash_estimate_audit",
+    "win_ntile_customer_quartiles",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
