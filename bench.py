@@ -119,6 +119,7 @@ HEADLINE = [
     "win_activity_islands",
     "dd_minhash_estimate_audit",
     "win_ntile_customer_quartiles",
+    "dq_batch_drift_psi",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

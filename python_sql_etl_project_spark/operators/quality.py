@@ -156,3 +156,92 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+@query(
+    "dq_batch_drift_psi",
+    oracle="""
+    WITH bucketed AS (
+        SELECT CAST(length(bin(n_chars)) AS BIGINT) AS bucket,
+               doc_id % 10 = 0 AS is_batch
+        FROM documents
+    ),
+    grid AS (
+        SELECT DISTINCT bucket FROM bucketed
+    ),
+    b AS (
+        SELECT bucket, count(*) AS n FROM bucketed WHERE is_batch GROUP BY bucket
+    ),
+    c AS (
+        SELECT bucket, count(*) AS n FROM bucketed WHERE NOT is_batch GROUP BY bucket
+    ),
+    tot AS (
+        SELECT (SELECT count(*) FROM bucketed WHERE is_batch) AS nb,
+               (SELECT count(*) FROM bucketed WHERE NOT is_batch) AS nc,
+               (SELECT count(*) FROM grid) AS k
+    ),
+    fracs AS (
+        SELECT g.bucket,
+               CAST(coalesce(b.n, 0) AS BIGINT) AS n_batch,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS n_corpus,
+               (coalesce(b.n, 0) + 1.0) / (tot.nb + tot.k) AS p,
+               (coalesce(c.n, 0) + 1.0) / (tot.nc + tot.k) AS q
+        FROM grid g
+        LEFT JOIN b ON b.bucket = g.bucket
+        LEFT JOIN c ON c.bucket = g.bucket
+        CROSS JOIN tot
+    )
+    SELECT bucket, n_batch, n_corpus,
+           round(p, 6) AS batch_frac,
+           round(q, 6) AS corpus_frac,
+           round((p - q) * round(ln(p / q), 6), 6) AS psi_term
+    FROM fracs
+    """,
+)
+def dq_batch_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion drift monitor: Population Stability Index terms of the
+    new batch (``doc_id % 10 = 0``, the same batch as the incremental
+    curation pipeline) against the existing corpus over binary-magnitude
+    document-length buckets (integer bit-length — exact in both engines,
+    the same binning txt_length_histogram uses; a float log2 would hang
+    bucket boundaries on libm ulp at powers of two). Σ psi_term < 0.1 is the classic
+    "no meaningful drift" reading; a spiking bucket tells the owner
+    WHERE the batch's length distribution moved. Laplace-smoothed
+    fractions keep empty buckets finite and deterministic; the one
+    ``ln`` in the PSI term is rounded before the product (libm rule).
+
+    Plan: one scan bucketizes, two tiny aggregates + a bucket-grid left
+    join — cost is the scan; everything after is |buckets|-sized.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.length(F.bin(F.col("n_chars"))).cast("bigint").alias("bucket"),
+        (F.col("doc_id") % 10 == 0).alias("is_batch"),
+    )
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    grid = docs.select("bucket").distinct()
+    b = docs.filter("is_batch").groupBy("bucket").agg(F.count(F.lit(1)).alias("nb_"))
+    c = docs.filter("NOT is_batch").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("nc_")
+    )
+    nb = docs.filter("is_batch").count()
+    nc = docs.filter("NOT is_batch").count()
+    k = grid.count()
+    p = (F.coalesce("nb_", F.lit(0)) + 1.0) / (nb + k)
+    q = (F.coalesce("nc_", F.lit(0)) + 1.0) / (nc + k)
+    out = (
+        grid.join(b, "bucket", "left")
+        .join(c, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("nb_", F.lit(0)).cast("bigint").alias("n_batch"),
+            F.coalesce("nc_", F.lit(0)).cast("bigint").alias("n_corpus"),
+            F.round(p, 6).alias("batch_frac"),
+            F.round(q, 6).alias("corpus_frac"),
+            F.round((p - q) * F.round(F.log(p / q), 6), 6).alias("psi_term"),
+        )
+    )
+    from ..session import finalize_unpersist
+
+    return finalize_unpersist(out, docs)

@@ -187,6 +187,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "win_activity_islands",
     "dd_minhash_estimate_audit",
     "win_ntile_customer_quartiles",
+    "dq_batch_drift_psi",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
