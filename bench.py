@@ -120,6 +120,7 @@ HEADLINE = [
     "dd_minhash_estimate_audit",
     "win_ntile_customer_quartiles",
     "dq_batch_drift_psi",
+    "mm_payload_integrity",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

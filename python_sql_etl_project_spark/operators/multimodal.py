@@ -331,3 +331,61 @@ def mm_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vf").cast("bigint").alias("total_video_frames"),
         )
     )
+
+
+@query(
+    "mm_payload_integrity",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id AS asset_id,
+               unhex(md5(text)) AS payload,
+               md5(text) AS payload_hex,
+               doc_id % 37 = 0 AS simulate_corrupt
+        FROM documents
+    ),
+    checked AS (
+        SELECT asset_id,
+               CASE WHEN simulate_corrupt
+                    THEN md5(concat('corrupt:', payload_hex))
+                    ELSE md5(lower(hex(payload))) END AS observed_hex,
+               md5(lower(hex(payload))) AS expected_hex
+        FROM a
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(CASE WHEN observed_hex = expected_hex THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_intact,
+           CAST(sum(CASE WHEN observed_hex <> expected_hex THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt
+    FROM checked
+    """,
+)
+def mm_payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload integrity audit — the checksum sweep every blob
+    store runs before a training job trusts its shards: recompute
+    the content hash over the BINARY column (md5 of its canonical
+    lowercase hex — DuckDB's md5 is VARCHAR-only, so the portable form
+    hashes the hex encoding) and compare to the stored value, reporting intact/corrupt counts. A 1-in-37
+    slice simulates bit-rot (its observed hash is perturbed) so the
+    audit provably DETECTS corruption rather than vacuously passing.
+    md5-over-binary is engine-portable (both engines hash the same
+    bytes), and the scan is one narrow pass — no shuffle until the
+    3-number aggregate.
+    """
+    a = assets(spark, sf_dir).withColumn(
+        "simulate_corrupt", F.col("asset_id") % 37 == 0
+    )
+    hex_payload = F.lower(F.hex(F.col("payload")))
+    observed = F.when(
+        F.col("simulate_corrupt"),
+        F.md5(F.concat(F.lit("corrupt:"), hex_payload)),
+    ).otherwise(F.md5(hex_payload))
+    checked = a.select((observed == F.md5(hex_payload)).alias("intact"))
+    return checked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.sum(F.when(F.col("intact"), 1).otherwise(0)).cast("bigint").alias(
+            "n_intact"
+        ),
+        F.sum(F.when(~F.col("intact"), 1).otherwise(0)).cast("bigint").alias(
+            "n_corrupt"
+        ),
+    )

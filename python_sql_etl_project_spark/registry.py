@@ -188,6 +188,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "dd_minhash_estimate_audit",
     "win_ntile_customer_quartiles",
     "dq_batch_drift_psi",
+    "mm_payload_integrity",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
