@@ -106,3 +106,20 @@ def test_report_orders_by_total_desc(spark, loaded_warehouse):
     _, distribuidores = get_sales_data(spark, "2025-06-14")
     totals = [float(r.total_prestamos) for r in distribuidores]
     assert totals == sorted(totals, reverse=True)
+
+
+def test_incremental_curation_manifest_is_conserved(spark):
+    """The per-source manifest must partition the batch exactly:
+    n_batch == quality_fail + dup_drop + kept per source, and the
+    source-level n_batch sums to the true batch size."""
+    from python_sql_etl_project_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["pipe_incremental_curation"](spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_batch_true = docs.filter("doc_id % 10 = 0").count()
+    assert sum(r.n_batch for r in rows) == n_batch_true
+    for r in rows:
+        assert r.n_batch == r.n_quality_fail + r.n_dup_drop + r.n_kept
+        assert min(r.n_quality_fail, r.n_dup_drop, r.n_kept) >= 0

@@ -24,6 +24,8 @@ REPRESENTATIVES = ",".join(
         "sim_knn_pandas_udf",  # arrow batch UDF path
         "dd_minhash_lsh_pairs",  # shared-shingle flag must default off
         "jn_bucketed_colocated_revenue",  # metastore/warehouse handling
+        "strm_scd2_foreachbatch",  # landing-file mtime ordering + foreachBatch
+        "ld_compact_small_files",  # Hadoop FS listing + tempdir writes
     ]
 )
 
