@@ -1,0 +1,105 @@
+"""Generate PLANS.md: formatted physical plans for representative queries.
+
+The scale claims in README §Scale design are plan properties — filters
+pushed to the parquet scan, dims broadcast, LSH joins on bucket keys,
+no cartesian anywhere. This tool dumps the actual optimized physical
+plan (sf0.1 inputs, AQE final plans where applicable) for one
+representative query per family so a reviewer can check the claims
+against the plans without running anything.
+
+Usage: python tools/gen_plans_md.py   (rewrites PLANS.md)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.1"
+
+#: query -> what to look for in its plan.
+SHOWCASE = {
+    "q6_revenue_forecast": (
+        "Predicate pushdown: all four filters reach the scan "
+        "(PushedFilters), only 4 of 11 columns read (ReadSchema)."
+    ),
+    "q3_shipping_priority": (
+        "Dim broadcast: the filtered customer side becomes a "
+        "BroadcastHashJoin; top-10 is TakeOrderedAndProject, not a "
+        "global sort."
+    ),
+    "ref_incremental_antijoin": (
+        "The reference's driver-side PK set as a distributed "
+        "left-anti join."
+    ),
+    "dd_minhash_lsh_pairs": (
+        "LSH blocking: candidate pairs come from an equi-join on "
+        "(band_id, band_key); the exact-Jaccard verify joins touch "
+        "candidates only — no corpus×corpus product anywhere."
+    ),
+    "sim_ivf_topk": (
+        "IVF: KB-scale codebook broadcast (the allowlisted BNLJ), "
+        "cell-key equi-join for candidates, cosine on candidates only."
+    ),
+    "txt_unigram_lm_score": (
+        "Tokenize→explode feeds the vocabulary aggregate; scoring "
+        "rejoins on the token key (broadcast at this scale)."
+    ),
+    "win_sessionize_events": (
+        "Sessionization: one shuffle on user_id shared by the lag "
+        "window and the session aggregate."
+    ),
+    "jn_salted_priority_revenue": (
+        "Skew salting: the join key is (orderkey, salt); the salt "
+        "explode replicates only the dim side."
+    ),
+    "ld_zorder_code": (
+        "Morton interleave is pure codegen'd integer bit-arithmetic — "
+        "a single WholeStageCodegen over the scan, zero exchanges."
+    ),
+    "flt_bloom_prefilter": (
+        "Bloom probe: two BroadcastHashJoins against the 64-row word "
+        "table; the filter build aggregates bit_or map-side."
+    ),
+}
+
+
+def main() -> None:
+    from python_sql_etl_project_spark import registry
+    from python_sql_etl_project_spark.session import build_spark
+
+    spark = build_spark(app_name="gen-plans", master="local[8]")
+    registry.load_all()
+
+    out = [
+        "# PLANS — representative physical plans (auto-generated)\n",
+        "Regenerate with `python tools/gen_plans_md.py` (sf0.1 inputs; the\n"
+        "plan shown is Catalyst's optimized physical plan before execution —\n"
+        "AQE may further coalesce partitions / convert joins at runtime).\n",
+    ]
+    for name, note in SHOWCASE.items():
+        os.environ["SPARK_GRAFT_NO_CHECKPOINT"] = "1"
+        df = registry.QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        os.environ.pop("SPARK_GRAFT_NO_CHECKPOINT", None)
+        # trim huge expression lists for readability, keep structure
+        lines = []
+        for ln in plan.splitlines():
+            lines.append(ln if len(ln) <= 320 else ln[:317] + "...")
+        plan = "\n".join(lines[:60])
+        if len(lines) > 60:
+            plan += f"\n... ({len(lines) - 60} more lines)"
+        out.append(f"\n## {name}\n\n{note}\n\n```\n{plan}\n```\n")
+        spark.catalog.clearCache()
+        print(f"dumped {name}", flush=True)
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
+        fh.write("\n".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
