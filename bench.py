@@ -121,6 +121,7 @@ HEADLINE = [
     "win_ntile_customer_quartiles",
     "dq_batch_drift_psi",
     "mm_payload_integrity",
+    "rng_session_concurrency",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -1117,3 +1117,95 @@ def win_ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("revenue"), 2).alias("max_revenue"),
         )
     )
+
+
+def _session_concurrency_oracle() -> str:
+    """Built from the REGISTERED sessionize oracle so the session
+    definition cannot drift between the two queries."""
+    from ..registry import ORACLES
+
+    return f"""
+    WITH sess AS ({ORACLES["win_sessionize_events"]})
+    SELECT a.user_id, a.session_seq,
+           CAST(count(b.user_id) AS BIGINT) AS n_concurrent
+    FROM sess a
+    LEFT JOIN sess b
+      ON b.user_id <> a.user_id
+     AND b.session_start <= a.session_end
+     AND b.session_end >= a.session_start
+    GROUP BY a.user_id, a.session_seq
+    """
+
+
+@query("rng_session_concurrency", oracle=_session_concurrency_oracle())
+def rng_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (the missing sibling of the point-in-
+    interval range join): for every user session, how many OTHER users'
+    sessions overlapped it in time — the concurrency curve a capacity
+    planner reads. The naive form is an O(n²) theta join (the oracle
+    runs exactly that, DuckDB's IEJoin eats it at test scale); the
+    engine's plan is the scalable INTERVAL BUCKETING rewrite: each
+    session explodes to the hour buckets it spans, candidates come from
+    a bucket equi-join, the exact overlap predicate filters candidates,
+    and pair-dedup collapses multi-bucket meetings. Candidate volume is
+    Σ per-bucket concurrency² — bounded by true concurrency, not by
+    corpus size — and every join is an equi-join.
+
+    Session definitions are shared with ``win_sessionize_events`` (same
+    registered callable), so the two queries cannot drift.
+    """
+    from ..registry import QUERIES
+    from ..session import finalize_unpersist
+
+    sess = (
+        QUERIES["win_sessionize_events"](spark, sf_dir)
+        .select("user_id", "session_seq", "session_start", "session_end")
+        .persist()
+    )
+    buckets = sess.select(
+        F.col("user_id").alias("u"),
+        F.col("session_seq").alias("sq"),
+        F.col("session_start").alias("st"),
+        F.col("session_end").alias("en"),
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "session_start"),
+                F.date_trunc("hour", "session_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    a = buckets.select(
+        F.col("u").alias("au"), F.col("sq").alias("asq"),
+        F.col("st").alias("ast"), F.col("en").alias("aen"), "bucket",
+    )
+    b = buckets.select(
+        F.col("u").alias("bu"), F.col("sq").alias("bsq"),
+        F.col("st").alias("bst"), F.col("en").alias("ben"), "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("au") != F.col("bu"))
+            & (F.col("bst") <= F.col("aen"))
+            & (F.col("ben") >= F.col("ast"))
+        )
+        .select("au", "asq", "bu", "bsq")
+        .distinct()
+    )
+    counts = pairs.groupBy("au", "asq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_concurrent")
+    )
+    out = sess.join(
+        counts,
+        (sess.user_id == counts.au) & (sess.session_seq == counts.asq),
+        "left",
+    ).select(
+        "user_id",
+        "session_seq",
+        F.coalesce("n_concurrent", F.lit(0)).cast("bigint").alias(
+            "n_concurrent"
+        ),
+    )
+    return finalize_unpersist(out, sess)
+

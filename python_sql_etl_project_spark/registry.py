@@ -189,6 +189,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "win_ntile_customer_quartiles",
     "dq_batch_drift_psi",
     "mm_payload_integrity",
+    "rng_session_concurrency",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
