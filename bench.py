@@ -122,6 +122,20 @@ HEADLINE = [
     "dq_batch_drift_psi",
     "mm_payload_integrity",
     "rng_session_concurrency",
+    # round-3 late additions: sketch census, basket mining, cohort
+    # retention, seasonality, layout skew audit, pandas UDAF, stream-
+    # static enrich
+    "sk_countmin_heavy_hitters",
+    "jn_basket_brand_pairs",
+    "win_cohort_retention",
+    "ts_seasonality_index",
+    "ld_partition_skew",
+    "fn_grouped_means_udaf",
+    "strm_static_dim_enrich",
+    "smp_weighted_priority_sample",
+    "win_rfm_segments",
+    "src_orc_roundtrip",
+    "ts_ewma_hourly_value",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -256,3 +256,101 @@ def ld_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "col", "n_rows", "n_null", "n_distinct", "min_val", "max_val", "avg_val"
     )
+
+
+@query(
+    "ld_partition_skew",
+    oracle="""
+    WITH parts AS (
+        SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d')
+                   AS part_month,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_rows) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS p
+        FROM parts
+    )
+    SELECT part_month, n_rows,
+           CAST(CAST((20000 * CAST(n_rows AS HUGEINT) * p
+                      + CAST(t AS HUGEINT))
+                     // (2 * CAST(t AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 10000 AS skew_ratio
+    FROM parts, tot
+    """,
+)
+def ld_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew audit for the date-partitioned fact layout
+    (``load/incremental.py`` writes facts partitioned by date): row count
+    per ship-month partition and its ratio to the mean partition size —
+    the report that tells an operator which partitions will straggle a
+    scan or overflow an executor before the job runs. At 100 TB this is
+    one map-side-combined count per partition key (output rows = number
+    of partitions, trivially collectable); the same shape feeds AQE-style
+    skew decisions for any other candidate partition key.
+
+    Determinism: ``skew_ratio`` = round-half-up(n*P/T, 4) computed in
+    pure integer arithmetic (see ``ts_seasonality_index`` for why
+    ``round(double, n)`` is not portable at half boundaries).
+    """
+    parts = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd")
+            .alias("part_month")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    tot = parts.agg(
+        F.sum("n_rows").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("p"),
+    )
+    return parts.crossJoin(F.broadcast(tot)).select(
+        "part_month",
+        "n_rows",
+        (
+            F.expr(
+                "CAST((20000 * CAST(n_rows AS DECIMAL(38,0)) * p"
+                "      + CAST(t AS DECIMAL(38,0)))"
+                " div (2 * CAST(t AS DECIMAL(38,0))) AS BIGINT)"
+            ).cast("double")
+            / 10000
+        ).alias("skew_ratio"),
+    )
+
+
+@query(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS total_price,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS latest_order
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink proof: write the orders table to ORC (zlib, the
+    second columnar format a lakehouse ingests besides parquet — Spark
+    reads/writes it natively with the same predicate-pushdown and
+    column-pruning machinery), read it back, and aggregate. The oracle
+    aggregates the ORIGINAL parquet, so a hash match proves the ORC
+    round-trip is value-preserving for bigint/string/double/timestamp —
+    the actual contract a format migration needs. The temp sink stands in
+    for a warehouse path; partitioning/compaction knobs are identical to
+    the parquet writers in this module.
+    """
+    target = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    orders = read_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").orc(target)
+    back = spark.read.orc(target)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("latest_order"),
+    )

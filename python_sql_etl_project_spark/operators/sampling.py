@@ -721,3 +721,68 @@ def smp_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
         )
     )
+
+
+WEIGHTED_SAMPLE_K = 50
+#: 12 md5 hex digits = 48 uniform bits; (h+1)/2^48 ∈ (0, 1] exactly
+#: representable, and /2^48 is exact in binary — both engines produce the
+#: bit-identical double before ln().
+_U48_DENOM = float(2**48)
+
+
+@query(
+    "smp_weighted_priority_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               round(
+                   ln((('0x' || substr(md5(concat('ws:', doc_id)), 1, 12))::BIGINT
+                       + 1) / {2**48}.0)
+                   / n_chars, 10) AS priority
+        FROM documents
+        WHERE n_chars > 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rank
+        FROM keyed
+    )
+    SELECT rank, doc_id, source, n_chars, priority
+    FROM ranked WHERE rank <= {WEIGHTED_SAMPLE_K}
+    """,
+)
+def smp_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    priority keys: each doc draws a deterministic uniform u from md5,
+    and the top-K by ``ln(u)/weight`` (weight = n_chars) IS an exact
+    weighted sample — the distributed one-pass answer to 'sample 50
+    docs proportional to length' that needs no RNG state, no sequential
+    scan and no rejection loop. At 100 TB the plan is per-partition
+    top-K + a K-row merge (TakeOrderedAndProject), identical to
+    ``smp_fixed_k_sample``; weights can be any positive score (quality,
+    domain boost) without changing the plan.
+
+    Determinism: u = (h+1)/2^48 from 12 md5 hex digits is exact in both
+    engines; ``ln`` may differ by 1 ulp cross-engine, so keys are rounded
+    to 10 dp before ranking with doc_id as the tiebreaker.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.log((h + 1) / F.lit(_U48_DENOM)) / F.col("n_chars"), 10).alias(
+            "priority"
+        ),
+    )
+    top = keyed.orderBy(F.desc("priority"), "doc_id").limit(WEIGHTED_SAMPLE_K)
+    w = Window.orderBy(F.desc("priority"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "source", "n_chars", "priority"
+    )

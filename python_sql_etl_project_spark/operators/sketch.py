@@ -168,3 +168,85 @@ def flt_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_false_pos"),
     )
+
+
+CMS_WIDTH = 1024  # w: buckets per row
+CMS_DEPTH = 2  # d: independent md5-seeded rows
+
+
+@query(
+    "sk_countmin_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    exact AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+        FROM tok GROUP BY 1
+    ),
+    pos AS (
+        SELECT token, exact_count,
+               {_hexpos("md5('0:' || token)")} % {CMS_WIDTH} AS p0,
+               {_hexpos("md5('1:' || token)")} % {CMS_WIDTH} AS p1
+        FROM exact
+    ),
+    b0 AS (SELECT p0, CAST(sum(exact_count) AS BIGINT) AS c0 FROM pos GROUP BY 1),
+    b1 AS (SELECT p1, CAST(sum(exact_count) AS BIGINT) AS c1 FROM pos GROUP BY 1),
+    est AS (
+        SELECT token, exact_count, least(c0, c1) AS est_count
+        FROM pos JOIN b0 USING (p0) JOIN b1 USING (p1)
+    )
+    SELECT token, exact_count, est_count,
+           est_count - exact_count AS overcount
+    FROM est
+    ORDER BY est_count DESC, token
+    LIMIT 20
+    """,
+)
+def sk_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter census: estimate every token's
+    frequency from a d=2 x w=1024 sketch and report the top-20 by
+    estimate next to the exact count (the audit that sizes w/d before
+    trusting the sketch alone at scale). CMS never underestimates —
+    ``est_count >= exact_count`` is pinned by test — and at 100 TB the
+    sketch replaces the exact census entirely: the (seed, bucket) table
+    is w*d rows built by one map-side-combined aggregation, shippable as
+    a broadcast artifact, while the exact side here exists only to
+    measure the overcount distribution at audit scale.
+
+    Determinism: bucket positions come from md5 hex digits (the repo's
+    cross-engine hash primitive); counts are integers throughout.
+    """
+    tok = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+    )
+    exact = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    p0_sql = _hexpos("md5('0:' || token)")
+    p1_sql = _hexpos("md5('1:' || token)")
+    pos = exact.selectExpr(
+        "token",
+        "exact_count",
+        f"{p0_sql} % {CMS_WIDTH} AS p0",
+        f"{p1_sql} % {CMS_WIDTH} AS p1",
+    )
+    b0 = pos.groupBy("p0").agg(F.sum("exact_count").cast("bigint").alias("c0"))
+    b1 = pos.groupBy("p1").agg(F.sum("exact_count").cast("bigint").alias("c1"))
+    est = (
+        pos.join(F.broadcast(b0), "p0")
+        .join(F.broadcast(b1), "p1")
+        .withColumn("est_count", F.least("c0", "c1"))
+    )
+    return (
+        est.select(
+            "token",
+            "exact_count",
+            "est_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_count"), "token")
+        .limit(20)
+    )

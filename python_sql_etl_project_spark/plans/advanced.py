@@ -1209,3 +1209,363 @@ def rng_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return finalize_unpersist(out, sess)
 
+
+
+@query(
+    "jn_basket_brand_pairs",
+    oracle="""
+    WITH pb AS (
+        SELECT l_orderkey, p_brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b
+        FROM pb a
+        JOIN pb b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    )
+    SELECT brand_a, brand_b, CAST(count(*) AS BIGINT) AS n_orders
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+)
+def jn_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining (the pairwise core of frequent-
+    itemset/FP-growth workloads): which brand pairs appear together in
+    the same order most often. The oracle runs the naive self-join on
+    the basket table; the engine's plan is the scalable ARRAY rewrite —
+    one groupBy builds each order's sorted distinct-brand basket, pairs
+    come from exploding each basket against its own greater-than suffix
+    (fan-out bounded by basket cardinality squared, never corpus^2), and
+    the pair census is one more map-side-combinable aggregation. The
+    basket build reuses the broadcast dim join (brands are a dim-sized
+    domain), so the fact is scanned exactly once and shuffles once on
+    l_orderkey.
+    """
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    pairs = baskets.select(
+        F.explode("brands").alias("brand_a"), "brands"
+    ).select(
+        "brand_a",
+        F.explode(F.expr("filter(brands, x -> x > brand_a)")).alias("brand_b"),
+    )
+    return (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+@query(
+    "win_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, ts,
+               min(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events
+    ),
+    offs AS (
+        SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d')
+                   AS cohort_week,
+               CAST(floor(date_diff('day', date_trunc('week', first_ts),
+                                    date_trunc('week', ts)) / 7) AS INT)
+                   AS week_offset,
+               user_id
+        FROM firsts
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+    FROM offs
+    GROUP BY 1, 2
+    """,
+)
+def win_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix (the growth-analytics staple): users are
+    cohorted by the week of their first-ever event; each cell counts how
+    many of a cohort's users were still active N weeks later. One window
+    (min ts per user) rides the same user_id shuffle the grouping needs
+    — no self-join, no second scan — and everything downstream is
+    integer/date arithmetic, so the result is bit-identical cross-engine
+    with no rounding rule.
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    firsts = ev.withColumn("first_ts", F.min("ts").over(w))
+    offs = firsts.select(
+        F.date_format(F.date_trunc("week", "first_ts"), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        F.floor(
+            F.datediff(
+                F.date_trunc("week", F.col("ts")),
+                F.date_trunc("week", F.col("first_ts")),
+            )
+            / 7
+        )
+        .cast("int")
+        .alias("week_offset"),
+        "user_id",
+    )
+    return offs.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_active_users")
+    )
+
+
+@query(
+    "ts_seasonality_index",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                   AS m
+        FROM events
+        GROUP BY 1, 2
+    ),
+    typed AS (
+        SELECT event_type,
+               CAST(sum(m) AS BIGINT) AS t_m,
+               CAST(sum(n_events) AS BIGINT) AS t_n
+        FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.hour_of_day, h.n_events,
+           CAST((h.m + 50 * h.n_events) // (100 * h.n_events) AS DOUBLE)
+               / 10000 AS hourly_avg_value,
+           CAST(CAST((20000 * CAST(h.m AS HUGEINT) * t.t_n
+                      + CAST(h.n_events AS HUGEINT) * t.t_m)
+                     // (2 * CAST(h.n_events AS HUGEINT) * t.t_m)
+                AS BIGINT) AS DOUBLE) / 10000 AS seasonality_index
+    FROM hourly h JOIN typed t ON t.event_type = h.event_type
+    """,
+)
+def ts_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile: per event type, each hour's mean
+    value as a ratio to the type's overall mean — the multiplicative
+    seasonal index a capacity model or anomaly detector divides out
+    before thresholding (``ts_anomaly_zscore`` is the consumer). Both
+    aggregation levels come from ONE shuffled agg (24 x |types| rows)
+    plus a broadcast-sized rollup — the fact is scanned once.
+
+    Determinism: means and the index are rounded half-up to 4 dp in pure
+    INTEGER arithmetic (micro-unit sums, the ``graph_pagerank_3iter``
+    pattern) because ``round(double, n)`` at an exact-half boundary
+    legitimately differs between engines (Spark rounds the shortest
+    decimal rendering, DuckDB the binary value — observed live on this
+    data: 551.43/8). ``(m + 50n) div (100n)`` IS round-half-up of
+    ``m / (n * 1e6)`` at 4 dp, exactly, in bigint; the index runs the
+    same trick in 38-digit decimal/hugeint to survive the cross terms.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr(
+            "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+        ).alias("m"),
+    )
+    typed = hourly.groupBy("event_type").agg(
+        F.sum("m").cast("bigint").alias("t_m"),
+        F.sum("n_events").cast("bigint").alias("t_n"),
+    )
+    return (
+        hourly.join(F.broadcast(typed), "event_type")
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n_events",
+            (
+                F.expr("(m + 50 * n_events) div (100 * n_events)").cast(
+                    "double"
+                )
+                / 10000
+            ).alias("hourly_avg_value"),
+            (
+                F.expr(
+                    "CAST((20000 * CAST(m AS DECIMAL(38,0)) * t_n"
+                    "      + CAST(n_events AS DECIMAL(38,0)) * t_m)"
+                    " div (2 * CAST(n_events AS DECIMAL(38,0)) * t_m)"
+                    " AS BIGINT)"
+                ).cast("double")
+                / 10000
+            ).alias("seasonality_index"),
+        )
+    )
+
+
+@query(
+    "win_rfm_segments",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               CAST(count(*) AS BIGINT) AS frequency,
+               sum(CAST(o_totalprice AS DECIMAL(14,2))) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    rec AS (
+        SELECT o_custkey, frequency, monetary,
+               date_diff('day', last_order, max(last_order) OVER ())
+                   AS recency_days
+        FROM cust
+    ),
+    scored AS (
+        SELECT o_custkey, frequency, monetary,
+               ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+               ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+               ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+        FROM rec
+    )
+    SELECT concat(r_score, f_score, m_score) AS rfm_segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(monetary), 2) AS DOUBLE) AS segment_monetary
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def win_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic CRM banding query: quartile-score each customer on how
+    recently, how often and how much they ordered (1 = best on every
+    axis), then census the 3-digit segments. One shuffled agg builds the
+    customer grain; the three NTILEs ride one global window sort of the
+    customer table (dim-sized — same documented posture as
+    ``win_ntile_customer_quartiles``; fact-grain would band on approx
+    quantile boundaries instead). Monetary runs in exact DECIMAL;
+    everything hashed is integer, string or exactly-rounded decimal.
+    """
+    cust = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("monetary"),
+        )
+    )
+    anchor = F.max("last_order").over(Window.partitionBy())
+    scored = cust.withColumn(
+        "recency_days", F.datediff(anchor, F.col("last_order"))
+    )
+    r_w = Window.orderBy("recency_days", "o_custkey")
+    f_w = Window.orderBy(F.desc("frequency"), "o_custkey")
+    m_w = Window.orderBy(F.desc("monetary"), "o_custkey")
+    seg = scored.select(
+        F.concat(
+            F.ntile(4).over(r_w).cast("string"),
+            F.ntile(4).over(f_w).cast("string"),
+            F.ntile(4).over(m_w).cast("string"),
+        ).alias("rfm_segment"),
+        "monetary",
+    )
+    return seg.groupBy("rfm_segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).cast("double").alias("segment_monetary"),
+    )
+
+
+EWMA_WINDOW = 16  # half-life 1 step: weights 2^0 .. 2^15, oldest smallest
+
+
+@query(
+    "ts_ewma_hourly_value",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                   AS m
+        FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+        SELECT event_type, hour,
+               list(m) OVER (PARTITION BY event_type ORDER BY hour
+                             ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING
+                                      AND CURRENT ROW) AS xs
+        FROM hourly
+    ),
+    weighted AS (
+        SELECT event_type, hour, len(xs) AS n,
+               list_sum(list_transform(range(1, len(xs) + 1),
+                        i -> xs[i] * (CAST(1 AS BIGINT)
+                                      << ({EWMA_WINDOW} - len(xs) + i - 1))))
+                   AS num,
+               (CAST(1 AS BIGINT) << {EWMA_WINDOW})
+                   - (CAST(1 AS BIGINT) << ({EWMA_WINDOW} - len(xs))) AS den
+        FROM framed
+    )
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:00') AS hour,
+           CAST((20000 * CAST(num AS HUGEINT)
+                 + CAST(den AS HUGEINT) * 1000000)
+                // (2 * CAST(den AS HUGEINT) * 1000000) AS DOUBLE) / 10000
+               AS ewma_value
+    FROM weighted
+    """,
+)
+def ts_ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each type's hourly value
+    total (half-life = one step) — the smoother a monitoring pipeline
+    feeds thresholds from, weighting the last {EWMA_WINDOW} present
+    points by 2^-age. Distinct from ``win_trailing_7d_revenue`` (uniform
+    weights) and ``ts_locf_hourly_value`` (carry-forward): this is the
+    exponential-decay family.
+
+    Exactness trick: alpha = 1/2 makes every weight a power of TWO, so
+    numerator (Σ mᵢ·2^(15-age)) and denominator (2^16 − 2^(16-n)) are
+    exact integers over micro-unit sums — the whole smoother is integer
+    arithmetic until one final 4-dp half-up division (the
+    ``ts_seasonality_index`` rounding pattern). The window is a plain
+    per-type ordered frame: one shuffle on event_type, no self-join;
+    at scale the partition key becomes (type, series-shard) with a
+    seeded carry, same as any windowed rollup.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+        ).alias("m")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(EWMA_WINDOW - 1), Window.currentRow)
+    )
+    framed = hourly.withColumn("xs", F.collect_list("m").over(w))
+    weighted = framed.select(
+        "event_type",
+        "hour",
+        F.expr(
+            f"aggregate(zip_with(xs, sequence(1, size(xs)),"
+            f"                   (x, i) -> x * shiftleft(CAST(1 AS BIGINT),"
+            f"                       {EWMA_WINDOW} - size(xs) + i - 1)),"
+            f"          CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("num"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), {EWMA_WINDOW})"
+            f" - shiftleft(CAST(1 AS BIGINT), {EWMA_WINDOW} - size(xs))"
+        ).alias("den"),
+    )
+    return weighted.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+        (
+            F.expr(
+                "CAST((20000 * CAST(num AS DECIMAL(38,0))"
+                "      + CAST(den AS DECIMAL(38,0)) * 1000000)"
+                " div (2 * CAST(den AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+            ).cast("double")
+            / 10000
+        ).alias("ewma_value"),
+    )

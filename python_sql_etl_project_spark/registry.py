@@ -77,6 +77,7 @@ def load_all() -> None:
     )
     from .streaming import windows  # noqa: F401
     from .load import layout, scd  # noqa: F401
+    from .functions import udafs  # noqa: F401
 
 
 #: Round-3 driver window: the external gate checks exactly the FIRST 50
@@ -190,6 +191,18 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "dq_batch_drift_psi",
     "mm_payload_integrity",
     "rng_session_concurrency",
+    # post-closing-notes additions (same round, same local gates):
+    "sk_countmin_heavy_hitters",
+    "jn_basket_brand_pairs",
+    "win_cohort_retention",
+    "ts_seasonality_index",
+    "ld_partition_skew",
+    "fn_grouped_means_udaf",
+    "strm_static_dim_enrich",
+    "smp_weighted_priority_sample",
+    "win_rfm_segments",
+    "src_orc_roundtrip",
+    "ts_ewma_hourly_value",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

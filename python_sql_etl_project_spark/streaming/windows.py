@@ -583,3 +583,65 @@ def strm_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state["dim"].select(
         "custkey", "status", "effective_from", "effective_to", "is_current"
     )
+
+
+#: Static funnel-stage dimension for the stream-static enrich join:
+#: (event_type, funnel_stage, weight). One tuple list renders both the
+#: Spark literal DataFrame and the oracle's VALUES clause, so the two
+#: sides cannot drift.
+FUNNEL_DIM: tuple[tuple[str, str, int], ...] = (
+    ("signup", "acquisition", 3),
+    ("view", "engagement", 1),
+    ("click", "engagement", 2),
+    ("purchase", "conversion", 5),
+    ("error", "ops", 0),
+)
+
+
+def _funnel_dim_values_sql() -> str:
+    return ", ".join(f"('{t}', '{s}', {w})" for t, s, w in FUNNEL_DIM)
+
+
+@query(
+    "strm_static_dim_enrich",
+    oracle=f"""
+    WITH dim(event_type, funnel_stage, weight) AS (
+        VALUES {_funnel_dim_values_sql()}
+    )
+    SELECT d.funnel_stage,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,6)) * d.weight), 4)
+                AS DOUBLE) AS weighted_value
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY 1
+    """,
+)
+def strm_static_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the canonical streaming lookup
+    pattern the families above don't cover (tumbling/sliding/session are
+    pure aggs, ``strm_signup_purchase_join`` is stream-STREAM): each
+    streaming event is enriched against a static broadcastable dimension
+    (funnel stage + weight per event type) and rolled up per stage. In
+    Structured Streaming a static side is re-broadcast per micro-batch
+    automatically (and may be swapped between batches for slowly-changing
+    dims); no state or watermark is needed for the join itself — only
+    the downstream aggregation holds (tiny, per-stage) state. Weighted
+    sums run in DECIMAL so micro-batch accumulation order is exact.
+    """
+    dim = spark.createDataFrame(
+        list(FUNNEL_DIM), "event_type string, funnel_stage string, weight int"
+    )
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy("funnel_stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)") * F.col("weight")), 4
+            )
+            .cast("double")
+            .alias("weighted_value"),
+        )
+    )
+    return _run_to_table(spark, agg, "strm_static_dim_enrich", "complete")

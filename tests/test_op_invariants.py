@@ -1,0 +1,226 @@
+"""Structural invariants of the late-round-3 operators, beyond the
+oracle hash gate: properties that must hold for the operator to be SAFE
+to rely on at scale (sketch soundness, cohort conservation, index/skew
+normalization, classical mean inequalities)."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_sql_etl_project_spark import registry
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS soundness: est >= exact for every reported token (the property
+    that makes 'estimate only' safe at 100 TB)."""
+    rows = registry.QUERIES["sk_countmin_heavy_hitters"](spark, SF).collect()
+    assert rows, "empty census"
+    for r in rows:
+        assert r.est_count >= r.exact_count, r
+        assert r.overcount == r.est_count - r.exact_count
+
+
+def test_cohort_week_zero_equals_cohort_size(spark):
+    """Every user is active in their own first week, so the offset-0 cell
+    of each cohort IS the cohort census; offsets are never negative."""
+    rows = registry.QUERIES["win_cohort_retention"](spark, SF).collect()
+    assert rows
+    by_cohort: dict[str, dict[int, int]] = {}
+    for r in rows:
+        assert r.week_offset >= 0
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = (
+            r.n_active_users
+        )
+    for cohort, cells in by_cohort.items():
+        assert 0 in cells, f"cohort {cohort} missing offset-0 cell"
+        assert cells[0] == max(cells.values()), (
+            f"cohort {cohort}: week-0 must be the max (nobody can be "
+            f"active later without existing at week 0)"
+        )
+
+
+def test_seasonality_index_normalizes(spark):
+    """The event-count-weighted mean of each type's hourly indexes is 1
+    by construction (Σ n_h·idx_h ≈ Σ n_h up to 4-dp rounding)."""
+    rows = registry.QUERIES["ts_seasonality_index"](spark, SF).collect()
+    assert rows
+    per_type: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.hour_of_day <= 23
+        per_type.setdefault(r.event_type, []).append(r)
+    for etype, rs in per_type.items():
+        n = sum(r.n_events for r in rs)
+        weighted = sum(r.n_events * r.seasonality_index for r in rs)
+        assert weighted == pytest.approx(n, rel=1e-3), etype
+
+
+def test_partition_skew_conserves_and_normalizes(spark):
+    """Partition counts sum to the fact row count and the count-weighted
+    mean skew ratio is 1 (each partition contributes n/T of ratio n/avg)."""
+    from python_sql_etl_project_spark.session import read_table
+
+    rows = registry.QUERIES["ld_partition_skew"](spark, SF).collect()
+    total = read_table(spark, SF, "lineitem").count()
+    assert sum(r.n_rows for r in rows) == total
+    mean_ratio = sum(r.skew_ratio for r in rows) / len(rows)
+    assert mean_ratio == pytest.approx(1.0, rel=1e-3)
+
+
+def test_grouped_means_udaf_am_gm_hm(spark):
+    """Classical mean inequality per group: harmonic <= geometric <= max;
+    and the UDAF path agrees with the pure-SQL rewrite run on Spark
+    itself (not just the DuckDB oracle)."""
+    import pyspark.sql.functions as F
+
+    from python_sql_etl_project_spark.session import read_table
+
+    rows = {
+        r.source: r
+        for r in registry.QUERIES["fn_grouped_means_udaf"](spark, SF).collect()
+    }
+    sql_side = {
+        r.source: r
+        for r in (
+            read_table(spark, SF, "documents")
+            .filter(F.col("n_chars") > 0)
+            .groupBy("source")
+            .agg(
+                F.round(
+                    F.exp(F.avg(F.log(F.col("n_chars").cast("double")))), 4
+                ).alias("geo"),
+                F.round(
+                    F.count(F.lit(1)) / F.sum(1.0 / F.col("n_chars")), 4
+                ).alias("harm"),
+            )
+            .collect()
+        )
+    }
+    assert rows.keys() == sql_side.keys()
+    for src, r in rows.items():
+        assert r.harmonic_chars <= r.geomean_chars + 1e-9, src
+        assert r.geomean_chars == pytest.approx(sql_side[src].geo, abs=2e-4)
+        assert r.harmonic_chars == pytest.approx(sql_side[src].harm, abs=2e-4)
+
+
+def test_basket_pairs_ordered_and_bounded(spark):
+    """Pairs are canonical (a < b) and counts cannot exceed the number of
+    orders; the census is the top-20 slice."""
+    from python_sql_etl_project_spark.session import read_table
+
+    rows = registry.QUERIES["jn_basket_brand_pairs"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    n_orders = (
+        read_table(spark, SF, "lineitem").select("l_orderkey").distinct().count()
+    )
+    counts = [r.n_orders for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert 0 < r.n_orders <= n_orders
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """The stream-static join folded over micro-batches equals the same
+    join/aggregate run as one batch query — streaming adds delivery, not
+    semantics."""
+    import pyspark.sql.functions as F
+
+    from python_sql_etl_project_spark.session import read_table
+    from python_sql_etl_project_spark.streaming.windows import FUNNEL_DIM
+
+    got = {
+        r.funnel_stage: r
+        for r in registry.QUERIES["strm_static_dim_enrich"](spark, SF).collect()
+    }
+    dim = spark.createDataFrame(
+        list(FUNNEL_DIM), "event_type string, funnel_stage string, weight int"
+    )
+    want = {
+        r.funnel_stage: r
+        for r in (
+            read_table(spark, SF, "events")
+            .join(F.broadcast(dim), "event_type")
+            .groupBy("funnel_stage")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.round(
+                    F.sum(
+                        F.col("value").cast("decimal(18,6)") * F.col("weight")
+                    ),
+                    4,
+                )
+                .cast("double")
+                .alias("weighted_value"),
+            )
+            .collect()
+        )
+    }
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k].n_events == want[k].n_events
+        assert got[k].weighted_value == want[k].weighted_value
+
+
+def test_weighted_sample_priorities_and_ranks(spark):
+    """E-S priority keys are ln(u)/w <= 0; ranks are a dense 1..K; and
+    re-running yields the identical sample (no RNG state anywhere)."""
+    rows = registry.QUERIES["smp_weighted_priority_sample"](spark, SF).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.priority <= 0 for r in rows)
+    again = registry.QUERIES["smp_weighted_priority_sample"](spark, SF).collect()
+    assert rows == again
+
+
+def test_rfm_segments_partition_customers(spark):
+    """Every customer lands in exactly one segment; digit scores are 1-4;
+    segment monetary totals sum to total order revenue."""
+    from python_sql_etl_project_spark.session import read_table
+
+    rows = registry.QUERIES["win_rfm_segments"](spark, SF).collect()
+    n_cust = (
+        read_table(spark, SF, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert len(r.rfm_segment) == 3
+        assert all(c in "1234" for c in r.rfm_segment)
+
+
+def test_ewma_matches_python_recomputation(spark):
+    """The integer-exact EWMA equals a straight Python recomputation of
+    Σ m·2^(15-age) / (2^16 − 2^(16-n)) over each type's hourly series —
+    pinning the window frame, the weight order (oldest = smallest) and
+    the half-up rounding in one shot."""
+    import duckdb
+
+    from python_sql_etl_project_spark.plans.advanced import EWMA_WINDOW
+
+    got = {
+        (r.event_type, r.hour): r.ewma_value
+        for r in registry.QUERIES["ts_ewma_hourly_value"](spark, SF).collect()
+    }
+    con = duckdb.connect()
+    hourly = con.execute(
+        f"""
+        SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00'),
+               CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, list] = {}
+    for etype, hour, m in hourly:
+        series.setdefault(etype, []).append((hour, m))
+    want = {}
+    for etype, pts in series.items():
+        for i, (hour, _) in enumerate(pts):
+            xs = [m for _, m in pts[max(0, i - EWMA_WINDOW + 1) : i + 1]]
+            n = len(xs)
+            num = sum(m << (EWMA_WINDOW - n + j) for j, m in enumerate(xs))
+            den = (1 << EWMA_WINDOW) - (1 << (EWMA_WINDOW - n))
+            scaled = (20000 * num + den * 1_000_000) // (2 * den * 1_000_000)
+            want[(etype, hour)] = scaled / 10000
+    assert got == want
