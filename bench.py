@@ -136,6 +136,8 @@ HEADLINE = [
     "win_rfm_segments",
     "src_orc_roundtrip",
     "ts_ewma_hourly_value",
+    "sim_matryoshka_audit",
+    "smp_dsir_importance",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

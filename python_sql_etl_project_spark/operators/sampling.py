@@ -786,3 +786,107 @@ def smp_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "source", "n_chars", "priority"
     )
+
+
+DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "smp_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    vocab AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS cnt_c,
+               CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cnt_t
+        FROM tok GROUP BY t
+    ),
+    sc AS (
+        SELECT CAST(count(*) AS BIGINT) AS v,
+               CAST(sum(cnt_c) AS BIGINT) AS nc,
+               CAST(sum(cnt_t) AS BIGINT) AS nt
+        FROM vocab
+    ),
+    lp AS (
+        SELECT t,
+               CAST(round(ln((CAST(cnt_t + 1 AS DOUBLE) * CAST(nc + v AS DOUBLE))
+                             / (CAST(cnt_c + 1 AS DOUBLE)
+                                * CAST(nt + v AS DOUBLE))),
+                          6) AS DECIMAL(18,6)) AS lp
+        FROM vocab CROSS JOIN sc
+    )
+    SELECT tok.doc_id, tok.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(round(sum(lp.lp), 4) AS DOUBLE) AS log_importance,
+           CAST(round(sum(lp.lp), 4) AS DOUBLE) > 0 AS is_target_like
+    FROM tok JOIN lp ON lp.t = tok.t
+    GROUP BY tok.doc_id, tok.lang
+    """,
+)
+def smp_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, 'Data Selection
+    for Language Models via Importance Resampling'): fit add-one-smoothed
+    unigram models on the TARGET slice (lang = en) and the whole corpus,
+    then score every document by its log likelihood ratio
+    Σ ln(P_target(w)/P_corpus(w)) — positive means 'looks like the
+    target distribution', and resampling proportional to exp(score) is
+    the published recipe for carving a target-like training mix out of a
+    web-scale corpus. Pairs with ``smp_weighted_priority_sample``, which
+    consumes exactly such weights.
+
+    One tokenize pass builds BOTH models (conditional count inside one
+    groupBy — the corpus is not scanned twice); the three model scalars
+    (vocab size, token totals) are a 1-row collect; scoring is one
+    token→vocab equi-join (AQE-broadcastable at 100 TB, same shape as
+    ``txt_unigram_lm_score``). Per-token log-ratios are rounded to 6
+    before summation (libm ulp collapse), the doc score to 4 after.
+    """
+    from pyspark import StorageLevel
+
+    from ..session import finalize_unpersist
+
+    toks = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", "lang", F.explode(tokens()).alias("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vocab = toks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_c"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("cnt_t"),
+    )
+    sc = vocab.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("cnt_c").alias("nc"),
+        F.sum("cnt_t").alias("nt"),
+    ).first()
+    tc = float(sc.nc + sc.v)
+    tt = float(sc.nt + sc.v)
+    lp = F.round(
+        F.log(
+            ((F.col("cnt_t") + 1).cast("double") * F.lit(tc))
+            / ((F.col("cnt_c") + 1).cast("double") * F.lit(tt))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    # exact decimal sum, rounded while still DECIMAL (half-up in both
+    # engines; a double-rounded sum of 6-dp values hits exact .5 at 4 dp
+    # ~1% of the time and duckdb rounds those half-even)
+    score = F.round(F.sum("lp"), 4).cast("double")
+    out = (
+        toks.join(vocab.select("t", lp.alias("lp")), "t")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            score.alias("log_importance"),
+            (score > 0).alias("is_target_like"),
+        )
+    )
+    return finalize_unpersist(out, toks)

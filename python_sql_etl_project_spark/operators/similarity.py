@@ -1150,3 +1150,118 @@ def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import finalize_unpersist
 
     return finalize_unpersist(out, home)
+
+
+#: Matryoshka prefix lengths audited against the full 64-dim ranking.
+MRL_DIMS = (8, 16, 32, 64)
+
+
+def _cos_prefix_sql(d: int) -> str:
+    """``_COS_SQL`` restricted to the first ``d`` dims (same fold order)."""
+    return f"""
+    round(
+      list_sum(list_transform(range(1, {d + 1}),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / sqrt(list_sum(list_transform(range(1, {d + 1}),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+      / sqrt(list_sum(list_transform(range(1, {d + 1}),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))
+    , 6)
+    """
+
+
+def _matryoshka_oracle() -> str:
+    cos_cols = ",\n".join(
+        f"{_cos_prefix_sql(d)} AS c{d}" for d in MRL_DIMS
+    )
+    top1 = ",\n".join(
+        f"""t{d} AS (
+        SELECT query_id, neighbor_id AS nb{d} FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c{d} DESC, neighbor_id) AS r
+            FROM scored) WHERE r = 1
+    )"""
+        for d in MRL_DIMS
+    )
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {d} AS prefix_dim,
+               CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(CASE WHEN pfx.nb{d} = fl.nb64 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_top1_match
+        FROM t{d} pfx JOIN t64 fl USING (query_id)"""
+        for d in MRL_DIMS
+    )
+    return f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {cos_cols}
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+    ),
+    {top1}
+    {unions}
+    """
+
+
+@query("sim_matryoshka_audit", oracle=_matryoshka_oracle())
+def sim_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit (Kusupati et al. 2022): how often
+    does top-1 retrieval under a PREFIX of the embedding (8/16/32 dims)
+    agree with the full 64-dim ranking? This is the measurement that
+    licenses the standard 100 TB cost lever — search coarse-to-fine on
+    truncated vectors (prefix index ≈ d/64 of the bytes and FLOPs) and
+    re-rank survivors at full width. The corpus is scanned ONCE: all
+    four prefix cosines come out of one broadcast join row (slices of
+    the same pair), then four window top-1s on the scored table — no
+    per-dim rescans. Cosines use the repo's sequential-fold determinism
+    recipe; agreement counts are integers.
+    """
+    from ..session import finalize_unpersist
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        *[
+            _cosine(
+                F.slice("q_emb", 1, d), F.slice("embedding", 1, d)
+            ).alias(f"c{d}")
+            for d in MRL_DIMS
+        ],
+    ).persist()
+    top1 = {}
+    for d in MRL_DIMS:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(f"c{d}"), "neighbor_id"
+        )
+        top1[d] = (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("query_id", F.col("neighbor_id").alias(f"nb{d}"))
+        )
+    full = top1[64].withColumnRenamed("nb64", "nb_full")
+    parts = []
+    for d in MRL_DIMS:
+        parts.append(
+            top1[d]
+            .join(full, "query_id")
+            .agg(
+                F.lit(d).cast("int").alias("prefix_dim"),
+                F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+                F.sum(
+                    F.when(F.col(f"nb{d}") == F.col("nb_full"), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_top1_match"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return finalize_unpersist(out, scored)

@@ -203,6 +203,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "win_rfm_segments",
     "src_orc_roundtrip",
     "ts_ewma_hourly_value",
+    "sim_matryoshka_audit",
+    "smp_dsir_importance",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

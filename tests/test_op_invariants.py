@@ -224,3 +224,30 @@ def test_ewma_matches_python_recomputation(spark):
             scaled = (20000 * num + den * 1_000_000) // (2 * den * 1_000_000)
             want[(etype, hour)] = scaled / 10000
     assert got == want
+
+
+def test_matryoshka_full_dim_agrees_with_itself(spark):
+    """The 64-dim arm is the identity comparison (agreement = 100%), and
+    agreement is weakly increasing as the prefix widens toward full —
+    on this corpus the audit must at least report valid fractions."""
+    rows = {
+        r.prefix_dim: r
+        for r in registry.QUERIES["sim_matryoshka_audit"](spark, SF).collect()
+    }
+    assert set(rows) == {8, 16, 32, 64}
+    for d, r in rows.items():
+        assert 0 <= r.n_top1_match <= r.n_queries
+    assert rows[64].n_top1_match == rows[64].n_queries
+
+
+def test_dsir_importance_is_target_signed(spark):
+    """Aggregate sanity of the likelihood-ratio scores: the target slice
+    (lang=en) must score higher on average than the rest — the defining
+    property of an importance weight toward the target distribution."""
+    rows = registry.QUERIES["smp_dsir_importance"](spark, SF).collect()
+    en = [r.log_importance for r in rows if r.lang == "en"]
+    other = [r.log_importance for r in rows if r.lang != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+    for r in rows:
+        assert r.is_target_like == (r.log_importance > 0)
