@@ -64,6 +64,26 @@ SHOWCASE = {
         "Bloom probe: two BroadcastHashJoins against the 64-row word "
         "table; the filter build aggregates bit_or map-side."
     ),
+    "jn_basket_brand_pairs": (
+        "Market-basket pairs via the array rewrite: one groupBy builds "
+        "per-order baskets, pairs explode from each basket's own "
+        "greater-than suffix — no basket-table self-join anywhere."
+    ),
+    "sk_countmin_heavy_hitters": (
+        "Count-min census: the (seed, bucket) tables are map-side-"
+        "combined aggregates re-joined as broadcasts; the token scan "
+        "happens once."
+    ),
+    "sim_matryoshka_audit": (
+        "Multi-resolution retrieval audit: all four prefix cosines are "
+        "computed on ONE broadcast-join pass over the corpus; the four "
+        "top-1 windows read the persisted scored table, not the scan."
+    ),
+    "smp_dsir_importance": (
+        "DSIR weights: target and corpus unigram models come from one "
+        "tokenize pass (conditional count in a single groupBy); scoring "
+        "is a token-to-vocab equi-join, AQE-broadcastable at scale."
+    ),
 }
 
 
