@@ -138,6 +138,10 @@ HEADLINE = [
     "ts_ewma_hourly_value",
     "sim_matryoshka_audit",
     "smp_dsir_importance",
+    "graph_link_prediction",
+    "dq_iqr_outliers",
+    "ld_merge_upsert",
+    "txt_zipf_slope",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -248,3 +248,97 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("effective_from") <= d)
         & (F.col("effective_to").isNull() | (F.col("effective_to") > d))
     ).select("custkey", "status", "effective_from")
+
+
+def merge_upsert(
+    target: DataFrame, source: DataFrame, key: str, update_cols: list[str]
+) -> DataFrame:
+    """MERGE INTO as a DataFrame plan: full-outer join target and source
+    on the key; matched rows take the source's ``update_cols``, unmatched
+    source rows insert, unmatched target rows pass through. One shuffle
+    on the key — the same plan Delta/Iceberg MERGE compiles to before
+    file-level pruning; with a bucketed target the shuffle drops to the
+    source side only. Returns the post-merge state plus a ``merge_action``
+    column ('updated' / 'inserted' / 'unchanged') so callers can audit
+    the write instead of diffing tables."""
+    t = target.select(
+        F.col(key),
+        F.lit(1).alias("t_mark"),
+        *[F.col(c).alias(f"t_{c}") for c in target.columns if c != key],
+    )
+    s = source.select(
+        F.col(key),
+        F.lit(1).alias("s_mark"),
+        *[F.col(c).alias(f"s_{c}") for c in source.columns if c != key],
+    )
+    joined = t.join(s, key, "full_outer")
+    out_cols = [F.col(key)]
+    src_cols = set(source.columns)
+    for c in (c for c in target.columns if c != key):
+        if c in update_cols:
+            out_cols.append(F.coalesce(F.col(f"s_{c}"), F.col(f"t_{c}")).alias(c))
+        elif c in src_cols:
+            out_cols.append(F.coalesce(F.col(f"t_{c}"), F.col(f"s_{c}")).alias(c))
+        else:
+            # column absent from the batch: inserts land NULL here
+            out_cols.append(F.col(f"t_{c}").alias(c))
+    action = (
+        F.when(
+            F.col("t_mark").isNotNull() & F.col("s_mark").isNotNull(), "updated"
+        )
+        .when(F.col("s_mark").isNotNull(), "inserted")
+        .otherwise("unchanged")
+    )
+    return joined.select(*out_cols, action.alias("merge_action"))
+
+
+MERGE_UPDATE_MOD = 20  # every 20th customer gets a correction
+MERGE_INSERT_N = 25  # synthetic new customers appended by the batch
+
+
+@query(
+    "ld_merge_upsert",
+    oracle=f"""
+    WITH mx AS (SELECT max(c_custkey) AS mk FROM customer),
+    merged AS (
+        SELECT CASE WHEN c_custkey % {MERGE_UPDATE_MOD} = 0
+                    THEN 'updated' ELSE 'unchanged' END AS merge_action,
+               CASE WHEN c_custkey % {MERGE_UPDATE_MOD} = 0
+                    THEN 'CORRECTED' ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+        UNION ALL
+        SELECT 'inserted' AS merge_action, 'NEWSEG' AS c_mktsegment
+        FROM mx, range(1, {MERGE_INSERT_N} + 1)
+    )
+    SELECT merge_action, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM merged
+    GROUP BY 1, 2
+    """,
+)
+def ld_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse MERGE (upsert): a correction batch — every 20th
+    customer's market segment re-labelled, plus 25 brand-new customers —
+    merged into the customer dim via :func:`merge_upsert`, reporting the
+    per-action census the write audit wants. The oracle derives the same
+    post-merge state set-theoretically (CASE over the target ∪ inserts),
+    so the hash gate proves the full-outer-join MERGE plan implements
+    textbook MERGE semantics: matched→update, not-matched-by-target→
+    insert, not-matched-by-source→unchanged.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    mk = cust.agg(F.max("c_custkey")).first()[0]
+    source = (
+        cust.filter(F.col("c_custkey") % MERGE_UPDATE_MOD == 0)
+        .select("c_custkey", F.lit("CORRECTED").alias("c_mktsegment"))
+        .unionByName(
+            spark.range(1, MERGE_INSERT_N + 1).select(
+                (F.col("id") + mk).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+            )
+        )
+    )
+    merged = merge_upsert(cust, source, "c_custkey", ["c_mktsegment"])
+    return merged.groupBy("merge_action", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )

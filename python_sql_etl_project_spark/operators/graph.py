@@ -303,3 +303,141 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = finalize_unpersist(out, oe)
     pairs.unpersist()
     return res
+
+
+LINKPRED_TOP_K = 20
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH li AS (
+        SELECT l.l_orderkey, l.l_partkey, p.p_brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    pairs AS (
+        SELECT DISTINCT a.p_brand, a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand = b.p_brand
+         AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (
+        SELECT p_brand, src, CAST(count(*) AS BIGINT) AS deg
+        FROM pairs GROUP BY 1, 2
+    ),
+    wedges AS (
+        SELECT e1.p_brand, e1.dst AS a, e2.dst AS b
+        FROM pairs e1 JOIN pairs e2
+          ON e1.p_brand = e2.p_brand AND e1.src = e2.src AND e1.dst < e2.dst
+    ),
+    cand AS (
+        SELECT p_brand, a, b, CAST(count(*) AS BIGINT) AS cn
+        FROM wedges GROUP BY 1, 2, 3
+    ),
+    nonadj AS (
+        SELECT c.p_brand, c.a, c.b, c.cn
+        FROM cand c LEFT JOIN pairs p
+          ON p.p_brand = c.p_brand AND p.src = c.a AND p.dst = c.b
+        WHERE p.src IS NULL
+    ),
+    scored AS (
+        SELECT n.p_brand, n.a, n.b, n.cn, da.deg + db.deg - n.cn AS un
+        FROM nonadj n
+        JOIN deg da ON da.p_brand = n.p_brand AND da.src = n.a
+        JOIN deg db ON db.p_brand = n.p_brand AND db.src = n.b
+    )
+    SELECT p_brand, a AS part_a, b AS part_b, cn AS common_neighbors,
+           CAST((2000000 * cn + un) // (2 * un) AS DOUBLE) / 1000000
+               AS jaccard
+    FROM scored
+    ORDER BY cn DESC, p_brand, a, b
+    LIMIT {LINKPRED_TOP_K}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKED link prediction by common-neighbor counting (the classic
+    Liben-Nowell/Kleinberg baseline): within each brand, for part pairs
+    NOT yet co-purchased, how many same-brand parts are co-purchased
+    with both — the 'frequently bought with both' recommendation signal
+    — plus the neighbor-set Jaccard. The blocking key is the load-
+    bearing scale decision: the unblocked wedge space of this graph is
+    Σ deg² ≈ 3×10⁸ at sf0.1 alone (measured) and grows quadratically
+    with density, while brand-blocking bounds it at Σ_block deg_in²
+    (~5×10⁵ here, 500× less) — the same bounded-block pattern as
+    ``dd_fuzzy_part_names``. Wedge candidates come from each node's
+    sorted in-block adjacency array (the suffix-explode, centered on the
+    shared neighbor); the candidate anti-joins against the edge list to
+    keep only NEW links.
+
+    Determinism: counts and degrees are integers; Jaccard cn/(da+db−cn)
+    is rounded half-up at 6 dp in integer arithmetic (1/128-style
+    terminating rationals DO land on exact 7-digit halves).
+    """
+    from ..session import finalize_unpersist
+
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    per_order = li.groupBy("l_orderkey", "p_brand").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    pairs = (
+        per_order.select("p_brand", F.explode("parts").alias("src"), "parts")
+        .select("p_brand", "src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    adj = pairs.groupBy("p_brand", "src").agg(
+        F.sort_array(F.collect_set("dst")).alias("nbrs")
+    )
+    deg = adj.select(
+        "p_brand", "src", F.size("nbrs").cast("bigint").alias("deg")
+    )
+    wedges = adj.select(
+        "p_brand", F.explode("nbrs").alias("a"), "nbrs"
+    ).select(
+        "p_brand",
+        "a",
+        F.explode(F.expr("filter(nbrs, n -> n > a)")).alias("b"),
+    )
+    cand = wedges.groupBy("p_brand", "a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cn")
+    )
+    nonadj = cand.join(
+        pairs.select(
+            "p_brand", F.col("src").alias("a"), F.col("dst").alias("b")
+        ),
+        ["p_brand", "a", "b"],
+        "left_anti",
+    )
+    scored = (
+        nonadj.join(
+            deg.select("p_brand", F.col("src").alias("a"), F.col("deg").alias("da")),
+            ["p_brand", "a"],
+        )
+        .join(
+            deg.select("p_brand", F.col("src").alias("b"), F.col("deg").alias("db")),
+            ["p_brand", "b"],
+        )
+        .withColumn("un", F.col("da") + F.col("db") - F.col("cn"))
+    )
+    out = (
+        scored.select(
+            "p_brand",
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            (
+                F.expr("CAST((2000000 * cn + un) div (2 * un) AS BIGINT)")
+                .cast("double")
+                / 1000000
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("common_neighbors"), "p_brand", "part_a", "part_b")
+        .limit(LINKPRED_TOP_K)
+    )
+    return finalize_unpersist(out, pairs)

@@ -245,3 +245,75 @@ def dq_batch_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import finalize_unpersist
 
     return finalize_unpersist(out, docs)
+
+
+IQR_FENCE = 1.5
+
+
+@query(
+    "dq_iqr_outliers",
+    oracle=f"""
+    WITH q AS (
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        FROM lineitem GROUP BY 1
+    ),
+    fenced AS (
+        SELECT l_returnflag, p25, p75,
+               round(p25 - {IQR_FENCE} * (p75 - p25), 4) AS lo,
+               round(p75 + {IQR_FENCE} * (p75 - p25), 4) AS hi
+        FROM q
+    )
+    SELECT f.l_returnflag, f.p25, f.p75,
+           CAST(sum(CASE WHEN l.l_extendedprice < f.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_outliers,
+           CAST(sum(CASE WHEN l.l_extendedprice > f.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high_outliers,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem l JOIN fenced f ON f.l_returnflag = l.l_returnflag
+    GROUP BY 1, 2, 3
+    """,
+)
+def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per group: prices outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] of their return-flag's distribution —
+    the robust (quantile-based, not moment-based) counterpart of
+    ``ts_anomaly_zscore``, and the standard first-pass data-quality
+    screen for heavy-tailed columns. Two aggregation passes, one fact
+    scan each: the per-group fences are a group-count-sized table
+    broadcast back onto the fact for a conditional count. Fences are
+    rounded to 4 dp on both sides before comparison so interpolated-
+    quantile ulp drift cannot flip a boundary row; the docstringed scale
+    alternative for the quantile pass is ``approx_percentile``
+    (see ``agg_price_quantiles``).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+    fenced = q.select(
+        "l_returnflag",
+        "p25",
+        "p75",
+        F.round(
+            F.col("p25") - IQR_FENCE * (F.col("p75") - F.col("p25")), 4
+        ).alias("lo"),
+        F.round(
+            F.col("p75") + IQR_FENCE * (F.col("p75") - F.col("p25")), 4
+        ).alias("hi"),
+    )
+    return (
+        li.join(F.broadcast(fenced), "l_returnflag")
+        .groupBy("l_returnflag", "p25", "p75")
+        .agg(
+            F.sum(F.when(F.col("l_extendedprice") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low_outliers"),
+            F.sum(F.when(F.col("l_extendedprice") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high_outliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )

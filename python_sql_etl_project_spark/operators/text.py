@@ -826,3 +826,77 @@ def txt_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "txt_zipf_slope",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rnk
+        FROM vocab
+    ),
+    pts AS (
+        SELECT CAST(round(ln(rnk) * 1000000) AS BIGINT) AS x6,
+               CAST(round(ln(cnt) * 1000000) AS BIGINT) AS y6
+        FROM ranked
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x6) AS HUGEINT) AS sx,
+               CAST(sum(y6) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x6 AS HUGEINT) * y6) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x6 AS HUGEINT) * x6) AS HUGEINT) AS sxx
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           CAST(CAST((20000 * (n * sxy - sx * sy) + (n * sxx - sx * sx))
+                     // (2 * (n * sxx - sx * sx)) AS BIGINT) AS DOUBLE)
+               / 10000 AS zipf_slope
+    FROM sums
+    """,
+)
+def txt_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus: the OLS slope of log(frequency) on
+    log(rank) over the full vocabulary — natural language sits near −1,
+    and a corpus that drifts far from its baseline slope signals
+    boilerplate floods or template spam before any per-document filter
+    fires (the corpus-level sibling of ``txt_unigram_lm_score``).
+
+    Exactness: each point's logs are rounded to micro-units (bigint)
+    once; every regression sum then runs in 38-digit integer arithmetic
+    and the slope is one final half-up integer division — no floating
+    accumulation anywhere, so the result is bit-identical cross-engine
+    regardless of summation order. Plan: tokenize→vocab (one shuffle),
+    a global rank over the vocab table (vocab-sized, the documented
+    single-partition window posture), and a 1-row aggregate.
+    """
+    toks = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        F.explode(tokens()).alias("t")
+    )
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ranked = vocab.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("cnt"), "t"))
+    )
+    pts = ranked.select(
+        F.expr("CAST(round(ln(rnk) * 1000000) AS BIGINT)").alias("x6"),
+        F.expr("CAST(round(ln(cnt) * 1000000) AS BIGINT)").alias("y6"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x6").cast("decimal(38,0)").alias("sx"),
+        F.sum("y6").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x6").cast("decimal(38,0)") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x6").cast("decimal(38,0)") * F.col("x6")).alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_vocab"),
+        F.expr(
+            "CAST(CAST((20000 * (n * sxy - sx * sy) + (n * sxx - sx * sx))"
+            " div (2 * (n * sxx - sx * sx)) AS BIGINT) AS DOUBLE) / 10000"
+        ).alias("zipf_slope"),
+    )

@@ -205,6 +205,10 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "ts_ewma_hourly_value",
     "sim_matryoshka_audit",
     "smp_dsir_importance",
+    "graph_link_prediction",
+    "dq_iqr_outliers",
+    "ld_merge_upsert",
+    "txt_zipf_slope",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

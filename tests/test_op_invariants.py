@@ -251,3 +251,54 @@ def test_dsir_importance_is_target_signed(spark):
     assert sum(en) / len(en) > sum(other) / len(other)
     for r in rows:
         assert r.is_target_like == (r.log_importance > 0)
+
+
+def test_link_prediction_pairs_are_nonadjacent(spark):
+    """Predicted links must NOT already be edges, pairs are canonical,
+    and Jaccard is a valid (0, 1] fraction consistent with cn."""
+    from python_sql_etl_project_spark.operators.graph import _copurchase_pairs
+
+    rows = registry.QUERIES["graph_link_prediction"](spark, SF).collect()
+    assert rows
+    edges = {
+        (r.src, r.dst) for r in _copurchase_pairs(spark, SF).collect()
+    }
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.common_neighbors >= 1
+        assert (r.part_a, r.part_b) not in edges
+        assert 0 < r.jaccard <= 1
+
+
+def test_iqr_outliers_bounded(spark):
+    rows = registry.QUERIES["dq_iqr_outliers"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.p25 <= r.p75
+        assert 0 <= r.n_low_outliers + r.n_high_outliers < r.n_rows
+
+
+def test_merge_upsert_census(spark):
+    """Textbook MERGE semantics: inserted = batch's new keys, updated =
+    every 20th customer, unchanged = the rest; total = before + inserts."""
+    from python_sql_etl_project_spark.load.scd import MERGE_INSERT_N
+    from python_sql_etl_project_spark.session import read_table
+
+    rows = registry.QUERIES["ld_merge_upsert"](spark, SF).collect()
+    by_action: dict[str, int] = {}
+    for r in rows:
+        by_action[r.merge_action] = by_action.get(r.merge_action, 0) + r.n_rows
+    cust = read_table(spark, SF, "customer")
+    n = cust.count()
+    n_upd = cust.filter("c_custkey % 20 = 0").count()
+    assert by_action["inserted"] == MERGE_INSERT_N
+    assert by_action["updated"] == n_upd
+    assert by_action["unchanged"] == n - n_upd
+    marked = [r for r in rows if r.merge_action == "updated"]
+    assert all(r.c_mktsegment == "CORRECTED" for r in marked)
+
+
+def test_zipf_slope_is_negative(spark):
+    row = registry.QUERIES["txt_zipf_slope"](spark, SF).collect()[0]
+    assert row.n_vocab > 10
+    assert -3 < row.zipf_slope < 0
