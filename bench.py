@@ -142,6 +142,7 @@ HEADLINE = [
     "dq_iqr_outliers",
     "ld_merge_upsert",
     "txt_zipf_slope",
+    "dq_benford_audit",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

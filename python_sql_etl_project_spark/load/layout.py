@@ -344,13 +344,30 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parquet writers in this module.
     """
     target = tempfile.mkdtemp(prefix="orc_roundtrip_")
-    orders = read_table(spark, sf_dir, "orders")
-    orders.write.mode("overwrite").orc(target)
-    back = spark.read.orc(target)
-    return back.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
-        .cast("double")
-        .alias("total_price"),
-        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("latest_order"),
+    try:
+        orders = read_table(spark, sf_dir, "orders")
+        orders.write.mode("overwrite").orc(target)
+        back = spark.read.orc(target)
+        rows = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+                .cast("double")
+                .alias("total_price"),
+                F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+                    "latest_order"
+                ),
+            )
+            .collect()
+        )
+    finally:
+        # the aggregate (a few rows) is materialized above, so the staged
+        # ORC copy can be reclaimed before returning — no temp-dir leak
+        # per invocation
+        shutil.rmtree(target, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n_orders bigint, total_price double, "
+        "latest_order string",
     )

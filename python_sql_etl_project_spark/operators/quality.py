@@ -317,3 +317,83 @@ def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         )
     )
+
+
+#: Benford expected first-digit shares in micro-units, precomputed once
+#: in Python (round(log10(1 + 1/d) * 1e6)) so BOTH engines consume the
+#: same nine integer constants — no cross-engine log10 anywhere.
+BENFORD_MICRO: dict[int, int] = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _benford_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {d} THEN {m}" for d, m in BENFORD_MICRO.items()
+    )
+    return f"CASE first_digit {whens} END"
+
+
+@query(
+    "dq_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS first_digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    census AS (
+        SELECT first_digit, CAST(count(*) AS BIGINT) AS n_rows
+        FROM digits GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM census)
+    SELECT first_digit, n_rows,
+           CAST((2000000 * n_rows + t) // (2 * t) AS DOUBLE) / 1000000
+               AS observed_share,
+           CAST({_benford_case_sql()} AS DOUBLE) / 1000000 AS benford_share,
+           CAST((2000000 * n_rows + t) // (2 * t)
+                - {_benford_case_sql()} AS BIGINT) AS deviation_micro
+    FROM census, tot
+    """,
+)
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic/data-quality screen: naturally-occurring multi-magnitude
+    amounts follow P(d) = log10(1 + 1/d), and a digit whose observed
+    share deviates sharply flags fabricated or truncated values. One
+    map-side-combined 9-row census plus a 1-row total; expected shares
+    are nine precomputed integer constants (no runtime log10), and the
+    observed shares round half-up in pure integer arithmetic, so the
+    report is bit-identical cross-engine.
+    """
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    # explicit floor: a bare double→bigint CAST truncates in Spark but
+    # ROUNDS in DuckDB, flipping the leading digit of x999.99-style rows
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    census = digits.groupBy("first_digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    tot = census.agg(F.sum("n_rows").cast("bigint").alias("t"))
+    whens = F.col("first_digit")
+    expected = None
+    for d, m in BENFORD_MICRO.items():
+        expected = (
+            F.when(whens == d, m)
+            if expected is None
+            else expected.when(whens == d, m)
+        )
+    obs_micro = F.expr("(2000000 * n_rows + t) div (2 * t)")
+    return census.crossJoin(F.broadcast(tot)).select(
+        "first_digit",
+        "n_rows",
+        (obs_micro.cast("double") / 1000000).alias("observed_share"),
+        (expected.cast("double") / 1000000).alias("benford_share"),
+        (obs_micro - expected).cast("bigint").alias("deviation_micro"),
+    )

@@ -209,6 +209,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "dq_iqr_outliers",
     "ld_merge_upsert",
     "txt_zipf_slope",
+    "dq_benford_audit",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

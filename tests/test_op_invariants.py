@@ -302,3 +302,22 @@ def test_zipf_slope_is_negative(spark):
     row = registry.QUERIES["txt_zipf_slope"](spark, SF).collect()[0]
     assert row.n_vocab > 10
     assert -3 < row.zipf_slope < 0
+
+
+def test_benford_audit_is_a_distribution(spark):
+    """Digits are 1-9, counts conserve the filtered row count, observed
+    and expected shares each sum to ~1, and deviation is their gap."""
+    from python_sql_etl_project_spark.session import read_table
+
+    rows = registry.QUERIES["dq_benford_audit"](spark, SF).collect()
+    n_total = (
+        read_table(spark, SF, "orders").filter("o_totalprice >= 1").count()
+    )
+    assert sum(r.n_rows for r in rows) == n_total
+    assert {r.first_digit for r in rows} <= set(range(1, 10))
+    assert sum(r.observed_share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r.benford_share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        assert r.deviation_micro == round(
+            (r.observed_share - r.benford_share) * 1_000_000
+        )
