@@ -143,6 +143,7 @@ HEADLINE = [
     "ld_merge_upsert",
     "txt_zipf_slope",
     "dq_benford_audit",
+    "src_csv_roundtrip",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

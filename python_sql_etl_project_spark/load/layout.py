@@ -371,3 +371,59 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus string, n_orders bigint, total_price double, "
         "latest_order string",
     )
+
+
+@query(
+    "src_csv_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS total_price,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink proof, completing the format matrix (parquet, ORC,
+    JSON, Excel, JDBC, CSV): write lineitem's measure columns to
+    header-ed CSV, read them back with an EXPLICIT schema (schema
+    inference is a second full scan and type-unstable — the documented
+    anti-pattern for a 100 TB landing zone), and aggregate. The oracle
+    aggregates the original parquet, so the hash match proves the
+    text round-trip preserves doubles exactly (Spark writes round-trip
+    decimal renderings) and the quantity column survives the
+    double→text→double path losslessly. Same eager-materialize-then-
+    reclaim pattern as ``src_orc_roundtrip`` — no temp leak.
+    """
+    target = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    try:
+        li = read_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+        )
+        li.write.mode("overwrite").option("header", True).csv(target)
+        back = spark.read.schema(
+            "l_returnflag string, l_linestatus string, "
+            "l_quantity double, l_extendedprice double"
+        ).option("header", True).csv(target)
+        rows = (
+            back.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(14,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+                F.sum("l_quantity").cast("bigint").alias("total_qty"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_linestatus string, n_rows bigint, "
+        "total_price double, total_qty bigint",
+    )

@@ -210,6 +210,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "ld_merge_upsert",
     "txt_zipf_slope",
     "dq_benford_audit",
+    "src_csv_roundtrip",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
