@@ -321,3 +321,98 @@ def test_benford_audit_is_a_distribution(spark):
         assert r.deviation_micro == round(
             (r.observed_share - r.benford_share) * 1_000_000
         )
+
+
+def test_stream_static_enrich_across_micro_batches(spark):
+    """The static dim is re-joined per micro-batch: feed 4 files with
+    maxFilesPerTrigger=1 and check the final complete-mode emission per
+    stage equals the all-data batch aggregate (state accumulates across
+    the joined batches)."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from python_sql_etl_project_spark.streaming.windows import (
+        FUNNEL_DIM,
+        _run_to_table,
+        stream_events,
+    )
+
+    landing = tempfile.mkdtemp(prefix="events_enrich_multi_")
+    spark.read.parquet(f"{SF}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    assert (
+        len([f for f in os.listdir(landing) if f.endswith(".parquet")]) == 4
+    )
+    dim = spark.createDataFrame(
+        list(FUNNEL_DIM), "event_type string, funnel_stage string, weight int"
+    )
+    ev = stream_events(spark, SF, landing_dir=landing, max_files_per_trigger=1)
+    agg = (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy("funnel_stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)") * F.col("weight")), 4
+            )
+            .cast("double")
+            .alias("weighted_value"),
+        )
+    )
+    out = _run_to_table(spark, agg, "test_enrich_multibatch", "complete")
+    got = {
+        r.funnel_stage: (r.n_events, r.weighted_value) for r in out.collect()
+    }
+    want = {
+        r.funnel_stage: (r.n_events, r.weighted_value)
+        for r in (
+            spark.read.parquet(f"{SF}/events.parquet")
+            .join(F.broadcast(dim), "event_type")
+            .groupBy("funnel_stage")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)") * F.col("weight")),
+                    4,
+                )
+                .cast("double")
+                .alias("weighted_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_csv_roundtrip_matches_parquet_side(spark):
+    """The CSV text round-trip must preserve aggregate values exactly
+    (doubles survive via round-trip renderings)."""
+    import pyspark.sql.functions as F
+
+    from python_sql_etl_project_spark.session import read_table
+
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.n_rows, r.total_price, r.total_qty)
+        for r in registry.QUERIES["src_csv_roundtrip"](spark, SF).collect()
+    }
+    want = {
+        (r.l_returnflag, r.l_linestatus): (r.n_rows, r.total_price, r.total_qty)
+        for r in (
+            read_table(spark, SF, "lineitem")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(14,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+                F.sum("l_quantity").cast("bigint").alias("total_qty"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
