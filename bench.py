@@ -144,6 +144,8 @@ HEADLINE = [
     "txt_zipf_slope",
     "dq_benford_audit",
     "src_csv_roundtrip",
+    "win_top_session_paths",
+    "sim_pq_audit",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -1265,3 +1265,129 @@ def sim_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return finalize_unpersist(out, scored)
+
+
+PQ_M = 8  # subspaces
+PQ_SUB_D = 8  # dims per subspace (8 x 8 = 64)
+
+
+@query(
+    "sim_pq_audit",
+    oracle=f"""
+    WITH expl AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, label, dim // {PQ_SUB_D} AS m, dim % {PQ_SUB_D} AS j, v
+        FROM expl
+    ),
+    cent AS (
+        SELECT label AS k, m, j, round(avg(v), 6) AS c
+        FROM sub GROUP BY 1, 2, 3
+    ),
+    dist AS (
+        SELECT s.vec_id, s.label, s.m, cent.k,
+               CAST(round(sum((s.v - cent.c) * (s.v - cent.c)) * 1000000)
+                    AS BIGINT) AS d2_micro
+        FROM sub s JOIN cent ON cent.m = s.m AND cent.j = s.j
+        GROUP BY 1, 2, 3, 4
+    ),
+    assign AS (
+        SELECT vec_id, label, m, k, d2_micro,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2_micro, k) AS r
+        FROM dist
+    ),
+    encoded AS (
+        SELECT vec_id, label,
+               string_agg(CAST(k AS VARCHAR), '-' ORDER BY m) AS code,
+               CAST(sum(d2_micro) AS BIGINT) AS err_micro
+        FROM assign WHERE r = 1
+        GROUP BY 1, 2
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(DISTINCT code) AS BIGINT) AS n_distinct_codes,
+           CAST((20000 * CAST(sum(err_micro) AS HUGEINT)
+                 + CAST(count(*) AS HUGEINT) * 1000000)
+                // (2 * CAST(count(*) AS HUGEINT) * 1000000) AS DOUBLE)
+               / 10000 AS mean_sq_err
+    FROM encoded
+    GROUP BY label
+    """,
+)
+def sim_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization audit (Jégou et al. 2011): split the 64-dim
+    embedding into {PQ_M} subspaces of {PQ_SUB_D} dims, quantize each
+    subvector to its nearest subspace centroid, and report per label the
+    code diversity and mean reconstruction error — the distortion
+    measurement that sizes a PQ index before replacing raw vectors (a
+    64-float vector becomes {PQ_M} code digits: 32× compression here,
+    256× at production K=256/float32). Subspace codebooks are
+    label-conditioned means (the same coarse 'training' as the IVF
+    family; `sim_kmeans_codebook` demonstrates the Lloyd refinement
+    loop that upgrades them). At 100 TB: codebooks are KB-scale
+    broadcasts, encoding is one narrow pass, and the audit aggregates
+    are map-side-combinable — the corpus never self-joins.
+
+    Determinism: per-(vector, subspace, centroid) distances round to
+    integer micro-units BEFORE ranking (so cell choice ties break on k
+    in both engines), per-vector error is an exact integer sum, and the
+    label mean rounds half-up in integer arithmetic.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    sub = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "v_raw"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim") / PQ_SUB_D).cast("int").alias("m"),
+        (F.col("dim") % PQ_SUB_D).alias("j"),
+        F.col("v_raw").cast("double").alias("v"),
+    )
+    cent = sub.groupBy(
+        F.col("label").alias("k"), "m", "j"
+    ).agg(F.round(F.avg("v"), 6).alias("c"))
+    dist = (
+        sub.join(F.broadcast(cent), ["m", "j"])
+        .groupBy("vec_id", "label", "m", "k")
+        .agg(
+            F.expr(
+                "CAST(round(sum((v - c) * (v - c)) * 1000000) AS BIGINT)"
+            ).alias("d2_micro")
+        )
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d2_micro", "k")
+    encoded = (
+        dist.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "k"))),
+                    lambda s: s.k.cast("string"),
+                ),
+                "-",
+            ).alias("code"),
+            F.sum("d2_micro").cast("bigint").alias("err_micro"),
+        )
+    )
+    return encoded.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.count_distinct("code").cast("bigint").alias("n_distinct_codes"),
+        (
+            F.expr(
+                "CAST((20000 * CAST(sum(err_micro) AS DECIMAL(38,0))"
+                "      + CAST(count(1) AS DECIMAL(38,0)) * 1000000)"
+                " div (2 * CAST(count(1) AS DECIMAL(38,0)) * 1000000)"
+                " AS BIGINT)"
+            ).cast("double")
+            / 10000
+        ).alias("mean_sq_err"),
+    )

@@ -1569,3 +1569,88 @@ def ts_ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("ewma_value"),
     )
+
+
+PATH_TOP_K = 20
+
+
+@query(
+    "win_top_session_paths",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {SESSION_GAP_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM marked
+    ),
+    paths AS (
+        SELECT user_id, session_seq,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sessions GROUP BY 1, 2
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY 1
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOP_K}
+    """,
+)
+def win_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis (the product-analytics 'user journeys'
+    query): the most common ordered event-type sequences within a
+    session, using the SAME gap-based session definition as
+    ``win_sessionize_events`` (constants shared, so the two cannot
+    drift). Each session's path is assembled by sorting its (ts,
+    event_id, type) structs inside the aggregation — order lives in the
+    array sort, not in shuffle arrival order, so the path string is
+    deterministic. One shuffle on user_id builds sessions AND paths; the
+    census is a map-side-combinable count with a top-k merge. Path
+    length is bounded by the session gap (an idle user ends their own
+    path); a pathological always-on key would hit Spark's array limits
+    long after it had already broken the sessionization itself —
+    cap-and-overflow per N events is the documented production knob.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(w)
+    is_start = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > gap_us),
+        1,
+    ).otherwise(0)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = ev.select(
+        "user_id", "ts", "event_id", "event_type", is_start.alias("is_start")
+    ).withColumn("session_seq", F.sum("is_start").over(w_run))
+    paths = sessions.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOP_K)
+    )

@@ -211,6 +211,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "txt_zipf_slope",
     "dq_benford_audit",
     "src_csv_roundtrip",
+    "win_top_session_paths",
+    "sim_pq_audit",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

