@@ -146,6 +146,8 @@ HEADLINE = [
     "src_csv_roundtrip",
     "win_top_session_paths",
     "sim_pq_audit",
+    "ts_changepoint_cusum",
+    "agg_gini_concentration",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

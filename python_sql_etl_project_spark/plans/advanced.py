@@ -1654,3 +1654,181 @@ def win_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(PATH_TOP_K)
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                   AS m
+        FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+        SELECT event_type, hour, m,
+               sum(m) OVER (PARTITION BY event_type ORDER BY hour
+                            ROWS UNBOUNDED PRECEDING) AS prefix,
+               row_number() OVER (PARTITION BY event_type ORDER BY hour) AS h,
+               sum(m) OVER (PARTITION BY event_type) AS tot,
+               count(*) OVER (PARTITION BY event_type) AS n_hours
+        FROM hourly
+    ),
+    cusum AS (
+        SELECT event_type, hour, n_hours,
+               CAST(n_hours AS HUGEINT) * prefix
+                   - CAST(h AS HUGEINT) * tot AS c
+        FROM pre
+    ),
+    peak AS (
+        SELECT event_type, hour, n_hours, c,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(c) DESC, hour) AS r
+        FROM cusum
+    )
+    SELECT event_type,
+           strftime(hour, '%Y-%m-%d %H:00') AS changepoint_hour,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           CAST((20000 * abs(c) + CAST(n_hours AS HUGEINT) * 1000000)
+                // (2 * CAST(n_hours AS HUGEINT) * 1000000) AS DOUBLE)
+               / 10000 AS peak_cusum
+    FROM peak WHERE r = 1
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the hour where the
+    cumulative deviation of hourly value totals from the series mean
+    peaks — the classic single-changepoint estimator (where the level
+    shifted, if it did), complementing ``ts_anomaly_zscore`` (pointwise
+    outliers) and ``ts_ewma_hourly_value`` (smoothing). The deviation
+    sum Σ(mᵢ − μ) is kept EXACT by scaling to series-length units
+    (H·prefix − h·total, all integer — no fractional mean anywhere);
+    the peak magnitude is normalized back to value units with one
+    half-up integer division. Plan: one shuffled hourly agg, then
+    windows over the tiny per-type series; the argmax is a window
+    rank, not a self-join.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+        ).alias("m")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("hour")
+    w_all = Window.partitionBy("event_type")
+    pre = hourly.select(
+        "event_type",
+        "hour",
+        F.sum("m").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("prefix"),
+        F.row_number().over(w_ord).alias("h"),
+        F.sum("m").over(w_all).alias("tot"),
+        F.count(F.lit(1)).over(w_all).alias("n_hours"),
+    )
+    cusum = pre.select(
+        "event_type",
+        "hour",
+        "n_hours",
+        F.expr(
+            "CAST(n_hours AS DECIMAL(38,0)) * prefix"
+            " - CAST(h AS DECIMAL(38,0)) * tot"
+        ).alias("c"),
+    )
+    w_peak = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("c")).desc(), "hour"
+    )
+    return (
+        cusum.withColumn("r", F.row_number().over(w_peak))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias(
+                "changepoint_hour"
+            ),
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+            (
+                F.expr(
+                    "CAST((20000 * abs(c)"
+                    "      + CAST(n_hours AS DECIMAL(38,0)) * 1000000)"
+                    " div (2 * CAST(n_hours AS DECIMAL(38,0)) * 1000000)"
+                    " AS BIGINT)"
+                ).cast("double")
+                / 10000
+            ).alias("peak_cusum"),
+        )
+    )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS i
+        FROM rev
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(cents) AS HUGEINT) AS t,
+               CAST(sum(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS weighted
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(t AS BIGINT) AS total_cents,
+           CAST((20000 * (2 * weighted - (n + 1) * t) + n * t)
+                // (2 * n * t) AS DOUBLE) / 10000 AS gini
+    FROM sums
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the standard inequality
+    measure of 'how concentrated is our revenue', complementing
+    ``q11_revenue_concentration`` (top-share) and the quartile banders:
+    G = (2·Σ i·xᵢ) / (n·Σx) − (n+1)/n over ascending-sorted revenues.
+    Revenue is exact integer cents, the rank-weighted sum is exact
+    38-digit integer arithmetic, and G rounds half-up in one integer
+    division — bit-identical cross-engine, no floating math at all.
+    The global sort is customer-grain (dim-sized; the documented window
+    posture) — at fact scale the estimator switches to the quantile-
+    bucket approximation over ``approx_percentile`` boundaries.
+    """
+    rev = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    ranked = rev.withColumn(
+        "i", F.row_number().over(Window.orderBy("cents", "o_custkey"))
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("t"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias(
+            "weighted"
+        ),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("t").cast("bigint").alias("total_cents"),
+        (
+            F.expr(
+                "CAST((20000 * (2 * weighted - (n + 1) * t) + n * t)"
+                " div (2 * n * t) AS BIGINT)"
+            ).cast("double")
+            / 10000
+        ).alias("gini"),
+    )

@@ -213,6 +213,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "src_csv_roundtrip",
     "win_top_session_paths",
     "sim_pq_audit",
+    "ts_changepoint_cusum",
+    "agg_gini_concentration",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

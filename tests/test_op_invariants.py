@@ -442,3 +442,41 @@ def test_pq_audit_distortion_sane(spark):
     for r in rows:
         assert 0 < r.n_distinct_codes <= r.n_vecs
         assert r.mean_sq_err >= 0
+
+
+def test_cusum_changepoint_bounds(spark):
+    """One changepoint per type, inside the series, with non-negative
+    normalized peak; peak is 0 only for a perfectly flat series."""
+    rows = registry.QUERIES["ts_changepoint_cusum"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_hours > 0
+        assert r.peak_cusum >= 0
+
+
+def test_gini_matches_python_recomputation(spark):
+    """Gini equals an independent integer recomputation in Python and
+    lies in [0, 1) — pinning the rank convention and rounding in one
+    shot."""
+    import duckdb
+
+    row = registry.QUERIES["agg_gini_concentration"](spark, SF).collect()[0]
+    con = duckdb.connect()
+    cents = [
+        c
+        for (c,) in con.execute(
+            f"""
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100
+                        AS BIGINT)
+            FROM '{SF}/orders.parquet'
+            GROUP BY o_custkey ORDER BY 1
+            """
+        ).fetchall()
+    ]
+    n, t = len(cents), sum(cents)
+    weighted = sum((i + 1) * c for i, c in enumerate(cents))
+    g4 = (20000 * (2 * weighted - (n + 1) * t) + n * t) // (2 * n * t)
+    assert row.n_customers == n
+    assert row.total_cents == t
+    assert row.gini == g4 / 10000
+    assert 0 <= row.gini < 1
