@@ -148,6 +148,7 @@ HEADLINE = [
     "sim_pq_audit",
     "ts_changepoint_cusum",
     "agg_gini_concentration",
+    "strm_cdc_apply",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -215,6 +215,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "sim_pq_audit",
     "ts_changepoint_cusum",
     "agg_gini_concentration",
+    "strm_cdc_apply",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

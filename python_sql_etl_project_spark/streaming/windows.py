@@ -645,3 +645,109 @@ def strm_static_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(spark, agg, "strm_static_dim_enrich", "complete")
+
+
+@query(
+    "strm_cdc_apply",
+    oracle="""
+    SELECT CASE WHEN c_custkey % 13 = 0 THEN 'SEG_U2'
+                WHEN c_custkey % 7 = 0 THEN 'SEG_U1'
+                ELSE c_mktsegment END AS c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c_custkey) AS BIGINT) AS key_checksum
+    FROM customer
+    WHERE c_custkey % 11 <> 0
+    GROUP BY 1
+    """,
+)
+def strm_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application — the change-data-capture ingestion pattern
+    (Debezium/DMS-style): an ordered op log (I nsert / U pdate / D elete)
+    arrives as a file stream in three chronological micro-batches, and
+    ``foreachBatch`` folds each batch into the replica table — upserts
+    via :func:`..load.scd.merge_upsert`, deletes via a left-anti join —
+    exactly the apply loop a lakehouse CDC sink runs per commit. The log
+    is derived deterministically from the customer dim (batch 0 =
+    snapshot inserts; batch 1 = segment updates for ``key % 7``;
+    batch 2 = updates for ``key % 13`` then deletes for ``key % 11``,
+    delete applied last so the one key divisible by both resolves
+    identically everywhere). The oracle is the SET-THEORETIC final
+    state (one CASE over the source), so the hash gate proves the
+    streamed fold converges to the same replica a batch rebuild would
+    produce — the correctness contract of any CDC pipeline. State lives
+    in the (checkpointed) replica, not stream memory; each batch
+    shuffles on the key only.
+    """
+    from ..load.scd import merge_upsert
+    from ..session import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    b0 = cust.select(
+        "c_custkey", F.lit("I").alias("op"), F.col("c_mktsegment").alias("seg")
+    )
+    b1 = cust.filter("c_custkey % 7 = 0").select(
+        "c_custkey", F.lit("U").alias("op"), F.lit("SEG_U1").alias("seg")
+    )
+    b2 = (
+        cust.filter("c_custkey % 13 = 0")
+        .select(
+            "c_custkey", F.lit("U").alias("op"), F.lit("SEG_U2").alias("seg")
+        )
+        .unionByName(
+            cust.filter("c_custkey % 11 = 0").select(
+                "c_custkey",
+                F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("seg"),
+            )
+        )
+    )
+    landing = tempfile.mkdtemp(prefix="cdc_stream_")
+    t0 = 1_000_000_000
+    for i, b in enumerate((b0, b1, b2)):
+        tmp = os.path.join(landing, f"_stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        dst = os.path.join(landing, f"batch_{i:03d}.parquet")
+        os.rename(os.path.join(tmp, src), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    schema = spark.read.parquet(os.path.join(landing, "batch_000.parquet")).schema
+    state: dict[str, DataFrame | None] = {"tbl": None}
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        upserts = batch_df.filter(F.col("op") != "D").select(
+            "c_custkey", F.col("seg").alias("c_mktsegment")
+        )
+        deletes = batch_df.filter(F.col("op") == "D").select("c_custkey")
+        tbl = state["tbl"]
+        if tbl is None:
+            tbl = upserts
+        elif not upserts.isEmpty():
+            tbl = merge_upsert(
+                tbl, upserts, "c_custkey", ["c_mktsegment"]
+            ).drop("merge_action")
+        tbl = tbl.join(deletes, "c_custkey", "left_anti")
+        # eager materialization = the batch's table commit; truncates
+        # lineage so state does not deepen per micro-batch
+        state["tbl"] = tbl.localCheckpoint(eager=True)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_cdc_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["tbl"] is not None
+    return state["tbl"].groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("c_custkey").cast("bigint").alias("key_checksum"),
+    )
