@@ -84,6 +84,16 @@ SHOWCASE = {
         "tokenize pass (conditional count in a single groupBy); scoring "
         "is a token-to-vocab equi-join, AQE-broadcastable at scale."
     ),
+    "sim_pq_audit": (
+        "Product quantization: the KB-scale subspace codebook re-joins "
+        "as a broadcast; encoding is one narrow pass and the distortion "
+        "audit is map-side-combinable — the corpus never self-joins."
+    ),
+    "graph_link_prediction": (
+        "Blocked link prediction: wedges explode from per-node in-block "
+        "adjacency arrays (bounded by block density), candidates "
+        "anti-join the edge list; no unblocked wedge space anywhere."
+    ),
 }
 
 
