@@ -1321,12 +1321,12 @@ PQ_SUB_D = 8  # dims per subspace (8 x 8 = 64)
 )
 def sim_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization audit (Jégou et al. 2011): split the 64-dim
-    embedding into {PQ_M} subspaces of {PQ_SUB_D} dims, quantize each
-    subvector to its nearest subspace centroid, and report per label the
-    code diversity and mean reconstruction error — the distortion
-    measurement that sizes a PQ index before replacing raw vectors (a
-    64-float vector becomes {PQ_M} code digits: 32× compression here,
-    256× at production K=256/float32). Subspace codebooks are
+    embedding into ``PQ_M`` (8) subspaces of ``PQ_SUB_D`` (8) dims,
+    quantize each subvector to its nearest subspace centroid, and report
+    per label the code diversity and mean reconstruction error — the
+    distortion measurement that sizes a PQ index before replacing raw
+    vectors (a 64-float vector becomes 8 code digits: 32× compression
+    here, 256× at production K=256/float32). Subspace codebooks are
     label-conditioned means (the same coarse 'training' as the IVF
     family; `sim_kmeans_codebook` demonstrates the Lloyd refinement
     loop that upgrades them). At 100 TB: codebooks are KB-scale

@@ -1515,8 +1515,8 @@ EWMA_WINDOW = 16  # half-life 1 step: weights 2^0 .. 2^15, oldest smallest
 def ts_ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of each type's hourly value
     total (half-life = one step) — the smoother a monitoring pipeline
-    feeds thresholds from, weighting the last {EWMA_WINDOW} present
-    points by 2^-age. Distinct from ``win_trailing_7d_revenue`` (uniform
+    feeds thresholds from, weighting the last ``EWMA_WINDOW`` (16)
+    present points by 2^-age. Distinct from ``win_trailing_7d_revenue`` (uniform
     weights) and ``ts_locf_hourly_value`` (carry-forward): this is the
     exponential-decay family.
 
