@@ -149,6 +149,9 @@ HEADLINE = [
     "ts_changepoint_cusum",
     "agg_gini_concentration",
     "strm_cdc_apply",
+    "ts_autocorrelation",
+    "agg_hhi_concentration",
+    "win_mom_growth",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

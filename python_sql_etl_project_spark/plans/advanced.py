@@ -1832,3 +1832,258 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("gini"),
     )
+
+
+ACF_LAGS = (1, 2, 24)
+
+
+@query(
+    "ts_autocorrelation",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                   AS m
+        FROM events GROUP BY 1, 2
+    ),
+    dev AS (
+        SELECT event_type, hour,
+               row_number() OVER (PARTITION BY event_type ORDER BY hour) AS h,
+               CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) * m
+                   - CAST(sum(m) OVER (PARTITION BY event_type) AS HUGEINT)
+                   AS d
+        FROM hourly
+    ),
+    lags AS (SELECT unnest(ARRAY{list(ACF_LAGS)}) AS lag),
+    num AS (
+        SELECT a.event_type, l.lag,
+               sum(a.d * b.d) AS cross_sum,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM dev a
+        JOIN lags l ON TRUE
+        JOIN dev b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+        GROUP BY 1, 2
+    ),
+    den AS (
+        SELECT event_type, sum(d * d) AS ss FROM dev GROUP BY 1
+    )
+    SELECT n.event_type, n.lag, n.n_pairs,
+           CAST((20000 * n.cross_sum + CASE WHEN n.cross_sum >= 0
+                                            THEN den.ss ELSE -den.ss END)
+                // (2 * den.ss) AS DOUBLE) / 10000 AS acf
+    FROM num n JOIN den ON den.event_type = n.event_type
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each type's hourly value series at lags 1, 2
+    and 24 — the measurement that DECIDES whether the daily seasonality
+    ``ts_seasonality_index`` models is real (high lag-24 ACF) and how
+    persistent shocks are (lag-1/2): r_k = Σ dᵗ·dᵗ⁺ᵏ / Σ dᵗ², d = the
+    mean deviation. Exactness uses the ``ts_changepoint_cusum`` trick —
+    deviations scaled by series length (H·m − Σm) are exact integers, so
+    numerator and denominator are exact 38-digit products and the ACF
+    rounds in one signed half-up integer division. The lag join is a
+    self-equi-join on (type, position) — position is dense, so each row
+    matches at most |lags| partners; no window array state needed.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+        ).alias("m")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("hour")
+    w_all = Window.partitionBy("event_type")
+    dev = hourly.select(
+        "event_type",
+        F.row_number().over(w_ord).alias("h"),
+        F.expr(
+            "CAST(count(1) OVER (PARTITION BY event_type) AS DECIMAL(38,0))"
+            " * m"
+        ).alias("hm"),
+        F.sum("m").over(w_all).cast("decimal(38,0)").alias("sm"),
+    ).select(
+        "event_type", "h", (F.col("hm") - F.col("sm")).alias("d")
+    )
+    lags = spark.createDataFrame([(l,) for l in ACF_LAGS], "lag int")
+    a = dev.select("event_type", "h", F.col("d").alias("da"))
+    b = dev.select(
+        F.col("event_type").alias("et2"),
+        F.col("h").alias("h2"),
+        F.col("d").alias("db"),
+    )
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("h2") == F.col("h") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.sum(F.col("da") * F.col("db")).alias("cross_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).alias("ss")
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        (
+            F.expr(
+                "CAST((20000 * cross_sum + CASE WHEN cross_sum >= 0"
+                "      THEN ss ELSE -ss END) div (2 * ss) AS BIGINT)"
+            ).cast("double")
+            / 10000
+        ).alias("acf"),
+    )
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_mktsegment, o.o_custkey,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS HUGEINT) AS t,
+               sum(CAST(cents AS HUGEINT) * cents) AS sq
+        FROM rev GROUP BY 1
+    )
+    SELECT c_mktsegment, n_customers,
+           CAST((CAST(200000000 AS HUGEINT) * sq + t * t)
+                // (2 * t * t) AS DOUBLE) / 10000 AS hhi
+    FROM seg
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per market segment:
+    HHI = Σ shareᵢ² × 10000 over each customer's revenue share of their
+    segment — the antitrust-style 'is this segment dominated by a few
+    buyers' measure, complementing the corpus-wide Gini. Share squares
+    never materialize as floats: HHI·10⁻⁴ = Σcᵢ²/T², so the scaled
+    index is one exact integer expression (38-digit products) with a
+    final half-up division. One shuffle to customer grain, one to
+    segment grain; both map-side combinable.
+    """
+    rev = (
+        read_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    seg = rev.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("decimal(38,0)").alias("t"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "sq"
+        ),
+    )
+    return seg.select(
+        "c_mktsegment",
+        "n_customers",
+        (
+            F.expr(
+                "CAST((CAST(200000000 AS DECIMAL(38,0)) * sq + t * t)"
+                " div (2 * t * t) AS BIGINT)"
+            ).cast("double")
+            / 10000
+        ).alias("hhi"),
+    )
+
+
+@query(
+    "win_mom_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT month, cents,
+               lag(cents) OVER (ORDER BY month) AS prev_cents
+        FROM monthly
+    )
+    SELECT month,
+           CAST(round(CAST(cents AS DECIMAL(18,2)) / 100, 2) AS DOUBLE)
+               AS revenue,
+           CASE WHEN prev_cents IS NULL THEN NULL
+                ELSE CAST((20000 * (CAST(cents AS HUGEINT) - prev_cents)
+                           + CASE WHEN cents >= prev_cents
+                                  THEN prev_cents ELSE -prev_cents END)
+                          // (2 * CAST(prev_cents AS HUGEINT)) AS DOUBLE)
+                     / 10000
+           END AS mom_growth
+    FROM lagged
+    """,
+)
+def win_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the BI staple the window family
+    still lacked (running totals and trailing sums exist; the GROWTH
+    RATE against the previous period is its own shape: lag + signed
+    ratio). Revenue is exact integer cents; the growth rate
+    (c − prev)/prev rounds half-up (half-away for declines) in integer
+    arithmetic, so a month exactly 12.5% up hashes identically in both
+    engines. The lag window runs over the months table (tiny); the
+    heavy work is one map-side-combinable monthly aggregate.
+    """
+    monthly = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+            .alias("month")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    lagged = monthly.withColumn(
+        "prev_cents", F.lag("cents").over(Window.orderBy("month"))
+    )
+    return lagged.select(
+        "month",
+        F.expr("CAST(round(CAST(cents AS DECIMAL(18,2)) / 100, 2) AS DOUBLE)")
+        .alias("revenue"),
+        F.when(
+            F.col("prev_cents").isNull(), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.expr(
+                "CAST((20000 * (CAST(cents AS DECIMAL(38,0)) - prev_cents)"
+                "      + CASE WHEN cents >= prev_cents"
+                "             THEN CAST(prev_cents AS DECIMAL(38,0))"
+                "             ELSE -CAST(prev_cents AS DECIMAL(38,0)) END)"
+                " div (2 * CAST(prev_cents AS DECIMAL(38,0))) AS BIGINT)"
+            ).cast("double")
+            / 10000
+        )
+        .alias("mom_growth"),
+    )

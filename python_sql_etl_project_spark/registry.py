@@ -216,6 +216,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "ts_changepoint_cusum",
     "agg_gini_concentration",
     "strm_cdc_apply",
+    "ts_autocorrelation",
+    "agg_hhi_concentration",
+    "win_mom_growth",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

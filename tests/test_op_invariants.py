@@ -480,3 +480,33 @@ def test_gini_matches_python_recomputation(spark):
     assert row.total_cents == t
     assert row.gini == g4 / 10000
     assert 0 <= row.gini < 1
+
+
+def test_autocorrelation_bounds(spark):
+    """|r_k| <= 1 by Cauchy-Schwarz (partial-overlap form), one row per
+    (type, lag), pair counts consistent with the series length."""
+    rows = registry.QUERIES["ts_autocorrelation"](spark, SF).collect()
+    seen = {(r.event_type, r.lag) for r in rows}
+    assert len(seen) == len(rows)
+    for r in rows:
+        assert -1 <= r.acf <= 1
+        assert r.n_pairs > 0
+
+
+def test_hhi_bounds(spark):
+    """10000/n <= HHI <= 10000 for every segment (equal shares to
+    monopoly)."""
+    rows = registry.QUERIES["agg_hhi_concentration"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 10000 / r.n_customers - 1 <= r.hhi <= 10000
+
+
+def test_mom_growth_first_month_null(spark):
+    rows = sorted(
+        registry.QUERIES["win_mom_growth"](spark, SF).collect(),
+        key=lambda r: r.month,
+    )
+    assert rows[0].mom_growth is None
+    assert all(r.mom_growth is not None for r in rows[1:])
+    assert all(r.revenue > 0 for r in rows)
