@@ -152,6 +152,8 @@ HEADLINE = [
     "ts_autocorrelation",
     "agg_hhi_concentration",
     "win_mom_growth",
+    "graph_degree_distribution",
+    "smp_kfold_assignment",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -441,3 +441,58 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(LINKPRED_TOP_K)
     )
     return finalize_unpersist(out, pairs)
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM pairs GROUP BY 1),
+    bucketed AS (
+        SELECT CAST(floor(log2(deg)) AS INT) AS degree_bucket, deg
+        FROM deg
+    )
+    SELECT degree_bucket,
+           CAST(1 << degree_bucket AS BIGINT) AS bucket_min_degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(deg) AS BIGINT) AS min_degree,
+           CAST(max(deg) AS BIGINT) AS max_degree
+    FROM bucketed
+    GROUP BY 1
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph in log2 buckets —
+    the first thing to look at before ANY graph algorithm runs at scale
+    (it tells you whether PageRank/link-prediction will meet super-nodes
+    and whether blocking/capping is needed; the wedge-space measurements
+    in ``graph_link_prediction`` start from exactly this histogram).
+    Buckets are integer log2 (floor(log2(deg)) is exact for BIGINT in
+    both engines — no float boundary: deg is a positive integer and
+    log2 of it only sits ON an integer at exact powers of two, where
+    both engines agree), counts are integers throughout.
+    """
+    from ..session import finalize_unpersist
+
+    pairs = _copurchase_pairs(spark, sf_dir).persist()
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    out = (
+        deg.select(
+            F.floor(F.log2("deg")).cast("int").alias("degree_bucket"), "deg"
+        )
+        .groupBy("degree_bucket")
+        .agg(
+            F.expr("CAST(shiftleft(1, degree_bucket) AS BIGINT)").alias(
+                "bucket_min_degree"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("deg").cast("bigint").alias("min_degree"),
+            F.max("deg").cast("bigint").alias("max_degree"),
+        )
+    )
+    return finalize_unpersist(out, pairs)

@@ -890,3 +890,59 @@ def smp_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return finalize_unpersist(out, toks)
+
+
+KFOLD_K = 5
+
+
+@query(
+    "smp_kfold_assignment",
+    oracle=f"""
+    WITH folds AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5(concat('fold:', doc_id)), 1, 4))::BIGINT
+                    % {KFOLD_K} AS INT) AS fold
+        FROM documents
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM folds
+    GROUP BY fold
+    """,
+)
+def smp_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (K=5): each
+    document's fold is a pure function of md5(doc_id), so every engine,
+    every run and every epoch sees the same partition — the property
+    CV needs for train/eval leakage-freedom across a distributed
+    pipeline (the same keyed-hash family as ``smp_hash_split``, but
+    modular over K folds rather than threshold split). Reported as the
+    per-fold census; the fold column itself composes with any query via
+    the same expression. One map-side-combinable aggregate, no shuffle
+    of the corpus beyond the K-row census.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        % KFOLD_K
+    ).cast("int")
+    return (
+        docs.select(fold.alias("fold"), "n_chars", "doc_id")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+    )

@@ -219,6 +219,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "ts_autocorrelation",
     "agg_hhi_concentration",
     "win_mom_growth",
+    "graph_degree_distribution",
+    "smp_kfold_assignment",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -510,3 +510,33 @@ def test_mom_growth_first_month_null(spark):
     assert rows[0].mom_growth is None
     assert all(r.mom_growth is not None for r in rows[1:])
     assert all(r.revenue > 0 for r in rows)
+
+
+def test_degree_distribution_conserves_nodes(spark):
+    """Bucket node counts sum to the graph's node count; bucket bounds
+    are consistent (2^b <= min <= max < 2^(b+1))."""
+    from python_sql_etl_project_spark.operators.graph import _copurchase_pairs
+
+    rows = registry.QUERIES["graph_degree_distribution"](spark, SF).collect()
+    n_nodes = (
+        _copurchase_pairs(spark, SF).select("src").distinct().count()
+    )
+    assert sum(r.n_nodes for r in rows) == n_nodes
+    for r in rows:
+        assert r.bucket_min_degree == 2**r.degree_bucket
+        assert r.bucket_min_degree <= r.min_degree <= r.max_degree
+        assert r.max_degree < 2 ** (r.degree_bucket + 1)
+
+
+def test_kfold_assignment_partitions_corpus(spark):
+    """Folds partition the corpus (counts sum to |docs|), every fold is
+    populated at this scale, and re-running reassigns nothing."""
+    from python_sql_etl_project_spark.operators.sampling import KFOLD_K
+    from python_sql_etl_project_spark.session import read_table
+
+    rows = registry.QUERIES["smp_kfold_assignment"](spark, SF).collect()
+    n_docs = read_table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert {r.fold for r in rows} == set(range(KFOLD_K))
+    again = registry.QUERIES["smp_kfold_assignment"](spark, SF).collect()
+    assert sorted(rows) == sorted(again)
