@@ -154,6 +154,9 @@ HEADLINE = [
     "win_mom_growth",
     "graph_degree_distribution",
     "smp_kfold_assignment",
+    "pack_order_fragmentation",
+    "txt_burstiness",
+    "agg_pareto_8020",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

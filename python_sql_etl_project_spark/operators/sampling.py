@@ -946,3 +946,91 @@ def smp_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("min_doc_id"),
         )
     )
+
+
+@query(
+    "pack_order_fragmentation",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    arrival AS (
+        SELECT source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS run
+        FROM toks
+    ),
+    sorted_runs AS (
+        SELECT source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source
+                                   ORDER BY n_tokens DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS run
+        FROM toks
+    ),
+    a AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN (run - n_tokens) // {TOKEN_BUDGET}
+                              <> (run - 1) // {TOKEN_BUDGET}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle_arrival
+        FROM arrival GROUP BY 1
+    ),
+    s AS (
+        SELECT source,
+               CAST(sum(CASE WHEN (run - n_tokens) // {TOKEN_BUDGET}
+                              <> (run - 1) // {TOKEN_BUDGET}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle_sorted
+        FROM sorted_runs GROUP BY 1
+    )
+    SELECT a.source, a.n_docs, a.n_straddle_arrival, s.n_straddle_sorted
+    FROM a JOIN s ON s.source = a.source
+    """,
+)
+def pack_order_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-order fragmentation audit: under concat-then-chunk packing
+    (``pack_token_budget``), how many documents STRADDLE a context-window
+    boundary — i.e. get split across training sequences — in arrival
+    order versus size-descending order. Boundary-straddling is the
+    packing-quality number an LLM data pipeline tracks (split documents
+    truncate context), and ordering by length is the classic zero-cost
+    mitigation; this query measures the improvement per source with pure
+    window arithmetic (a doc straddles iff its first and last token land
+    in different chunks). Two window passes over the same coarse
+    ``source`` shuffle; everything integer.
+    """
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    toks = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", n_tokens.alias("n_tokens")
+    )
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    runs_a = toks.withColumn(
+        "run",
+        F.sum("n_tokens").over(
+            Window.partitionBy("source").orderBy("doc_id").rowsBetween(*frame)
+        ),
+    )
+    runs_s = toks.withColumn(
+        "run",
+        F.sum("n_tokens").over(
+            Window.partitionBy("source")
+            .orderBy(F.desc("n_tokens"), "doc_id")
+            .rowsBetween(*frame)
+        ),
+    )
+    straddle = F.when(
+        F.expr(
+            f"(run - n_tokens) div {TOKEN_BUDGET}"
+            f" <> (run - 1) div {TOKEN_BUDGET}"
+        ),
+        1,
+    ).otherwise(0)
+    a = runs_a.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(straddle).cast("bigint").alias("n_straddle_arrival"),
+    )
+    s = runs_s.groupBy("source").agg(
+        F.sum(straddle).cast("bigint").alias("n_straddle_sorted")
+    )
+    return a.join(s, "source")

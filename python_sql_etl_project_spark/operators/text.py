@@ -900,3 +900,75 @@ def txt_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * (n * sxx - sx * sx)) AS BIGINT) AS DOUBLE) / 10000"
         ).alias("zipf_slope"),
     )
+
+
+BURSTY_TOP_K = 20
+
+
+@query(
+    "txt_burstiness",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    n_docs AS (SELECT CAST(count(DISTINCT doc_id) AS HUGEINT) AS n FROM tok),
+    per_doc AS (
+        SELECT t, doc_id, CAST(count(*) AS BIGINT) AS x FROM tok GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT t,
+               CAST(count(*) AS BIGINT) AS doc_freq,
+               CAST(sum(x) AS HUGEINT) AS s,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sq
+        FROM per_doc GROUP BY 1
+    )
+    SELECT t AS token, CAST(s AS BIGINT) AS corpus_count, doc_freq,
+           CAST((20000 * (n * sq - s * s) + n * s) // (2 * n * s) AS DOUBLE)
+               / 10000 AS fano_factor
+    FROM stats, n_docs
+    ORDER BY corpus_count DESC, token
+    LIMIT {BURSTY_TOP_K}
+    """,
+)
+def txt_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Fano factor, variance-to-mean over per-document
+    counts INCLUDING absent docs) for the corpus's top tokens — the
+    corpus-linguistics separator between topical words (bursty: appear
+    many times in few docs, VMR >> 1) and function words (dispersed,
+    VMR near the Poisson baseline of ~1 + mean effect). Feeds stopword
+    discovery and TF-IDF sanity at corpus scale. VMR = (N·Σx² − S²) /
+    (N·S) is exact 38-digit integer arithmetic over the per-doc count
+    table; zero-count docs enter through N without materializing zeros.
+    """
+    toks = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.explode(tokens()).alias("t")
+    )
+    n_docs = toks.select("doc_id").distinct().count()
+    per_doc = toks.groupBy("t", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    stats = per_doc.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sq"),
+    )
+    return (
+        stats.select(
+            F.col("t").alias("token"),
+            F.col("s").cast("bigint").alias("corpus_count"),
+            "doc_freq",
+            (
+                F.expr(
+                    f"CAST((20000 * (CAST({n_docs} AS DECIMAL(38,0)) * sq"
+                    f"               - s * s)"
+                    f"      + CAST({n_docs} AS DECIMAL(38,0)) * s)"
+                    f" div (2 * CAST({n_docs} AS DECIMAL(38,0)) * s)"
+                    f" AS BIGINT)"
+                ).cast("double")
+                / 10000
+            ).alias("fano_factor"),
+        )
+        .orderBy(F.desc("corpus_count"), "token")
+        .limit(BURSTY_TOP_K)
+    )

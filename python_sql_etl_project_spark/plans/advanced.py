@@ -2087,3 +2087,77 @@ def win_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("mom_growth"),
     )
+
+
+@query(
+    "agg_pareto_8020",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents DESC, o_custkey) AS i,
+               sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                                ROWS UNBOUNDED PRECEDING) AS prefix,
+               CAST(sum(cents) OVER () AS HUGEINT) AS t,
+               CAST(count(*) OVER () AS HUGEINT) AS n
+        FROM rev
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(min(i) AS BIGINT) AS top_customers_for_80pct,
+           CAST((20000 * CAST(min(i) AS HUGEINT) + n) // (2 * n) AS DOUBLE)
+               / 10000 AS share_of_customers
+    FROM ranked
+    WHERE 5 * CAST(prefix AS HUGEINT) >= 4 * t
+    GROUP BY n
+    """,
+)
+def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto 80/20 census: the smallest set of top customers whose
+    revenue reaches 80% of the total — the one-number concentration
+    answer executives actually ask for, bridging ``agg_gini_concentration``
+    (full-distribution) and ``q11_revenue_concentration`` (fixed-share
+    list). The crossing point uses the INTEGER inequality 5·prefix ≥ 4·T
+    (no 0.8 float anywhere), so the threshold row is exact; the customer
+    share rounds half-up in integer arithmetic. One customer-grain
+    aggregate plus a dim-sized global window (documented posture).
+    """
+    rev = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    w_ord = Window.orderBy(F.desc("cents"), "o_custkey")
+    ranked = rev.select(
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("cents")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("prefix"),
+        F.sum("cents").over(Window.partitionBy()).alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    hit = ranked.filter(
+        5 * F.col("prefix").cast("decimal(38,0)")
+        >= 4 * F.col("t").cast("decimal(38,0)")
+    )
+    return hit.groupBy("n").agg(
+        F.min("i").cast("bigint").alias("top_customers_for_80pct"),
+        F.expr(
+            "CAST((20000 * CAST(min(i) AS DECIMAL(38,0))"
+            "      + CAST(n AS DECIMAL(38,0)))"
+            " div (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+        ).cast("double").alias("share_scaled"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        "top_customers_for_80pct",
+        (F.col("share_scaled") / 10000).alias("share_of_customers"),
+    )

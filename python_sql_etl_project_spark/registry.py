@@ -221,6 +221,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "win_mom_growth",
     "graph_degree_distribution",
     "smp_kfold_assignment",
+    "pack_order_fragmentation",
+    "txt_burstiness",
+    "agg_pareto_8020",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

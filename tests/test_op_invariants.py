@@ -540,3 +540,56 @@ def test_kfold_assignment_partitions_corpus(spark):
     assert {r.fold for r in rows} == set(range(KFOLD_K))
     again = registry.QUERIES["smp_kfold_assignment"](spark, SF).collect()
     assert sorted(rows) == sorted(again)
+
+
+def test_fragmentation_sorted_no_worse_everywhere_bounded(spark):
+    """Straddle counts are bounded by doc counts; corpus-wide, sorted
+    order must not fragment more than arrival order (the mitigation's
+    entire point — per-source small samples may tie)."""
+    rows = registry.QUERIES["pack_order_fragmentation"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_straddle_arrival <= r.n_docs
+        assert 0 <= r.n_straddle_sorted <= r.n_docs
+    assert sum(r.n_straddle_sorted for r in rows) <= sum(
+        r.n_straddle_arrival for r in rows
+    )
+
+
+def test_burstiness_fano_floor(spark):
+    """Fano factor over counts-with-zeros is >= the no-variance floor
+    of 0 and doc_freq can never exceed the corpus doc count."""
+    from python_sql_etl_project_spark.session import read_table
+
+    rows = registry.QUERIES["txt_burstiness"](spark, SF).collect()
+    n_docs = read_table(spark, SF, "documents").count()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert 0 <= r.fano_factor
+        assert 0 < r.doc_freq <= n_docs
+        assert r.corpus_count >= r.doc_freq
+
+
+def test_pareto_8020_crossing(spark):
+    """The reported k is a genuine 80% crossing: top-k revenue >= 80%
+    of total and top-(k-1) < 80% (verified independently in DuckDB)."""
+    import duckdb
+
+    row = registry.QUERIES["agg_pareto_8020"](spark, SF).collect()[0]
+    con = duckdb.connect()
+    cents = [
+        c
+        for (c,) in con.execute(
+            f"""
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100
+                        AS BIGINT)
+            FROM '{SF}/orders.parquet'
+            GROUP BY o_custkey ORDER BY 1 DESC
+            """
+        ).fetchall()
+    ]
+    t = sum(cents)
+    k = row.top_customers_for_80pct
+    assert 5 * sum(cents[:k]) >= 4 * t
+    assert 5 * sum(cents[: k - 1]) < 4 * t
+    assert row.n_customers == len(cents)
