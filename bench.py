@@ -157,6 +157,8 @@ HEADLINE = [
     "pack_order_fragmentation",
     "txt_burstiness",
     "agg_pareto_8020",
+    "win_second_purchase_latency",
+    "txt_js_divergence",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

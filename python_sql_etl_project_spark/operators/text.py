@@ -972,3 +972,122 @@ def txt_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("corpus_count"), "token")
         .limit(BURSTY_TOP_K)
     )
+
+
+#: ln(2) as a shared literal so neither engine evaluates it (identical
+#: constant text → identical double in both).
+_LN2 = "0.6931471805599453"
+
+
+@query(
+    "txt_js_divergence",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    src_cnt AS (
+        SELECT source, t, CAST(count(*) AS BIGINT) AS cs FROM tok GROUP BY 1, 2
+    ),
+    corp_cnt AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS cc FROM tok GROUP BY 1
+    ),
+    totals AS (
+        SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM src_cnt GROUP BY 1
+    ),
+    grand AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+    terms AS (
+        SELECT s.source,
+               CAST(round(
+                   (CAST(s.cs AS DOUBLE) / t0.ns)
+                   * ln((CAST(s.cs AS DOUBLE) / t0.ns)
+                        / (((CAST(s.cs AS DOUBLE) / t0.ns)
+                            + (CAST(c.cc AS DOUBLE) / g.n)) / 2))
+                   + (CAST(c.cc AS DOUBLE) / g.n)
+                   * ln((CAST(c.cc AS DOUBLE) / g.n)
+                        / (((CAST(s.cs AS DOUBLE) / t0.ns)
+                            + (CAST(c.cc AS DOUBLE) / g.n)) / 2)),
+                   6) AS DECIMAL(18,6)) AS term,
+               c.cc
+        FROM src_cnt s
+        JOIN corp_cnt c ON c.t = s.t
+        JOIN totals t0 ON t0.source = s.source
+        CROSS JOIN grand g
+    ),
+    agg AS (
+        SELECT source,
+               CAST(sum(term) AS DECIMAL(18,6)) AS a,
+               CAST(sum(cc) AS BIGINT) AS covered
+        FROM terms GROUP BY 1
+    )
+    SELECT a.source, t0.ns AS n_tokens,
+           round(0.5 * (CAST(a.a AS DOUBLE)
+                        + {_LN2} * (CAST(g.n - a.covered AS DOUBLE) / g.n)),
+                 4) AS js_nats
+    FROM agg a JOIN totals t0 ON t0.source = a.source CROSS JOIN grand g
+    """,
+)
+def txt_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each source's unigram distribution
+    from the whole corpus — the text-native drift monitor (PSI's sibling
+    ``dq_batch_drift_psi`` watches numeric bit-buckets; this watches the
+    LANGUAGE of a source): JS is symmetric, bounded by ln 2, and zero
+    iff the source reads like the corpus. The vocabulary-absent mass
+    never materializes: Σ over tokens a source lacks collapses
+    analytically to ln2 · (1 − covered/N), so the join stays on PRESENT
+    (source, token) pairs only — corpus-scale cost is the token
+    aggregate, not |sources|×|vocab|.
+
+    Determinism: per-pair KL terms are rounded to 6 dp (libm ulp
+    collapse) and summed in DECIMAL; ln 2 enters as a shared literal so
+    neither engine evaluates it.
+    """
+    from pyspark import StorageLevel
+
+    from ..session import finalize_unpersist
+
+    toks = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select("source", F.explode(tokens()).alias("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = toks.count()
+    src_cnt = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cs")
+    )
+    corp_cnt = toks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cc")
+    )
+    totals = src_cnt.groupBy("source").agg(
+        F.sum("cs").cast("bigint").alias("ns")
+    )
+    ps = F.col("cs").cast("double") / F.col("ns")
+    pc = F.col("cc").cast("double") / F.lit(float(n))
+    m = (ps + pc) / 2
+    term = F.round(ps * F.log(ps / m) + pc * F.log(pc / m), 6).cast(
+        "decimal(18,6)"
+    )
+    agg = (
+        src_cnt.join(corp_cnt, "t")
+        .join(F.broadcast(totals), "source")
+        .select("source", term.alias("term"), "cc")
+        .groupBy("source")
+        .agg(
+            F.sum("term").cast("decimal(18,6)").alias("a"),
+            F.sum("cc").cast("bigint").alias("covered"),
+        )
+    )
+    out = agg.join(F.broadcast(totals), "source").select(
+        "source",
+        F.col("ns").alias("n_tokens"),
+        F.round(
+            0.5
+            * (
+                F.col("a").cast("double")
+                + F.expr(_LN2)
+                * ((F.lit(float(n)) - F.col("covered")) / F.lit(float(n)))
+            ),
+            4,
+        ).alias("js_nats"),
+    )
+    return finalize_unpersist(out, toks)

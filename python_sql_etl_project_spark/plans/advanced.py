@@ -2161,3 +2161,68 @@ def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_customers_for_80pct",
         (F.col("share_scaled") / 10000).alias("share_of_customers"),
     )
+
+
+@query(
+    "win_second_purchase_latency",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS k
+        FROM events WHERE event_type = 'purchase'
+    ),
+    lat AS (
+        SELECT a.user_id,
+               CAST((epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS BIGINT)
+                   AS latency_secs
+        FROM purchases a JOIN purchases b
+          ON b.user_id = a.user_id AND a.k = 1 AND b.k = 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_repeat_buyers,
+           round(quantile_cont(latency_secs, 0.50), 4) AS median_latency_secs,
+           round(quantile_cont(latency_secs, 0.90), 4) AS p90_latency_secs,
+           CAST(min(latency_secs) AS BIGINT) AS min_latency_secs
+    FROM lat
+    """,
+)
+def win_second_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-to-second-purchase latency — the repeat-buyer activation
+    metric every growth team tracks: for each user with 2+ purchases,
+    the seconds between their first two, summarized as median/p90. The
+    per-user part is one window over the purchases slice (rank by time,
+    keep k=1,2 — no self-join in the engine plan: a conditional
+    aggregation pairs them); latencies are exact integer microsecond
+    arithmetic, and the percentile interpolation matches DuckDB's
+    quantile_cont (the ``agg_price_quantiles`` precedent).
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("k", F.row_number().over(w)).filter(F.col("k") <= 2)
+    lat = (
+        ranked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.when(F.col("k") == 1, F.col("ts"))).alias("t1"),
+            F.min(F.when(F.col("k") == 2, F.col("ts"))).alias("t2"),
+        )
+        .filter(F.col("n") == 2)
+        .select(
+            F.expr(
+                "CAST((unix_micros(t2) - unix_micros(t1)) div 1000000"
+                " AS BIGINT)"
+            ).alias("latency_secs")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_repeat_buyers"),
+        F.round(F.percentile("latency_secs", F.lit(0.50)), 4).alias(
+            "median_latency_secs"
+        ),
+        F.round(F.percentile("latency_secs", F.lit(0.90)), 4).alias(
+            "p90_latency_secs"
+        ),
+        F.min("latency_secs").cast("bigint").alias("min_latency_secs"),
+    )

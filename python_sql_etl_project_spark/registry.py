@@ -224,6 +224,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "pack_order_fragmentation",
     "txt_burstiness",
     "agg_pareto_8020",
+    "win_second_purchase_latency",
+    "txt_js_divergence",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

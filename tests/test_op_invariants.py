@@ -593,3 +593,30 @@ def test_pareto_8020_crossing(spark):
     assert 5 * sum(cents[:k]) >= 4 * t
     assert 5 * sum(cents[: k - 1]) < 4 * t
     assert row.n_customers == len(cents)
+
+
+def test_second_purchase_latency_ordering(spark):
+    row = registry.QUERIES["win_second_purchase_latency"](spark, SF).collect()[0]
+    assert row.n_repeat_buyers > 0
+    assert 0 <= row.min_latency_secs <= row.median_latency_secs
+    assert row.median_latency_secs <= row.p90_latency_secs
+
+
+def test_js_divergence_bounds(spark):
+    """0 <= JS <= ln 2 for every source; token totals conserve."""
+    import math
+
+    from python_sql_etl_project_spark.session import read_table
+    from python_sql_etl_project_spark.operators.text import tokens
+    import pyspark.sql.functions as F
+
+    rows = registry.QUERIES["txt_js_divergence"](spark, SF).collect()
+    assert rows
+    total = (
+        read_table(spark, SF, "documents")
+        .select(F.explode(tokens()).alias("t"))
+        .count()
+    )
+    assert sum(r.n_tokens for r in rows) == total
+    for r in rows:
+        assert -1e-4 <= r.js_nats <= math.log(2) + 1e-4
