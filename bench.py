@@ -159,6 +159,7 @@ HEADLINE = [
     "agg_pareto_8020",
     "win_second_purchase_latency",
     "txt_js_divergence",
+    "smp_dedup_aware_split",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

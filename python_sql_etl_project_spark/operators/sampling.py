@@ -1034,3 +1034,77 @@ def pack_order_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(straddle).cast("bigint").alias("n_straddle_sorted")
     )
     return a.join(s, "source")
+
+
+def _dedup_split_oracle() -> str:
+    from .dedup import _CLUSTERS_CTES, _SHINGLES_CTE
+
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_CLUSTERS_CTES},
+    grouped AS (
+        SELECT d.doc_id, d.n_chars, c.cluster_id,
+               coalesce(c.cluster_id, d.doc_id) AS grp
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ),
+    assigned AS (
+        SELECT *,
+               CASE WHEN substr(md5(concat('dsplit:', grp)), 1, 2)
+                         < '{SPLIT_TRAIN_UPPER}'
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM grouped
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clustered_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM assigned
+    GROUP BY split
+    """
+
+
+@query("smp_dedup_aware_split", oracle=_dedup_split_oracle())
+def smp_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE train/eval split — the leakage-safe upgrade of
+    ``smp_hash_split``: near-duplicate documents must land on the SAME
+    side (a train doc whose near-copy sits in eval inflates every
+    benchmark), so the split hash keys on the duplicate-cluster
+    representative (``dd_duplicate_clusters``'s canonical min-id) and
+    only singleton docs hash on their own id. The no-cluster-spans-
+    splits invariant is test-pinned on the actual assignment; the
+    clusters come from the REGISTERED cluster query, so the split and
+    the dedup pipeline cannot drift. Scale shape: the cluster table is
+    the dup sliver (tiny vs the corpus); the assignment is a left join
+    against it plus a narrow hash projection — the corpus shuffles once
+    on doc_id.
+    """
+    from ..registry import QUERIES
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clusters = QUERIES["dd_duplicate_clusters"](spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    grouped = docs.join(clusters, "doc_id", "left").withColumn(
+        "grp", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    split = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("dsplit:"), F.col("grp").cast("string"))), 1, 2
+        )
+        < SPLIT_TRAIN_UPPER,
+        "train",
+    ).otherwise("eval")
+    return (
+        grouped.select(split.alias("split"), "grp", "cluster_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("grp").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("cluster_id").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clustered_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

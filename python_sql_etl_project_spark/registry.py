@@ -226,6 +226,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "agg_pareto_8020",
     "win_second_purchase_latency",
     "txt_js_divergence",
+    "smp_dedup_aware_split",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -620,3 +620,40 @@ def test_js_divergence_bounds(spark):
     assert sum(r.n_tokens for r in rows) == total
     for r in rows:
         assert -1e-4 <= r.js_nats <= math.log(2) + 1e-4
+
+
+def test_dedup_aware_split_no_cluster_leakage(spark):
+    """THE invariant: no duplicate cluster spans train and eval — checked
+    on the actual per-doc assignment, not just the census."""
+    import pyspark.sql.functions as F
+
+    from python_sql_etl_project_spark.operators.sampling import (
+        SPLIT_TRAIN_UPPER,
+    )
+    from python_sql_etl_project_spark.session import read_table
+
+    clusters = registry.QUERIES["dd_duplicate_clusters"](spark, SF).select(
+        "doc_id", "cluster_id"
+    )
+    docs = read_table(spark, SF, "documents").select("doc_id")
+    grouped = docs.join(clusters, "doc_id", "left").withColumn(
+        "grp", F.coalesce("cluster_id", "doc_id")
+    )
+    split = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("dsplit:"), F.col("grp").cast("string"))), 1, 2
+        )
+        < SPLIT_TRAIN_UPPER,
+        "train",
+    ).otherwise("eval")
+    leaky = (
+        grouped.filter(F.col("cluster_id").isNotNull())
+        .select("cluster_id", split.alias("split"))
+        .groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_sides"))
+        .filter(F.col("n_sides") > 1)
+        .count()
+    )
+    assert leaky == 0
+    census = registry.QUERIES["smp_dedup_aware_split"](spark, SF).collect()
+    assert sum(r.n_docs for r in census) == docs.count()
