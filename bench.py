@@ -160,6 +160,7 @@ HEADLINE = [
     "win_second_purchase_latency",
     "txt_js_divergence",
     "smp_dedup_aware_split",
+    "graph_assortativity",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -496,3 +496,93 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return finalize_unpersist(out, pairs)
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM pairs GROUP BY 1),
+    edge_degs AS (
+        SELECT CAST(ds.deg AS HUGEINT) AS x, CAST(dd.deg AS HUGEINT) AS y
+        FROM pairs p
+        JOIN deg ds ON ds.src = p.src
+        JOIN deg dd ON dd.src = p.dst
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM edge_degs
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 4)
+               AS assortativity
+    FROM sums
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over every edge — positive
+    means hubs link to hubs (social-network-like), negative means
+    hub-and-spoke (catalog/star-like). With the degree distribution and
+    triangle census this completes the structural profile that predicts
+    how the iterative algorithms above will behave. All five moment sums
+    are exact integers over the symmetric edge list (both directions
+    counted, the standard undirected convention); the only floating ops
+    are two sqrt/divisions on identical exact inputs, rounded once. The
+    edge⋈degree join shuffles on node id twice — the same plan cost as
+    one PageRank round.
+    """
+    from ..session import finalize_unpersist
+
+    pairs = _copurchase_pairs(spark, sf_dir).persist()
+    deg = pairs.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    edge_degs = (
+        pairs.join(deg.select(F.col("src"), F.col("deg").alias("x")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("y")),
+            "dst",
+        )
+        .select(
+            F.col("x").cast("decimal(38,0)").alias("x"),
+            F.col("y").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    sums = edge_degs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    out = sums.select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            4,
+        ).alias("assortativity"),
+    )
+    return finalize_unpersist(out, pairs)

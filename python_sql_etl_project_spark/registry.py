@@ -227,6 +227,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "win_second_purchase_latency",
     "txt_js_divergence",
     "smp_dedup_aware_split",
+    "graph_assortativity",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -657,3 +657,11 @@ def test_dedup_aware_split_no_cluster_leakage(spark):
     assert leaky == 0
     census = registry.QUERIES["smp_dedup_aware_split"](spark, SF).collect()
     assert sum(r.n_docs for r in census) == docs.count()
+
+
+def test_assortativity_in_range_and_symmetric_edge_count(spark):
+    """r in [-1, 1]; the symmetric edge list has an even directed count."""
+    row = registry.QUERIES["graph_assortativity"](spark, SF).collect()[0]
+    assert -1 <= row.assortativity <= 1
+    assert row.n_directed_edges % 2 == 0
+    assert row.n_directed_edges > 0
