@@ -161,6 +161,8 @@ HEADLINE = [
     "txt_js_divergence",
     "smp_dedup_aware_split",
     "graph_assortativity",
+    "scd2_interval_integrity",
+    "smp_balanced_upsample",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

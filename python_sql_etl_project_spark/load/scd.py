@@ -342,3 +342,77 @@ def ld_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("merge_action", "c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows")
     )
+
+
+def _scd2_integrity_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH hist AS ({ORACLES["scd2_customer_status_history"]}),
+    checked AS (
+        SELECT custkey, effective_from, effective_to, is_current,
+               lead(effective_from) OVER (
+                   PARTITION BY custkey
+                   ORDER BY effective_from,
+                            coalesce(effective_to, '9999-12-31'), status
+               ) AS next_from
+        FROM hist
+    )
+    SELECT CAST(count(DISTINCT custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(sum(is_current) AS BIGINT) AS n_current,
+           CAST(sum(CASE WHEN next_from IS NOT NULL
+                          AND effective_to <> next_from
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_chain_breaks,
+           CAST(sum(CASE WHEN next_from IS NULL AND is_current = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling_closed
+    FROM checked
+    """
+
+
+@query("scd2_interval_integrity", oracle=_scd2_integrity_oracle())
+def scd2_interval_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval-integrity audit over the REGISTERED history build
+    (shared callable — the audit and the dimension cannot drift): every
+    customer's versions must chain exactly (each row's ``effective_to``
+    equals the next row's ``effective_from``), the last version must be
+    the current one, and each customer has exactly one current row
+    (``n_current == n_customers``, pinned by test). This is the
+    invariant a warehouse checks after every SCD2 merge — run it over a
+    billion-row dimension and the cost is one window over the existing
+    dimension-key partitioning plus a 1-row census.
+    """
+    from ..registry import QUERIES
+
+    hist = QUERIES["scd2_customer_status_history"](spark, sf_dir)
+    # same-day version pairs exist (same-date status flips, orderkey
+    # tiebroken upstream); coalesce keeps NULL ordering engine-neutral
+    w = Window.partitionBy("custkey").orderBy(
+        "effective_from",
+        F.coalesce("effective_to", F.lit("9999-12-31")),
+        "status",
+    )
+    checked = hist.withColumn(
+        "next_from", F.lead("effective_from").over(w)
+    )
+    return checked.agg(
+        F.count_distinct("custkey").cast("bigint").alias("n_customers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+        F.sum("is_current").cast("bigint").alias("n_current"),
+        F.sum(
+            F.when(
+                F.col("next_from").isNotNull()
+                & (F.col("effective_to") != F.col("next_from")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_chain_breaks"),
+        F.sum(
+            F.when(
+                F.col("next_from").isNull() & (F.col("is_current") == 0), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_dangling_closed"),
+    )

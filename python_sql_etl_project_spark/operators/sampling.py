@@ -1108,3 +1108,47 @@ def smp_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@query(
+    "smp_balanced_upsample",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_before FROM documents
+        GROUP BY 1
+    ),
+    mx AS (SELECT CAST(max(n_before) AS BIGINT) AS m FROM counts)
+    SELECT lang, n_before,
+           CAST((m + n_before - 1) // n_before AS BIGINT) AS replication,
+           CAST(n_before * ((m + n_before - 1) // n_before) AS BIGINT)
+               AS n_after
+    FROM counts, mx
+    """,
+)
+def smp_balanced_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced upsampling plan: replicate each minority language's
+    documents ceil(max/|lang|) times so every language reaches at least
+    the majority count — the deterministic oversampling counterpart of
+    ``smp_temperature_resample`` (which downsamples majorities). The
+    replication factor is pure integer arithmetic, and the actual
+    expansion at scale is ``explode(sequence(1, factor))`` — a narrow
+    per-row generator, no shuffle, with replica index available as the
+    epoch-dedup key. Registered as the per-language plan census (the
+    factor table IS the artifact a training loader consumes).
+    """
+    counts = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_before"))
+    )
+    mx = counts.agg(F.max("n_before").cast("bigint").alias("m"))
+    return counts.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "n_before",
+        F.expr("(m + n_before - 1) div n_before").cast("bigint").alias(
+            "replication"
+        ),
+        F.expr("n_before * ((m + n_before - 1) div n_before)")
+        .cast("bigint")
+        .alias("n_after"),
+    )

@@ -228,6 +228,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "txt_js_divergence",
     "smp_dedup_aware_split",
     "graph_assortativity",
+    "scd2_interval_integrity",
+    "smp_balanced_upsample",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

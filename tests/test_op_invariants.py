@@ -665,3 +665,23 @@ def test_assortativity_in_range_and_symmetric_edge_count(spark):
     assert -1 <= row.assortativity <= 1
     assert row.n_directed_edges % 2 == 0
     assert row.n_directed_edges > 0
+
+
+def test_scd2_integrity_holds(spark):
+    """The registered history build must pass its own audit: no chain
+    breaks, no dangling closed rows, exactly one current per customer."""
+    row = registry.QUERIES["scd2_interval_integrity"](spark, SF).collect()[0]
+    assert row.n_chain_breaks == 0
+    assert row.n_dangling_closed == 0
+    assert row.n_current == row.n_customers
+    assert row.n_versions >= row.n_customers
+
+
+def test_balanced_upsample_reaches_majority(spark):
+    rows = registry.QUERIES["smp_balanced_upsample"](spark, SF).collect()
+    m = max(r.n_before for r in rows)
+    for r in rows:
+        assert r.replication >= 1
+        assert r.n_after == r.n_before * r.replication
+        assert r.n_after >= m
+        assert r.n_after - m < r.n_before  # ceil tightness

@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "ld_partition_skew": "1-row (total, partition-count) aggregate broadcast",
     "dq_benford_audit": "1-row census-total broadcast over the 9-row census",
     "ts_autocorrelation": "constant 3-row lag table broadcast",
+    "smp_balanced_upsample": "1-row max-count aggregate broadcast",
     "graph_triangle_count": "two 1-row aggregates (census ⨯ triangle total)",
     "ts_hourly_rollup_gapfill": (
         "dense hour×type grid from a 1-row span and the tiny type dim — "
