@@ -163,6 +163,7 @@ HEADLINE = [
     "graph_assortativity",
     "scd2_interval_integrity",
     "smp_balanced_upsample",
+    "mm_byte_uniformity",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

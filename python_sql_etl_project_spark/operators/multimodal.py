@@ -389,3 +389,70 @@ def mm_payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_corrupt"
         ),
     )
+
+
+@query(
+    "mm_byte_uniformity",
+    oracle=f"""
+    WITH {_ASSETS_CTE},
+    per_asset AS (
+        SELECT mime,
+               CAST(len(list_distinct(
+                   list_transform(range(1, 17),
+                                  i -> substr(payload_hex, 2 * i - 1, 2))))
+                    AS BIGINT) AS n_distinct_bytes
+        FROM assets
+    ),
+    agg AS (
+        SELECT mime, CAST(count(*) AS BIGINT) AS n_assets,
+               CAST(sum(n_distinct_bytes) AS BIGINT) AS s,
+               CAST(min(n_distinct_bytes) AS BIGINT) AS min_distinct,
+               CAST(max(n_distinct_bytes) AS BIGINT) AS max_distinct
+        FROM per_asset GROUP BY 1
+    )
+    SELECT mime, n_assets, min_distinct, max_distinct,
+           CAST((20000 * s + n_assets) // (2 * n_assets) AS DOUBLE) / 10000
+               AS avg_distinct_bytes
+    FROM agg
+    """,
+)
+def mm_byte_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-uniformity screen over binary payloads: distinct-byte counts
+    per asset, summarized per mime type — the codec-free corruption
+    detector (an all-zero or constant-padded payload collapses to 1-2
+    distinct bytes, far below the ~15.5 expected of 16 random bytes;
+    truncated uploads skew the minimum). Byte extraction is pure hex
+    substring arithmetic on both engines — the payload is never decoded,
+    so the audit runs on ANY modality at full scan speed; the mean is
+    the usual half-up integer rounding.
+    """
+    a = assets(spark, sf_dir).select(
+        F.col("meta.mime").alias("mime"),
+        F.hex(F.col("payload")).alias("ph"),
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: F.expr("ph").substr(i * 2 + 1, F.lit(2)),
+    )
+    per_asset = a.select(
+        "mime",
+        F.size(F.array_distinct(pairs)).cast("bigint").alias(
+            "n_distinct_bytes"
+        ),
+    )
+    agg = per_asset.groupBy("mime").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.sum("n_distinct_bytes").cast("bigint").alias("s"),
+        F.min("n_distinct_bytes").cast("bigint").alias("min_distinct"),
+        F.max("n_distinct_bytes").cast("bigint").alias("max_distinct"),
+    )
+    return agg.select(
+        "mime",
+        "n_assets",
+        "min_distinct",
+        "max_distinct",
+        (
+            F.expr("(20000 * s + n_assets) div (2 * n_assets)").cast("double")
+            / 10000
+        ).alias("avg_distinct_bytes"),
+    )

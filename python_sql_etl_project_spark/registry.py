@@ -230,6 +230,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "graph_assortativity",
     "scd2_interval_integrity",
     "smp_balanced_upsample",
+    "mm_byte_uniformity",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -685,3 +685,14 @@ def test_balanced_upsample_reaches_majority(spark):
         assert r.n_after == r.n_before * r.replication
         assert r.n_after >= m
         assert r.n_after - m < r.n_before  # ceil tightness
+
+
+def test_byte_uniformity_bounds(spark):
+    """16-byte payloads: distinct bytes in [1, 16]; md5 payloads sit
+    near the random expectation (> 10 on average), far from the 1-2 of
+    constant padding the screen exists to catch."""
+    rows = registry.QUERIES["mm_byte_uniformity"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.min_distinct <= r.max_distinct <= 16
+        assert 10 < r.avg_distinct_bytes <= 16
