@@ -164,6 +164,8 @@ HEADLINE = [
     "scd2_interval_integrity",
     "smp_balanced_upsample",
     "mm_byte_uniformity",
+    "ld_column_histogram",
+    "pipe_training_mix_manifest",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -427,3 +427,68 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag string, l_linestatus string, n_rows bigint, "
         "total_price double, total_qty bigint",
     )
+
+
+HIST_BINS = 32
+
+
+@query(
+    "ld_column_histogram",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        FROM lineitem
+    ),
+    binned AS (
+        SELECT least(CAST(floor((l_extendedprice - lo) * {HIST_BINS}
+                                / (hi - lo)) AS INT),
+                     {HIST_BINS} - 1) AS bin,
+               l_extendedprice
+        FROM lineitem, bounds
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(min(CAST(l_extendedprice AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS bin_min,
+           CAST(round(max(CAST(l_extendedprice AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS bin_max
+    FROM binned
+    GROUP BY bin
+    """,
+)
+def ld_column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width column histogram (32 bins over l_extendedprice) — the
+    optimizer statistic ``ld_column_stats`` (min/max/NDV) doesn't
+    carry: per-bin row counts are what selectivity estimation and
+    AQE-style skew decisions actually read (``ANALYZE TABLE ... FOR
+    COLUMNS`` builds exactly this). Two scans (bounds, then binning) in
+    the registered form; production folds the bounds into the same pass
+    via the stats table. Bin assignment is identical double arithmetic
+    on both engines (one subtraction/multiply/divide chain on the same
+    inputs); actual bin min/max round in DECIMAL.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                * HIST_BINS
+                / (F.col("hi") - F.col("lo"))
+            ).cast("int"),
+            F.lit(HIST_BINS - 1),
+        ).alias("bin"),
+        "l_extendedprice",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.min(F.col("l_extendedprice").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("bin_min"),
+        F.round(F.max(F.col("l_extendedprice").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("bin_max"),
+    )

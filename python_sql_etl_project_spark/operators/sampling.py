@@ -1152,3 +1152,71 @@ def smp_balanced_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_after"),
     )
+
+
+def _training_mix_oracle() -> str:
+    from .dedup import _CLUSTERS_CTES, _SHINGLES_CTE
+
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_CLUSTERS_CTES},
+    grouped AS (
+        SELECT d.doc_id, d.lang,
+               CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               coalesce(c.cluster_id, d.doc_id) AS grp
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ),
+    assigned AS (
+        SELECT *,
+               CASE WHEN substr(md5(concat('dsplit:', grp)), 1, 2)
+                         < '{SPLIT_TRAIN_UPPER}'
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM grouped
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM assigned
+    GROUP BY 1, 2
+    """
+
+
+@query("pipe_training_mix_manifest", oracle=_training_mix_oracle())
+def pipe_training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-mix manifest — the artifact a pretraining launch
+    actually consumes: per (split, language), document and token mass
+    under the LEAKAGE-SAFE split (``smp_dedup_aware_split``'s
+    cluster-keyed assignment, same hash, same cluster source — the three
+    queries share one definition chain: clusters → split → manifest).
+    This is the composition endgame of the curation family: dedup
+    clustering, split assignment and tokenization fused into one plan —
+    the corpus is tokenized in the same pass that assigns splits, so the
+    manifest costs one doc-grain shuffle beyond the cluster build.
+    """
+    from ..registry import QUERIES
+
+    docs = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "lang", F.size(tokens()).cast("bigint").alias("n_tokens")
+    )
+    clusters = QUERIES["dd_duplicate_clusters"](spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    grouped = docs.join(clusters, "doc_id", "left").withColumn(
+        "grp", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    split = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("dsplit:"), F.col("grp").cast("string"))), 1, 2
+        )
+        < SPLIT_TRAIN_UPPER,
+        "train",
+    ).otherwise("eval")
+    return (
+        grouped.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -231,6 +231,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "scd2_interval_integrity",
     "smp_balanced_upsample",
     "mm_byte_uniformity",
+    "ld_column_histogram",
+    "pipe_training_mix_manifest",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

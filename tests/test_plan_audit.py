@@ -43,6 +43,7 @@ BNLJ_ALLOWED = {
     "dq_benford_audit": "1-row census-total broadcast over the 9-row census",
     "ts_autocorrelation": "constant 3-row lag table broadcast",
     "smp_balanced_upsample": "1-row max-count aggregate broadcast",
+    "ld_column_histogram": "1-row (min, max) bounds broadcast",
     "graph_triangle_count": "two 1-row aggregates (census ⨯ triangle total)",
     "ts_hourly_rollup_gapfill": (
         "dense hour×type grid from a 1-row span and the tiny type dim — "
