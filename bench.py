@@ -166,6 +166,7 @@ HEADLINE = [
     "mm_byte_uniformity",
     "ld_column_histogram",
     "pipe_training_mix_manifest",
+    "win_new_vs_returning",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

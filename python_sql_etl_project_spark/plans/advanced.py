@@ -2226,3 +2226,66 @@ def win_second_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("latency_secs").cast("bigint").alias("min_latency_secs"),
     )
+
+
+@query(
+    "win_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, ts,
+               min(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events
+    ),
+    daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               user_id,
+               max(CASE WHEN date_trunc('day', ts) = date_trunc('day', first_ts)
+                        THEN 1 ELSE 0 END) AS is_new
+        FROM firsts
+        GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS dau,
+           CAST(sum(is_new) AS BIGINT) AS n_new,
+           CAST(count(*) - sum(is_new) AS BIGINT) AS n_returning
+    FROM daily
+    GROUP BY day
+    """,
+)
+def win_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users decomposed into new vs returning — the
+    first-line growth dashboard number (``win_cohort_retention``'s
+    day-grain sibling): a user is 'new' on the calendar day of their
+    first-ever event and 'returning' on any later active day. One
+    window (first-seen per user) rides the same user_id shuffle the
+    per-(day, user) dedup needs; everything downstream is integer/date
+    arithmetic — no rounding rule at all.
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.withColumn(
+        "first_ts", F.min("ts").over(Window.partitionBy("user_id"))
+    )
+    daily = (
+        firsts.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "user_id",
+        )
+        .agg(
+            F.max(
+                F.when(
+                    F.date_trunc("day", "ts")
+                    == F.date_trunc("day", "first_ts"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_new")
+        )
+    )
+    return daily.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau"),
+        F.sum("is_new").cast("bigint").alias("n_new"),
+        (F.count(F.lit(1)) - F.sum("is_new")).cast("bigint").alias(
+            "n_returning"
+        ),
+    )

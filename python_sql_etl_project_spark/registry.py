@@ -233,6 +233,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "mm_byte_uniformity",
     "ld_column_histogram",
     "pipe_training_mix_manifest",
+    "win_new_vs_returning",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -735,3 +735,18 @@ def test_training_mix_manifest_consistent_with_split(spark):
         .first()[0]
     )
     assert sum(r.total_tokens for r in manifest) == total_tokens
+
+
+def test_new_vs_returning_conserves_users(spark):
+    """Each user is 'new' on exactly one day; dau = new + returning; the
+    sum of daily new users equals the distinct user count."""
+    from python_sql_etl_project_spark.session import read_table
+
+    rows = registry.QUERIES["win_new_vs_returning"](spark, SF).collect()
+    n_users = (
+        read_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_new for r in rows) == n_users
+    for r in rows:
+        assert r.dau == r.n_new + r.n_returning
+        assert r.dau > 0
