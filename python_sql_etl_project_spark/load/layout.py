@@ -492,3 +492,69 @@ def ld_column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("bin_max"),
     )
+
+
+@query(
+    "src_schema_evolution",
+    oracle="""
+    SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END,
+                    '(absent)') AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read proof: a landing zone where batch 1 was
+    written BEFORE a column existed (orderkey, custkey, totalprice) and
+    batch 2 carries the evolved schema (+ o_orderstatus). Reading the
+    directory with ``mergeSchema=true`` must union the physical schemas
+    — old files surface the new column as NULL, no rewrite of historical
+    data — which is exactly how a 100 TB parquet lake absorbs additive
+    schema change (rewriting history at that scale is not an option).
+
+    The census groups by the evolved column with NULLs folded to
+    '(absent)': the oracle reconstructs the same world from the original
+    table (even keys = legacy batch), so the hash match proves BOTH that
+    merge-read preserved every value and that exactly the legacy rows —
+    and no others — lost the column. mergeSchema is set per-read (option,
+    not session conf): at scale you pay footer-merging only on the scans
+    that need it.
+    """
+    target = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        orders = read_table(spark, sf_dir, "orders")
+        legacy = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        evolved = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        legacy.write.mode("overwrite").parquet(os.path.join(target, "b=1"))
+        evolved.write.mode("overwrite").parquet(os.path.join(target, "b=2"))
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(target, "b=1"), os.path.join(target, "b=2")
+        )
+        rows = (
+            merged.groupBy(
+                F.coalesce("o_orderstatus", F.lit("(absent)")).alias("status")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()
+        )
+    finally:
+        # census (≤ |statuses|+1 rows) is materialized above; reclaim the
+        # staged landing zone before returning — no temp leak
+        shutil.rmtree(target, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "status string, n_orders bigint, total_price double"
+    )

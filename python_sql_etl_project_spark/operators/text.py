@@ -1091,3 +1091,140 @@ def txt_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("js_nats"),
     )
     return finalize_unpersist(out, toks)
+
+
+@query(
+    "txt_gopher_rules",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, n_chars,
+               string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    feat AS (
+        SELECT source,
+               len(w) AS n_tok,
+               n_chars,
+               len(list_distinct(w)) AS n_dist,
+               len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]')))
+                   AS n_alpha,
+               len(list_filter(list_distinct(w),
+                               t -> t IN ({_sql_list(STOPWORDS)}))) AS n_stop
+        FROM tok
+    ),
+    flags AS (
+        SELECT source,
+               CAST(n_tok >= 30 AND n_tok <= 5000 AS INT)      AS ok_wc,
+               CAST(n_chars >= 3 * n_tok
+                    AND n_chars <= 6 * n_tok AS INT)           AS ok_len,
+               CAST(10 * n_alpha >= 7 * n_tok AS INT)          AS ok_alpha,
+               CAST(n_stop >= 2 AS INT)                        AS ok_stop,
+               CAST(20 * n_dist >= 7 * n_tok AS INT)           AS ok_ttr
+        FROM feat
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT)            AS n_docs,
+               CAST(sum(1 - ok_wc) AS BIGINT)      AS rej_word_count,
+               CAST(sum(1 - ok_len) AS BIGINT)     AS rej_token_len,
+               CAST(sum(1 - ok_alpha) AS BIGINT)   AS rej_alpha,
+               CAST(sum(1 - ok_stop) AS BIGINT)    AS rej_stopword,
+               CAST(sum(1 - ok_ttr) AS BIGINT)     AS rej_ttr,
+               CAST(sum(ok_wc * ok_len * ok_alpha * ok_stop * ok_ttr)
+                    AS BIGINT)                     AS n_pass
+        FROM flags GROUP BY 1
+    )
+    SELECT source, n_docs, rej_word_count, rej_token_len, rej_alpha,
+           rej_stopword, rej_ttr, n_pass,
+           CAST((20000 * n_pass + n_docs) // (2 * n_docs) AS DOUBLE)
+               / 10000 AS pass_rate
+    FROM agg
+    """,
+)
+def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule-based quality filter as a per-source REJECTION
+    census — the report a pipeline operator reads when tuning filters
+    ("which rule is responsible for the drop rate, per source?"), which
+    the per-doc ``txt_quality_score`` cannot answer. Five named rules,
+    each counted standalone (a doc can fail several) plus the all-rules
+    pass count:
+
+    * ``word_count`` — 30 ≤ tokens ≤ 5000 (Gopher's length gate)
+    * ``token_len`` — mean token length in [3, 6] chars
+    * ``alpha`` — ≥ 70 % of tokens contain an alphabetic character
+    * ``stopword`` — ≥ 2 distinct common stopwords present (gibberish
+      screen)
+    * ``ttr`` — type-token ratio ≥ 0.35 (repetition screen)
+
+    Every per-doc predicate is a PURE INTEGER inequality (10·n_alpha ≥
+    7·n_tok, not n_alpha/n_tok ≥ 0.7) so no float comparison sits on a
+    threshold boundary; the only division anywhere is the final
+    pass-rate, rounded half-up in integer arithmetic. One scan, all
+    features from one tokenize, map-side-combinable aggregate — at
+    100 TB this is scan-bound, the ideal shape for a filter census.
+    """
+    w = tokens()
+    feat = read_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(w).alias("n_tok"),
+        "n_chars",
+        F.size(F.array_distinct(w)).alias("n_dist"),
+        F.size(F.filter(w, lambda t: t.rlike("[a-zA-Z]"))).alias("n_alpha"),
+        F.size(
+            F.filter(
+                F.array_distinct(w),
+                lambda t: t.isin(*STOPWORDS),
+            )
+        ).alias("n_stop"),
+    )
+    flags = feat.select(
+        "source",
+        ((F.col("n_tok") >= 30) & (F.col("n_tok") <= 5000))
+        .cast("int")
+        .alias("ok_wc"),
+        (
+            (F.col("n_chars") >= 3 * F.col("n_tok"))
+            & (F.col("n_chars") <= 6 * F.col("n_tok"))
+        )
+        .cast("int")
+        .alias("ok_len"),
+        (10 * F.col("n_alpha") >= 7 * F.col("n_tok"))
+        .cast("int")
+        .alias("ok_alpha"),
+        (F.col("n_stop") >= 2).cast("int").alias("ok_stop"),
+        (20 * F.col("n_dist") >= 7 * F.col("n_tok"))
+        .cast("int")
+        .alias("ok_ttr"),
+    )
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(1 - F.col("ok_wc")).cast("bigint").alias("rej_word_count"),
+        F.sum(1 - F.col("ok_len")).cast("bigint").alias("rej_token_len"),
+        F.sum(1 - F.col("ok_alpha")).cast("bigint").alias("rej_alpha"),
+        F.sum(1 - F.col("ok_stop")).cast("bigint").alias("rej_stopword"),
+        F.sum(1 - F.col("ok_ttr")).cast("bigint").alias("rej_ttr"),
+        F.sum(
+            F.col("ok_wc")
+            * F.col("ok_len")
+            * F.col("ok_alpha")
+            * F.col("ok_stop")
+            * F.col("ok_ttr")
+        )
+        .cast("bigint")
+        .alias("n_pass"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "rej_word_count",
+        "rej_token_len",
+        "rej_alpha",
+        "rej_stopword",
+        "rej_ttr",
+        "n_pass",
+        (
+            F.expr("(20000 * n_pass + n_docs) div (2 * n_docs)")
+            .cast("double")
+            / 10000
+        ).alias("pass_rate"),
+    )

@@ -2289,3 +2289,135 @@ def win_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_returning"
         ),
     )
+
+
+@query(
+    "win_dau_mau_stickiness",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT strftime(ts, '%Y-%m') AS month,
+                        CAST(ts AS DATE) AS day, user_id
+        FROM events
+    ),
+    m AS (
+        SELECT month,
+               CAST(count(*) AS BIGINT) AS user_days,
+               CAST(count(DISTINCT day) AS BIGINT) AS active_days,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        FROM d GROUP BY 1
+    )
+    SELECT month, active_days, mau,
+           CAST((200 * user_days + active_days)
+                // (2 * active_days) AS DOUBLE) / 100 AS avg_dau,
+           CAST((20000 * user_days + active_days * mau)
+                // (2 * active_days * mau) AS DOUBLE) / 10000 AS stickiness
+    FROM m
+    """,
+)
+def win_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement ratio every product
+    dashboard carries (how much of the monthly audience shows up on an
+    average day). One distinct-triple aggregation does ALL the work:
+    from the deduplicated (month, day, user) rows, ``count(*)`` IS the
+    sum of daily distinct-user counts (no per-day subaggregate needed),
+    and the month's MAU / active-day census are distinct counts over the
+    same rows — a single shuffle on (month, day, user), then a tiny
+    month-level reduce. Both ratios round half-up in pure integer
+    arithmetic ((20000·x + y) div (2y)), so no float division ever
+    reaches the hash gate.
+
+    At 100 TB the distinct shuffle is map-side-combinable (Spark's
+    partial-distinct) and the reduce output is |months| rows — the plan
+    holds unchanged.
+    """
+    d = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    m = d.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("user_days"),
+        F.countDistinct("day").cast("bigint").alias("active_days"),
+        F.countDistinct("user_id").cast("bigint").alias("mau"),
+    )
+    return m.select(
+        "month",
+        "active_days",
+        "mau",
+        (
+            F.expr("(200 * user_days + active_days) div (2 * active_days)")
+            .cast("double")
+            / 100
+        ).alias("avg_dau"),
+        (
+            F.expr(
+                "(20000 * user_days + active_days * mau)"
+                " div (2 * active_days * mau)"
+            ).cast("double")
+            / 10000
+        ).alias("stickiness"),
+    )
+
+
+@query(
+    "win_attribution_last_touch",
+    oracle="""
+    WITH attributed AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS channel
+        FROM events
+    )
+    SELECT coalesce(channel, '(direct)') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(round(sum(CAST(round(value, 2) AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS attributed_value
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def win_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent PRECEDING non-purchase event (click, view,
+    signup, error), '(direct)' when the purchase is the user's first
+    recorded touch. The classic attribution shape is an as-of self-join;
+    here it collapses to ONE window pass — ``last(..., ignorenulls)``
+    over (user, time) with an open upper bound — so the whole operator
+    is a single shuffle on user_id followed by a tiny channel census.
+    Ties at equal timestamps break on event_id (unique), keeping the
+    credit assignment deterministic across engines and runs.
+
+    Attributed revenue is summed in DECIMAL cents over per-row rounded
+    values — the established portable-rounding rule for sums of floats.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = read_table(spark, sf_dir, "events").withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("(direct)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(F.sum(F.round("value", 2).cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )

@@ -234,6 +234,10 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "ld_column_histogram",
     "pipe_training_mix_manifest",
     "win_new_vs_returning",
+    "win_dau_mau_stickiness",
+    "win_attribution_last_touch",
+    "txt_gopher_rules",
+    "src_schema_evolution",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
