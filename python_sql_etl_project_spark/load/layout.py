@@ -558,3 +558,78 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "status string, n_orders bigint, total_price double"
     )
+
+
+@query(
+    "ld_partition_pruned_scan",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders
+    WHERE strftime(date_trunc('month', o_orderdate), '%Y-%m')
+          IN (SELECT DISTINCT strftime(date_trunc('month', o_orderdate),
+                              '%Y-%m')
+              FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+                AND o_orderstatus = 'F'
+              ORDER BY 1 LIMIT 3)
+    GROUP BY 1
+    """,
+)
+def ld_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, proven on a real partitioned layout:
+    the fact is written partitioned by month (the layout
+    ``load/incremental.py`` produces), then queried through a JOIN with a
+    small month dimension that is only known at runtime — the shape
+    where static pruning can't help and Catalyst's DPP must inject the
+    dim's month set into the fact scan as a partition filter. At 100 TB
+    this is the difference between scanning 3 partitions and scanning
+    all of them; ``tests/test_plan_audit.py`` asserts the
+    ``dynamicpruning`` subquery is actually present in the physical plan
+    so a conf regression can't silently turn this back into a full scan.
+
+    The dim here is 3 months picked by a deterministic predicate (first
+    three months containing a finished urgent order); any runtime-built
+    dim (yesterday's active campaign list, a dropdown selection) slots
+    into the same plan.
+    """
+    target = tempfile.mkdtemp(prefix="dpp_scan_")
+    try:
+        orders = read_table(spark, sf_dir, "orders").withColumn(
+            "month",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM"),
+        )
+        orders.write.mode("overwrite").partitionBy("month").parquet(target)
+        fact = spark.read.parquet(target)
+        dim = (
+            fact.filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderstatus") == "F")
+            )
+            .select("month")
+            .distinct()
+            .orderBy("month")
+            .limit(3)
+        )
+        rows = (
+            fact.join(dim, "month")
+            .groupBy("month")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+            .collect()
+        )
+    finally:
+        # |months| rows are materialized above; reclaim the staged
+        # partitioned copy before returning — no temp leak
+        shutil.rmtree(target, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "month string, n_orders bigint, revenue double"
+    )

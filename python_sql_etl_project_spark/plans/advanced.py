@@ -2421,3 +2421,159 @@ def win_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("attributed_value"),
         )
     )
+
+
+@query(
+    "dq_order_total_reconciliation",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                   * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS recomputed
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT CAST(o.o_totalprice AS DECIMAL(14,2)) AS header,
+               li.recomputed
+        FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    ),
+    bucketed AS (
+        SELECT CASE
+                 WHEN recomputed IS NULL THEN '(no_lineitems)'
+                 WHEN recomputed = header THEN 'exact'
+                 WHEN abs(recomputed - header) * 100 < header THEN 'lt_1pct'
+                 WHEN abs(recomputed - header) * 20 < header THEN 'lt_5pct'
+                 ELSE 'ge_5pct'
+               END AS bucket
+        FROM j
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders
+    FROM bucketed GROUP BY 1
+    """,
+)
+def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-fact reconciliation — the audit every warehouse runs after a
+    load: does the order header's total agree with the sum of its line
+    items under the pricing formula (extendedprice × (1−discount) ×
+    (1+tax))? The census buckets each order into exact / <1 % / <5 % /
+    ≥5 % deviation, plus headers with no line items at all (referential
+    gap). Everything runs in DECIMAL — the per-line product is exact at
+    scale 6, sums are exact, and the percent thresholds are
+    cross-multiplied integer comparisons (|diff|·100 < header), so no
+    float ever decides a bucket.
+
+    Scale shape: one map-side-combinable lineitem aggregate, one shuffle
+    join on the natural key (co-located for free if both facts are
+    bucketed by orderkey, `jn_bucketed_colocated_revenue` shows that
+    plan), then a tiny census.
+    """
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+            ).alias("recomputed")
+        )
+    )
+    j = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey"),
+            F.col("o_totalprice").cast("decimal(14,2)").alias("header"),
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+    )
+    bucketed = j.select(
+        F.when(F.col("recomputed").isNull(), "(no_lineitems)")
+        .when(F.col("recomputed") == F.col("header"), "exact")
+        .when(
+            F.abs(F.col("recomputed") - F.col("header")) * 100
+            < F.col("header"),
+            "lt_1pct",
+        )
+        .when(
+            F.abs(F.col("recomputed") - F.col("header")) * 20
+            < F.col("header"),
+            "lt_5pct",
+        )
+        .otherwise("ge_5pct")
+        .alias("bucket")
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                   AS cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, cents, w,
+               sum(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cumw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS totw
+        FROM pts
+    )
+    SELECT l_returnflag,
+           CAST(CAST(min(CASE WHEN 2 * cumw >= totw THEN cents END)
+                     AS DECIMAL(18,2)) AS DOUBLE) / 100
+               AS weighted_median_price,
+           CAST(max(totw) AS BIGINT) AS total_weight
+    FROM cum GROUP BY 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the robust
+    'typical unit price' a pricing dashboard wants (the unweighted
+    median over-counts small orders; the mean is outlier-driven). The
+    classic definition — smallest value whose cumulative weight reaches
+    half the total — runs as one cumulative-sum window over integer
+    cents and integer weights, then ``min(CASE ...)`` picks the
+    crossing point: every comparison (2·cumw ≥ totw) is pure integer,
+    so the selected value is identical across engines by construction,
+    not by rounding discipline.
+
+    Scale: one shuffle on the group key; within-group sort is Spark's
+    window sort (spillable). For quantiles where exactness is NOT
+    contractual, ``approx_percentile`` drops the sort entirely —
+    ``agg_price_quantiles`` documents that trade.
+    """
+    pts = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(14,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    wspec = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pts.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wspec).alias("cumw"),
+        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("totw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        (
+            F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("cents")))
+            .cast("decimal(18,2)")
+            .cast("double")
+            / 100
+        ).alias("weighted_median_price"),
+        F.max("totw").cast("bigint").alias("total_weight"),
+    )

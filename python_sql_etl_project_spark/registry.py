@@ -238,6 +238,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "win_attribution_last_touch",
     "txt_gopher_rules",
     "src_schema_evolution",
+    "ld_partition_pruned_scan",
+    "dq_order_total_reconciliation",
+    "agg_weighted_median",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -715,3 +715,34 @@ def test_incremental_minhash_decisions_cover_batch(spark):
         if r.dup_of is not None:
             assert r.dup_of % 10 != 0
             assert r.jaccard >= 0.8
+
+
+def test_partition_pruned_scan_uses_dpp(spark, tmp_path):
+    """The partitioned-fact ⋈ runtime-dim query must carry a
+    dynamicpruningexpression on the fact scan — the partition-filter
+    injection ld_partition_pruned_scan's docstring promises. Without it
+    the join degenerates to a full scan of every partition."""
+    from python_sql_etl_project_spark.session import read_table
+
+    target = str(tmp_path / "dpp_fact")
+    orders = read_table(spark, SF_DIR, "orders").withColumn(
+        "month",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM"),
+    )
+    orders.write.mode("overwrite").partitionBy("month").parquet(target)
+    fact = spark.read.parquet(target)
+    dim = (
+        fact.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        )
+        .select("month")
+        .distinct()
+        .orderBy("month")
+        .limit(3)
+    )
+    q = fact.join(dim, "month").groupBy("month").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
