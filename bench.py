@@ -167,6 +167,16 @@ HEADLINE = [
     "ld_column_histogram",
     "pipe_training_mix_manifest",
     "win_new_vs_returning",
+    # round-3 continuation: attribution, engagement, quality-rule census,
+    # schema-evolution merge read, DPP scan, cross-fact reconciliation,
+    # exact weighted median
+    "win_attribution_last_touch",
+    "win_dau_mau_stickiness",
+    "txt_gopher_rules",
+    "src_schema_evolution",
+    "ld_partition_pruned_scan",
+    "dq_order_total_reconciliation",
+    "agg_weighted_median",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.
