@@ -177,6 +177,12 @@ HEADLINE = [
     "ld_partition_pruned_scan",
     "dq_order_total_reconciliation",
     "agg_weighted_median",
+    # round-3 continuation: SQL scalar UDFs, raw-log and binary-file
+    # ingestion, vocabulary coverage
+    "fn_sql_scalar_udf",
+    "src_textlines_logparse",
+    "src_binaryfile_ingest",
+    "txt_oov_rate",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -633,3 +633,135 @@ def ld_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "month string, n_orders bigint, revenue double"
     )
+
+
+@query(
+    "src_textlines_logparse",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(round(value, 2) AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def src_textlines_logparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-log ingestion, end to end: render events as plain text log
+    lines (``ts=... user=... type=... value=...`` — the format an app
+    server emits), land them via the native text sink, re-ingest with
+    ``spark.read.text`` + ``regexp_extract`` into typed columns, and
+    aggregate. The oracle aggregates the original table, so the hash
+    match proves the parse inverts the render exactly — including the
+    value column, which travels as a 2-dp DECIMAL string (never a raw
+    double rendering, whose round-trip is engine-dependent).
+
+    This is the one source shape the format matrix lacked: unstructured
+    text where the SCHEMA LIVES IN THE PARSER. At 100 TB the regexp runs
+    JVM-side in whole-stage codegen (no UDF), lines split across tasks
+    like any splittable text input, and malformed lines are quarantined
+    by the null-check filter rather than killing the job.
+    """
+    target = tempfile.mkdtemp(prefix="textlines_")
+    try:
+        events = read_table(spark, sf_dir, "events")
+        lines = events.select(
+            F.concat(
+                F.lit("ts="),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+                F.lit(" user="),
+                F.col("user_id"),
+                F.lit(" type="),
+                F.col("event_type"),
+                F.lit(" value="),
+                F.round("value", 2).cast("decimal(14,2)"),
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(target)
+        raw = spark.read.text(target)
+        parsed = raw.select(
+            F.regexp_extract("value", r" type=(\S+) ", 1).alias(
+                "event_type"
+            ),
+            F.regexp_extract("value", r" value=(\S+)$", 1)
+            .cast("decimal(14,2)")
+            .alias("val"),
+        ).filter(F.col("event_type") != "")
+        rows = (
+            parsed.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.round(F.sum("val"), 2).cast("double").alias("total_value"),
+            )
+            .collect()
+        )
+    finally:
+        # |event types| rows are materialized above; reclaim the staged
+        # log directory before returning — no temp leak
+        shutil.rmtree(target, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_events bigint, total_value double"
+    )
+
+
+@query(
+    "src_binaryfile_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS byte_len,
+           md5(text) AS payload_hex
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+)
+def src_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw binary-file ingestion — the entry path of every multimodal
+    pipeline (a crawl drops one image/audio file per asset; the engine
+    must turn a DIRECTORY OF FILES into a binary-column DataFrame). The
+    asset payloads (``multimodal.py``'s deterministic 16-byte stand-ins)
+    are written one file per asset BY THE EXECUTORS (``foreachPartition``
+    — the driver never holds a payload), then re-ingested with Spark's
+    ``binaryFile`` source, which yields (path, length, content) rows.
+    Asset identity is recovered from the file name; the hash gate proves
+    byte-for-byte payload survival (hex(content) == the md5 the payload
+    was minted from) and correct file sizing.
+
+    At 100 TB the same plan holds: binaryFile scans parallelize over
+    files, ``pathGlobFilter`` prunes non-assets at listing time, and the
+    follow-on ``mm_*`` operators consume the binary column unchanged.
+    Small-file pressure is real at that scale — ``ld_compact_small_files``
+    is the companion maintenance op once assets are columnarized.
+    """
+    target = tempfile.mkdtemp(prefix="binassets_")
+    try:
+        assets = (
+            read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+        )
+
+        def _write_files(rows) -> None:
+            for r in rows:
+                with open(f"{target}/{r['doc_id']}.bin", "wb") as fh:
+                    fh.write(bytes(r["payload"]))
+
+        assets.foreachPartition(_write_files)
+        back = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(target)
+        )
+        rows = back.select(
+            F.regexp_extract("path", r"(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").alias("byte_len"),
+            F.lower(F.hex("content")).alias("payload_hex"),
+        ).collect()
+    finally:
+        # one row per asset (a 1-in-5 sample) is materialized above;
+        # reclaim the staged asset directory before returning
+        shutil.rmtree(target, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id bigint, byte_len bigint, payload_hex string"
+    )

@@ -1228,3 +1228,78 @@ def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("pass_rate"),
     )
+
+
+VOCAB_SIZE = 500
+
+
+@query(
+    "txt_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    freq AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+    vocab AS (
+        SELECT t FROM freq ORDER BY c DESC, t LIMIT {VOCAB_SIZE}
+    ),
+    marked AS (
+        SELECT tok.source,
+               CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS is_oov
+        FROM tok LEFT JOIN vocab v ON v.t = tok.t
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(is_oov) AS BIGINT) AS n_oov
+        FROM marked GROUP BY 1
+    )
+    SELECT source, n_tokens, n_oov,
+           CAST((20000 * n_oov + n_tokens) // (2 * n_tokens) AS DOUBLE)
+               / 10000 AS oov_rate
+    FROM agg
+    """,
+)
+def txt_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against a top-N corpus
+    vocabulary — the tokenizer-coverage report run before committing to
+    a vocab size (how much of each source's token mass falls outside
+    the candidate vocabulary?). Two passes over one exploded token
+    stream: a frequency census picks the top-``VOCAB_SIZE`` vocabulary
+    (count-desc, token-asc — the tie at the cutoff rank is broken
+    lexicographically so the vocab set is identical across engines),
+    then a broadcast membership join marks each token. The OOV rate
+    rounds half-up in integer arithmetic.
+
+    Scale: the vocabulary is MB-sized by construction (top-N of a
+    frequency table), so the membership join is map-side broadcast —
+    the heavy token stream never reshuffles; the frequency census is
+    the usual map-side-combinable word count.
+    """
+    toks = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "source", F.explode(tokens()).alias("t")
+    )
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        freq.orderBy(F.desc("c"), "t")
+        .limit(VOCAB_SIZE)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    marked = toks.join(F.broadcast(vocab), "t", "left")
+    agg = marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        (
+            F.expr("(20000 * n_oov + n_tokens) div (2 * n_tokens)")
+            .cast("double")
+            / 10000
+        ).alias("oov_rate"),
+    )

@@ -77,7 +77,7 @@ def load_all() -> None:
     )
     from .streaming import windows  # noqa: F401
     from .load import layout, scd  # noqa: F401
-    from .functions import udafs  # noqa: F401
+    from .functions import sqlfuncs, udafs  # noqa: F401
 
 
 #: Round-3 driver window: the external gate checks exactly the FIRST 50
@@ -241,6 +241,10 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "ld_partition_pruned_scan",
     "dq_order_total_reconciliation",
     "agg_weighted_median",
+    "fn_sql_scalar_udf",
+    "src_textlines_logparse",
+    "src_binaryfile_ingest",
+    "txt_oov_rate",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
