@@ -183,6 +183,14 @@ HEADLINE = [
     "src_textlines_logparse",
     "src_binaryfile_ingest",
     "txt_oov_rate",
+    # round-3 continuation: skew pre-flight, idempotent backfill, and
+    # watermark drop semantics. The latter two are staging-dominated
+    # (each writes a full staged copy / three stream batches before the
+    # measured plan runs) — their bench cost is I/O round-trip, not a
+    # plan property.
+    "dq_join_key_skew",
+    "ld_dynamic_partition_overwrite",
+    "strm_watermark_late_drop",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

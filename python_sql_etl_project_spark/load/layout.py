@@ -765,3 +765,81 @@ def src_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "doc_id bigint, byte_len bigint, payload_hex string"
     )
+
+
+#: Months replaced by the correction batch in ld_dynamic_partition_overwrite.
+BACKFILL_MONTHS = ("1995-01", "1995-02", "1995-03")
+
+
+@query(
+    "ld_dynamic_partition_overwrite",
+    oracle=f"""
+    WITH m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CASE WHEN strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                         IN {BACKFILL_MONTHS!r}
+                    THEN CAST(o_totalprice AS DECIMAL(14,2)) * 2
+                    ELSE CAST(o_totalprice AS DECIMAL(14,2)) END AS price
+        FROM orders
+    )
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(price), 2) AS DOUBLE) AS revenue
+    FROM m GROUP BY 1
+    """,
+)
+def ld_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent backfill via DYNAMIC partition overwrite — the load
+    primitive that makes reruns safe: a correction batch (here Q1-1995
+    repriced ×2) is written with ``partitionOverwriteMode=dynamic``, so
+    ONLY the partitions present in the batch are replaced and every
+    other month's files are untouched (static overwrite mode would
+    truncate the whole table — the classic backfill footgun). The census
+    re-reads the full table; the hash gate proves both sides of the
+    contract at once: corrected months carry exactly the new values,
+    untouched months carry exactly the old ones.
+
+    At 100 TB this is THE daily-pipeline repair shape: recompute one
+    day, overwrite one partition, never rewrite history. The mode is set
+    per-write (writer option), not session-wide, so concurrent appends
+    elsewhere keep plain semantics.
+    """
+    target = tempfile.mkdtemp(prefix="dyn_overwrite_")
+    try:
+        orders = read_table(spark, sf_dir, "orders").withColumn(
+            "month",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM"),
+        )
+        orders.write.mode("overwrite").partitionBy("month").parquet(target)
+        correction = orders.filter(
+            F.col("month").isin(*BACKFILL_MONTHS)
+        ).withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(14,2)") * 2).cast("double"),
+        )
+        (
+            correction.write.mode("overwrite")
+            .partitionBy("month")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(target)
+        )
+        rows = (
+            spark.read.parquet(target)
+            .groupBy("month")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+            .collect()
+        )
+    finally:
+        # |months| census rows are materialized above; reclaim the
+        # staged table before returning — no temp leak
+        shutil.rmtree(target, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "month string, n_orders bigint, revenue double"
+    )

@@ -2577,3 +2577,57 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weighted_median_price"),
         F.max("totw").cast("bigint").alias("total_weight"),
     )
+
+
+@query(
+    "dq_join_key_skew",
+    oracle="""
+    WITH freq AS (
+        SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(count(*)) OVER () AS BIGINT) AS total_rows
+        FROM lineitem GROUP BY 1
+    )
+    SELECT key, n_rows,
+           CAST((20000 * n_rows + total_rows) // (2 * total_rows)
+                AS DOUBLE) / 10000 AS row_share
+    FROM freq
+    ORDER BY n_rows DESC, key
+    LIMIT 10
+    """,
+)
+def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew census — the pre-flight run before picking a join
+    strategy: the top-10 heaviest values of the prospective shuffle key
+    with each key's share of all rows. A key owning a few percent of a
+    100 TB fact means one reducer gets terabytes; this census is what
+    decides between a plain shuffle join, a broadcast, or the salted
+    fallback (``jn_salted_priority_revenue`` is the remedy this report
+    prescribes; AQE's skew-join split handles the residual tail).
+
+    One map-side-combinable count per key, a windowed grand total over
+    the (small) key census, and a top-10 with the key itself as the tie
+    break. Shares round half-up in integer arithmetic.
+    """
+    freq = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn(
+            "total_rows",
+            F.sum("n_rows").over(Window.partitionBy()).cast("bigint"),
+        )
+    )
+    return (
+        freq.select(
+            "key",
+            "n_rows",
+            (
+                F.expr(
+                    "(20000 * n_rows + total_rows) div (2 * total_rows)"
+                ).cast("double")
+                / 10000
+            ).alias("row_share"),
+        )
+        .orderBy(F.desc("n_rows"), "key")
+        .limit(10)
+    )

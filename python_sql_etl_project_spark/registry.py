@@ -245,6 +245,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "src_textlines_logparse",
     "src_binaryfile_ingest",
     "txt_oov_rate",
+    "ld_dynamic_partition_overwrite",
+    "dq_join_key_skew",
+    "strm_watermark_late_drop",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -751,3 +751,91 @@ def strm_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("c_custkey").cast("bigint").alias("key_checksum"),
     )
+
+
+@query(
+    "strm_watermark_late_drop",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+               date_trunc('day', ts) AS window_start,
+               user_id % 3 AS batch, ts
+        FROM events
+    ),
+    wm AS (
+        SELECT
+          date_trunc('milliseconds', (SELECT max(ts) FROM b WHERE batch = 0))
+            - INTERVAL 1 HOUR AS wm2
+    ),
+    kept AS (
+        SELECT window_start FROM b, wm
+        WHERE batch <= 1
+           OR (batch = 2 AND window_end > wm2)
+    )
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n_events
+    FROM kept GROUP BY 1
+    """,
+)
+def strm_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics, exercised through the real
+    streaming aggregation engine — the one watermark behavior the
+    family's other queries never trigger (their single chronological
+    pass keeps everything on time). Here arrival order is decoupled from
+    event time: the same events land in three micro-batches sharded by
+    ``user_id % 3`` (file-per-batch, mtime-ordered, one file per
+    trigger), so batches 1 and 2 deliver events far older than the
+    watermark established by batch 0's maximum event time. The engine
+    drops exactly the rows whose 1-day window already closed —
+    window_end ≤ the effective watermark — and the oracle reconstructs
+    that set relationally, so the hash gate pins the drop boundary
+    itself.
+
+    The effective watermark was established EMPIRICALLY (probe in this
+    round's notes): the engine commits watermark updates one batch late,
+    so the watermark active while batch k processes derives from data
+    through batch k−2 (batch 1 still runs on the initial watermark;
+    batch 2 filters against ms-truncated ``max(ts in batch 0) − 1 h``).
+    The oracle encodes exactly that contract — if a Spark upgrade ever
+    tightens the propagation to the documented one-batch form, this
+    query's hash gate is the tripwire that reports it.
+
+    Update output mode; since per-window counts only grow, the final
+    value per window is the max over its emitted updates. State is
+    bounded by the watermark (closed windows evict) — the property that
+    lets this run forever at production rates.
+    """
+    from ..session import read_table
+
+    ev_all = read_table(spark, sf_dir, "events").select(
+        "ts", "user_id", (F.col("user_id") % 3).alias("batch")
+    )
+    landing = tempfile.mkdtemp(prefix="late_stream_")
+    t0 = 1_000_000_000
+    for i in range(3):
+        tmp = os.path.join(landing, f"_stage{i}")
+        ev_all.filter(F.col("batch") == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        src = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        dst = os.path.join(landing, f"batch_{i:03d}.parquet")
+        os.rename(os.path.join(tmp, src), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    ev = stream_events(
+        spark, sf_dir, landing_dir=landing, max_files_per_trigger=1
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    updates = _run_to_table(
+        spark, agg, "strm_watermark_late_drop", "update"
+    )
+    return updates.groupBy("window_start").agg(
+        F.max("n").cast("bigint").alias("n_events")
+    )
