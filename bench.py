@@ -191,6 +191,11 @@ HEADLINE = [
     "dq_join_key_skew",
     "ld_dynamic_partition_overwrite",
     "strm_watermark_late_drop",
+    # round-3 continuation: live-DB federation, interval-union sweep,
+    # robust dispersion
+    "src_federated_join",
+    "ts_interval_union_coverage",
+    "agg_median_abs_deviation",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

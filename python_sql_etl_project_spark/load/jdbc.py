@@ -31,6 +31,7 @@ import logging
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..registry import query
 from .incremental import Warehouse
 
 logger = logging.getLogger(__name__)
@@ -141,3 +142,85 @@ class JdbcWarehouse(Warehouse):
             .mode("append")
             .save()
         )
+
+
+@query(
+    "src_federated_join",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1
+    """,
+)
+def src_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated query — dims served by a LIVE DATABASE, fact from the
+    parquet lake, joined in one plan: nation and region are loaded into
+    embedded Derby and read back over ``spark.read.jdbc``, then joined
+    to the parquet customer fact. This is the reference's actual
+    topology (its dims live in Postgres, ``/root/reference/src/load.py``)
+    expressed as a federation instead of an export: no copy step, the
+    database stays the system of record, and the lake query sees it
+    through the same DataFrame algebra.
+
+    Scale shape: the JDBC dims are KB-sized → Spark broadcasts them, so
+    the parquet side never shuffles; a fact-sized JDBC table would
+    instead use the PK-range parallel read above. The oracle joins the
+    parquet originals — a hash match proves the DB round-trip preserved
+    every key and name.
+    """
+    import shutil
+    import tempfile
+
+    from ..session import read_table
+
+    db_dir = tempfile.mkdtemp(prefix="fed_derby_")
+    shutil.rmtree(db_dir, ignore_errors=True)  # derby wants to create it
+    try:
+        wh = JdbcWarehouse(spark, derby_url(db_dir))
+        nation = read_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        region = read_table(spark, sf_dir, "region").select(
+            "r_regionkey", "r_name"
+        )
+        wh._write(nation, "fed_nation")
+        wh._write(region, "fed_region")
+        n_db = wh.read("fed_nation")
+        r_db = wh.read("fed_region")
+        cust = read_table(spark, sf_dir, "customer").select(
+            "c_nationkey", "c_acctbal"
+        )
+        from pyspark.sql import functions as F
+
+        rows = (
+            cust.join(
+                F.broadcast(n_db),
+                cust.c_nationkey == n_db.n_nationkey,
+            )
+            .join(
+                F.broadcast(r_db),
+                n_db.n_regionkey == r_db.r_regionkey,
+            )
+            .groupBy(F.col("r_name").alias("region"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                F.round(
+                    F.sum(F.col("c_acctbal").cast("decimal(14,2)")), 2
+                )
+                .cast("double")
+                .alias("total_acctbal"),
+            )
+            .collect()
+        )
+    finally:
+        # |regions| rows are materialized above; reclaim the Derby store
+        # before returning — no temp leak
+        shutil.rmtree(db_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "region string, n_customers bigint, total_acctbal double"
+    )

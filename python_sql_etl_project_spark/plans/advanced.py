@@ -2631,3 +2631,188 @@ def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), "key")
         .limit(10)
     )
+
+
+SESSION_PAD_US = 1_800_000_000  # each event covers [ts, ts + 30 min)
+
+
+@query(
+    "ts_interval_union_coverage",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s,
+               epoch_us(ts) + {SESSION_PAD_US} AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN max(e) OVER (PARTITION BY user_id
+                                      ORDER BY s, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) >= s
+                    THEN 0 ELSE 1 END AS is_new
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               sum(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ),
+    per_island AS (
+        SELECT user_id, island, max(e) - min(s) AS cov
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(cov) AS BIGINT) AS covered_us
+    FROM per_island GROUP BY 1
+    """,
+)
+def ts_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage per user — total wall-clock actually
+    covered when every event opens a 30-minute activity window and
+    overlaps must not double-count (the billing/engagement primitive:
+    'how long was the user REALLY active?'). The classic sweep-line
+    collapses to two windows: an island starts where the running max of
+    prior interval ends fails to reach the next start (touching
+    intervals merge), islands are numbered by a running sum, and each
+    island contributes ``max(end) − min(start)``. All arithmetic is
+    integer epoch-microseconds — no rounding discipline needed at all.
+
+    One shuffle on user_id serves both window passes and the final
+    group-by (same key, Catalyst reuses the exchange). At 100 TB this
+    is the shape to prefer over interval self-joins, whose candidate
+    space explodes with overlap density (`rng_session_concurrency`
+    bounds that explosion where the pairwise answer is required).
+    """
+    iv = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(SESSION_PAD_US)).alias("e"),
+    )
+    prior = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.max("e").over(prior) >= F.col("s"), 0)
+        .otherwise(1)
+        .alias("is_new"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("is_new").over(run).alias("island")
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("cov")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("cov").cast("bigint").alias("covered_us"),
+    )
+
+
+@query(
+    "agg_median_abs_deviation",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, event_id,
+               CAST(CAST(round(value, 2) AS DECIMAL(14,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               min(CASE WHEN 2 * rn >= n THEN cents END) AS med_cents
+        FROM (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM pts
+        ) GROUP BY 1
+    ),
+    dev AS (
+        SELECT p.event_type, p.event_id,
+               abs(p.cents - m.med_cents) AS d
+        FROM pts p JOIN med m ON m.event_type = p.event_type
+    ),
+    mad AS (
+        SELECT event_type,
+               min(CASE WHEN 2 * rn >= n THEN d END) AS mad_cents
+        FROM (
+            SELECT event_type, d,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY d, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ) GROUP BY 1
+    )
+    SELECT m.event_type,
+           CAST(m.med_cents AS DOUBLE) / 100 AS median_value,
+           CAST(a.mad_cents AS DOUBLE) / 100 AS mad_value
+    FROM med m JOIN mad a ON a.event_type = m.event_type
+    """,
+)
+def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust dispersion
+    the z-score monitor (`ts_anomaly_zscore`) should graduate to when
+    value distributions are heavy-tailed (one whale order inflates a
+    stddev; it moves a MAD by at most one rank). Exact lower-median via
+    the rank-crossing rule (smallest value whose rank reaches half the
+    group, event_id as the tie break), applied twice: once over values,
+    once over absolute deviations from the group median. Integer cents
+    end to end — the only doubles are the final /100 renderings.
+
+    Two shuffles on event_type (one per median pass); the deviation
+    join is against a |groups|-row broadcast. For monitoring at 100 TB
+    where exactness is not contractual, ``approx_percentile(0.5)``
+    collapses each pass to one sketch aggregation.
+    """
+    pts = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (F.round("value", 2).cast("decimal(14,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        ranked = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("event_type"))
+            .alias("n"),
+        )
+        return ranked.groupBy("event_type").agg(
+            F.min(
+                F.when(2 * F.col("rn") >= F.col("n"), F.col(col))
+            ).alias(out)
+        )
+
+    med = lower_median(pts, "cents", "med_cents")
+    dev = pts.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("d"),
+    )
+    mad = lower_median(dev, "d", "mad_cents")
+    return med.join(mad, "event_type").select(
+        "event_type",
+        (F.col("med_cents").cast("double") / 100).alias("median_value"),
+        (F.col("mad_cents").cast("double") / 100).alias("mad_value"),
+    )

@@ -76,7 +76,7 @@ def load_all() -> None:
         text,
     )
     from .streaming import windows  # noqa: F401
-    from .load import layout, scd  # noqa: F401
+    from .load import jdbc, layout, scd  # noqa: F401
     from .functions import sqlfuncs, udafs  # noqa: F401
 
 
@@ -248,6 +248,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "ld_dynamic_partition_overwrite",
     "dq_join_key_skew",
     "strm_watermark_late_drop",
+    "src_federated_join",
+    "ts_interval_union_coverage",
+    "agg_median_abs_deviation",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
