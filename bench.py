@@ -196,6 +196,10 @@ HEADLINE = [
     "src_federated_join",
     "ts_interval_union_coverage",
     "agg_median_abs_deviation",
+    # round-3 continuation: watermark-driven null emission (two stateful
+    # stream stages — cost is the streaming state machinery, not a plan
+    # defect)
+    "strm_signup_purchase_leftouter",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

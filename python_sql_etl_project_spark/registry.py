@@ -251,6 +251,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "src_federated_join",
     "ts_interval_union_coverage",
     "agg_median_abs_deviation",
+    "strm_signup_purchase_leftouter",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -839,3 +839,107 @@ def strm_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updates.groupBy("window_start").agg(
         F.max("n").cast("bigint").alias("n_events")
     )
+
+
+@query(
+    "strm_signup_purchase_leftouter",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'signup'
+    ),
+    p AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT least(
+                 date_trunc('milliseconds', (SELECT max(ts) FROM s)),
+                 date_trunc('milliseconds', (SELECT max(ts) FROM p))
+               ) - INTERVAL 1 HOUR AS w
+    ),
+    matched AS (
+        SELECT s.user_id, s.event_id AS signup_event_id,
+               p.event_id AS purchase_event_id,
+               s.ts AS signup_ts, p.ts AS purchase_ts
+        FROM s JOIN p
+          ON p.user_id = s.user_id
+         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 DAY
+    ),
+    unmatched AS (
+        SELECT s.user_id, s.event_id AS signup_event_id,
+               NULL::BIGINT AS purchase_event_id,
+               s.ts AS signup_ts, NULL::TIMESTAMP AS purchase_ts
+        FROM s, wm
+        WHERE s.ts + INTERVAL 1 DAY < wm.w
+          AND NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = s.user_id
+              AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 DAY
+          )
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT * FROM unmatched
+    """,
+)
+def strm_signup_purchase_leftouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantic the inner
+    join (`strm_signup_purchase_join`) cannot express: a signup that
+    never converts must STILL be emitted, but only once the engine can
+    PROVE no purchase can arrive anymore. That proof is the watermark:
+    a signup's null row is released when the global watermark (the min
+    of both sides' per-stream watermarks, ms-truncated, minus the 1 h
+    delay) passes the signup's one-day match horizon. Signups inside
+    the final watermark window are deliberately withheld — emitting
+    them would risk a retraction, which append-mode streams cannot do.
+    The oracle reconstructs exactly that partition: matched pairs, plus
+    null rows for unmatched signups whose horizon closed
+    (``signup_ts + 1 day < watermark``), and NOTHING for unmatched
+    signups still inside it — so the hash gate pins the null-emission
+    boundary itself.
+
+    The closing emission relies on the engine's terminal no-data
+    micro-batch advancing state cleanup after the data batch commits
+    its watermark — the same commit-lag machinery
+    `strm_watermark_late_drop` pins from the drop side.
+    """
+    s = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_event_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 hour")
+    )
+    p = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = s.join(
+        p,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("signup_ts") + F.expr("INTERVAL 1 DAY")
+        ),
+        "left_outer",
+    ).select(
+        F.coalesce("user_id", "s_user").alias("user_id"),
+        "signup_event_id",
+        "purchase_event_id",
+        "signup_ts",
+        "purchase_ts",
+    )
+    return _run_to_table(
+        spark, joined, "strm_signup_purchase_leftouter", "append"
+    )
