@@ -200,6 +200,7 @@ HEADLINE = [
     # stream stages — cost is the streaming state machinery, not a plan
     # defect)
     "strm_signup_purchase_leftouter",
+    "agg_bitmap_distinct_users",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

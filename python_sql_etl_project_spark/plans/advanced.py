@@ -2816,3 +2816,59 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("med_cents").cast("double") / 100).alias("median_value"),
         (F.col("mad_cents").cast("double") / 100).alias("mad_value"),
     )
+
+
+@query(
+    "agg_bitmap_distinct_users",
+    oracle="""
+    WITH words AS (
+        SELECT date_trunc('day', ts) AS day,
+               user_id // 32 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bm
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(sum(bit_count(bm)) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM words GROUP BY 1
+    """,
+)
+def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT daily distinct users via bitmap words — the Druid/ClickHouse
+    ``groupBitmap`` technique, and the third point on the distinct-count
+    spectrum the engine now covers: exact-by-shuffle (``countDistinct``,
+    state = the value set), approximate (HLL sketches in
+    ``agg_approx_sketches``, fixed state, ±2 %), and THIS — exact with
+    state compressed 32× (one BIGINT word per 32 present ids, ``bit_or``
+    as the combiner). Because ``bit_or`` is associative and commutative,
+    the heavy aggregation is fully map-side combinable — no distinct
+    set ever shuffles — and the word census collapses to
+    ``sum(bit_count(word))``, which the oracle reproduces bit-for-bit.
+
+    The trade at 100 TB: bitmap state scales with the ID UNIVERSE
+    (dense ids — user dimensions, enum codes), not with row count, so
+    it beats countDistinct whenever ids are dense and beats HLL
+    whenever exactness matters. Sparse 64-bit id spaces want roaring
+    bitmaps or dictionary-encoding first; n_words exposes exactly that
+    density diagnostic per group.
+    """
+    words = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.expr("user_id div 32").alias("word"),
+        )
+        .agg(
+            F.bit_or(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(user_id % 32 AS INT))"
+                )
+            ).alias("bm")
+        )
+    )
+    return words.groupBy("day").agg(
+        F.sum(F.bit_count("bm")).cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )

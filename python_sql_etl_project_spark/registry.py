@@ -252,6 +252,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "ts_interval_union_coverage",
     "agg_median_abs_deviation",
     "strm_signup_purchase_leftouter",
+    "agg_bitmap_distinct_users",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
