@@ -750,3 +750,129 @@ def test_new_vs_returning_conserves_users(spark):
     for r in rows:
         assert r.dau == r.n_new + r.n_returning
         assert r.dau > 0
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    """The bitmap census must equal countDistinct exactly — same engine,
+    two algorithms (the cross-algorithm check the oracle can't do)."""
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.day: r.n_users
+        for r in registry.QUERIES["agg_bitmap_distinct_users"](
+            spark, SF
+        ).collect()
+    }
+    exact = {
+        r.day: r.n
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert rows == exact
+
+
+def test_interval_union_bounds(spark):
+    """Union coverage is sandwiched: one pad <= covered <= n_events*pad,
+    and islands never exceed events (merging only shrinks)."""
+    from python_sql_etl_project_spark.plans.advanced import SESSION_PAD_US
+    from pyspark.sql import functions as F
+
+    cov = registry.QUERIES["ts_interval_union_coverage"](spark, SF)
+    n_ev = {
+        r.user_id: r.n
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in cov.collect():
+        n = n_ev[r.user_id]
+        assert 1 <= r.n_islands <= n, r
+        assert SESSION_PAD_US <= r.covered_us <= n * SESSION_PAD_US, r
+
+
+def test_mad_within_range(spark):
+    """Median lies in [min, max] of the group; MAD <= max deviation from
+    the median (both by definition of 'median of a set')."""
+    from pyspark.sql import functions as F
+
+    stats = {
+        r.event_type: r
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.round("value", 2)).alias("lo"),
+            F.max(F.round("value", 2)).alias("hi"),
+        )
+        .collect()
+    }
+    for r in registry.QUERIES["agg_median_abs_deviation"](
+        spark, SF
+    ).collect():
+        s = stats[r.event_type]
+        assert s.lo <= r.median_value <= s.hi, r
+        assert 0 <= r.mad_value <= max(
+            r.median_value - s.lo, s.hi - r.median_value
+        ), r
+
+
+def test_attribution_conserves_purchases(spark):
+    """Every purchase is credited to exactly one channel (or direct):
+    channel census sums to the raw purchase count."""
+    from pyspark.sql import functions as F
+
+    rows = registry.QUERIES["win_attribution_last_touch"](
+        spark, SF
+    ).collect()
+    total = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.n_purchases for r in rows) == total
+    assert all(r.channel != "purchase" for r in rows)
+
+
+def test_gopher_census_is_consistent(spark):
+    """Per-rule rejects never exceed the doc count; all-rules passes
+    never exceed any single rule's pass count."""
+    for r in registry.QUERIES["txt_gopher_rules"](spark, SF).collect():
+        rejects = [
+            r.rej_word_count,
+            r.rej_token_len,
+            r.rej_alpha,
+            r.rej_stopword,
+            r.rej_ttr,
+        ]
+        assert all(0 <= x <= r.n_docs for x in rejects), r
+        assert 0 <= r.n_pass <= min(r.n_docs - x for x in rejects) + min(
+            rejects
+        ), r
+        assert r.n_pass <= r.n_docs - max(rejects), r
+
+
+def test_weighted_median_total_weight(spark):
+    """total_weight equals the raw quantity sum per flag and the median
+    is an actually-occurring price."""
+    from pyspark.sql import functions as F
+
+    raw = {
+        r.l_returnflag: r
+        for r in spark.read.parquet(f"{SF}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("w"),
+            F.collect_set(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+            ).alias("prices"),
+        )
+        .collect()
+    }
+    for r in registry.QUERIES["agg_weighted_median"](spark, SF).collect():
+        s = raw[r.l_returnflag]
+        assert r.total_weight == s.w, r
+        assert any(
+            abs(float(p) - r.weighted_median_price) < 1e-9 for p in s.prices
+        ), r
