@@ -94,6 +94,20 @@ SHOWCASE = {
         "adjacency arrays (bounded by block density), candidates "
         "anti-join the edge list; no unblocked wedge space anywhere."
     ),
+    "ts_interval_union_coverage": (
+        "Interval union as windows: one shuffle on user_id serves the "
+        "running-max flag, the island numbering, and the final "
+        "aggregate — no interval self-join."
+    ),
+    "agg_bitmap_distinct_users": (
+        "Bitmap distinct: bit_or words partial-aggregate map-side; no "
+        "distinct value set ever crosses the exchange."
+    ),
+    "win_attribution_last_touch": (
+        "Attribution in one window pass: ignore-nulls last() over "
+        "(user, time) replaces the as-of self-join; one user_id "
+        "shuffle, then a channel-census reduce."
+    ),
 }
 
 
