@@ -201,6 +201,7 @@ HEADLINE = [
     # defect)
     "strm_signup_purchase_leftouter",
     "agg_bitmap_distinct_users",
+    "src_corrupt_records_quarantine",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -843,3 +843,93 @@ def ld_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(
         rows, "month string, n_orders bigint, revenue double"
     )
+
+
+@query(
+    "src_corrupt_records_quarantine",
+    oracle="""
+    WITH rendered AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END AS corrupt
+        FROM events
+    )
+    SELECT CASE WHEN corrupt = 1 THEN '(quarantined)' ELSE event_type END
+               AS event_type,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(corrupt) AS BIGINT) AS n_corrupt
+    FROM rendered
+    GROUP BY 1
+    """,
+)
+def src_corrupt_records_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingestion with corrupt-record quarantine — the
+    landing-zone contract for dirty JSON feeds: malformed lines must not
+    kill the job (FAILFAST) nor vanish (DROPMALFORMED); they land in
+    ``_corrupt_record`` for a quarantine queue while clean rows parse
+    normally. Events are rendered to JSON lines with every 13th record
+    deterministically truncated mid-object; the read-back declares the
+    schema WITH the corrupt-record column, and the census proves the
+    engine routed every record to exactly one side — parsed rows by
+    type, torn rows to '(quarantined)' — with none dropped (counts
+    reconcile against the oracle's rendering of the same corruption).
+
+    At 100 TB quarantine-by-column beats quarantine-by-path (a second
+    listing) and preserves the torn payload for repair. The JSON render
+    casts value to a 2-dp DECIMAL string first — the established
+    text-round-trip discipline.
+    """
+    target = tempfile.mkdtemp(prefix="corrupt_json_")
+    try:
+        events = read_table(spark, sf_dir, "events")
+        line = F.concat(
+            F.lit('{"event_id": '),
+            F.col("event_id"),
+            F.lit(', "event_type": "'),
+            F.col("event_type"),
+            F.lit('", "value": '),
+            F.round("value", 2).cast("decimal(14,2)"),
+            F.lit("}"),
+        )
+        torn = F.when(
+            F.col("event_id") % 13 == 0,
+            F.substring(line, 1, 20),
+        ).otherwise(line)
+        events.select(torn.alias("value")).write.mode("overwrite").text(
+            target
+        )
+        schema = (
+            "event_id bigint, event_type string, value double, "
+            "_corrupt_record string"
+        )
+        back = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(target)
+        )
+        rows = (
+            back.groupBy(
+                F.when(
+                    F.col("_corrupt_record").isNotNull(), "(quarantined)"
+                )
+                .otherwise(F.col("event_type"))
+                .alias("event_type")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_records"),
+                F.sum(
+                    F.when(F.col("_corrupt_record").isNotNull(), 1)
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_corrupt"),
+            )
+            .collect()
+        )
+    finally:
+        # |types|+1 census rows are materialized above; reclaim the
+        # staged JSON landing dir before returning
+        shutil.rmtree(target, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_records bigint, n_corrupt bigint"
+    )

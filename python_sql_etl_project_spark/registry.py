@@ -253,6 +253,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "agg_median_abs_deviation",
     "strm_signup_purchase_leftouter",
     "agg_bitmap_distinct_users",
+    "src_corrupt_records_quarantine",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
