@@ -2645,7 +2645,7 @@ SESSION_PAD_US = 1_800_000_000  # each event covers [ts, ts + 30 min)
         FROM events
     ),
     flagged AS (
-        SELECT user_id, s, e,
+        SELECT user_id, event_id, s, e,
                CASE WHEN max(e) OVER (PARTITION BY user_id
                                       ORDER BY s, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING
@@ -2656,7 +2656,7 @@ SESSION_PAD_US = 1_800_000_000  # each event covers [ts, ts + 30 min)
     islands AS (
         SELECT user_id, s, e,
                sum(is_new) OVER (PARTITION BY user_id
-                                 ORDER BY s, e
+                                 ORDER BY s, event_id
                                  ROWS UNBOUNDED PRECEDING) AS island
         FROM flagged
     ),
@@ -2700,15 +2700,19 @@ def ts_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = iv.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(F.max("e").over(prior) >= F.col("s"), 0)
         .otherwise(1)
         .alias("is_new"),
     )
+    # island numbering must use the SAME total order as the flag window
+    # (s, event_id) — ordering by (s, e) would let tied rows land in
+    # different islands per engine when (user, ts) duplicates exist
     run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islands = flagged.select(
