@@ -202,6 +202,8 @@ HEADLINE = [
     "strm_signup_purchase_leftouter",
     "agg_bitmap_distinct_users",
     "src_corrupt_records_quarantine",
+    "ts_rolling_regression_slope",
+    "smp_time_embargo_split",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -2876,3 +2876,176 @@ def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("bm")).cast("bigint").alias("n_users"),
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
     )
+
+
+REG_WINDOW = 7  # trailing days in the rolling regression
+#: With x = 0..6 inside the window: n·Σx² − (Σx)² = 7·91 − 21² = 196.
+_REG_DENOM = REG_WINDOW * 91 - 21 * 21
+
+
+@query(
+    "ts_rolling_regression_slope",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, cents,
+               date_diff('day', (SELECT min(day) FROM daily), day) AS t
+        FROM daily
+    ),
+    win AS (
+        SELECT day, t,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(cents) OVER w AS BIGINT) AS sy,
+               CAST(sum(t * cents) OVER w AS BIGINT) AS sty
+        FROM idx
+        WINDOW w AS (ORDER BY t RANGE BETWEEN {REG_WINDOW - 1} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT day,
+           CAST((20000 * ({REG_WINDOW} * (sty - (t - {REG_WINDOW - 1}) * sy)
+                          - 21 * sy)
+                 + CASE WHEN {REG_WINDOW} * (sty - (t - {REG_WINDOW - 1}) * sy)
+                             >= 21 * sy
+                        THEN {_REG_DENOM} ELSE -{_REG_DENOM} END)
+                // (2 * {_REG_DENOM}) AS DOUBLE) / 1000000
+               AS slope_per_day
+    FROM win
+    WHERE n = {REG_WINDOW}
+    """,
+)
+def ts_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day OLS trend of daily revenue — the trend detector a
+    monitoring pipeline runs beside the z-score and CUSUM screens (those
+    flag level shifts; this one measures DRIFT RATE in currency/day).
+    The regression never materializes (x, y) pairs: with day-index x
+    relativized inside each full window to 0..6, Σx = 21 and
+    nΣx² − (Σx)² = 196 are compile-time constants, and the two data
+    moments (Σy, Σ t·y) come from plain windowed integer sums — so the
+    slope is (nΣxy − ΣxΣy)/196 computed entirely in BIGINT cents, with
+    one final half-up integer rounding (half-away for negative trends)
+    to 2 decimal places of currency per day. RANGE framing over the day
+    index handles calendar gaps by requiring 7 PRESENT days.
+
+    One shuffle (daily aggregate), one window over a |days|-sized
+    series. At 100 TB the heavy input collapses to that daily series
+    before any window runs — the plan is aggregation-bound, the
+    regression itself is free. BIGINT headroom: the rounding term is
+    20000·7·Σ(i·cents) ≤ 8.4e6 × max daily cents, overflowing only past
+    ~$10¹² of daily revenue — promote the moments to DECIMAL(38,0) /
+    HUGEINT if a tenant ever approaches that.
+    """
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    idx = daily.withColumn(
+        "t",
+        F.datediff(
+            "day", F.min("day").over(Window.partitionBy())
+        ).cast("bigint"),
+    )
+    w = (
+        Window.orderBy("t")
+        .rangeBetween(-(REG_WINDOW - 1), Window.currentRow)
+    )
+    win = idx.select(
+        "day",
+        "t",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("cents").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("cents")).over(w).cast("bigint").alias(
+            "sty"
+        ),
+    )
+    num_sql = (
+        f"{REG_WINDOW} * (sty - (t - {REG_WINDOW - 1}) * sy) - 21 * sy"
+    )
+    return (
+        win.filter(F.col("n") == REG_WINDOW)
+        .select(
+            "day",
+            (
+                F.expr(
+                    # pure BIGINT half-up/half-away division — a double
+                    # quotient would lose exactness past 2^53
+                    f"(20000 * ({num_sql})"
+                    f" + CASE WHEN ({num_sql}) >= 0"
+                    f"        THEN {_REG_DENOM} ELSE -{_REG_DENOM} END)"
+                    f" div (2 * {_REG_DENOM})"
+                ).cast("double")
+                / 1000000
+            ).alias("slope_per_day"),
+        )
+    )
+
+
+EMBARGO_CUT = "1997-01-01"
+EMBARGO_DAYS = 30
+
+
+@query(
+    "smp_time_embargo_split",
+    oracle=f"""
+    SELECT CASE
+             WHEN o_orderdate < DATE '{EMBARGO_CUT}'
+                  - INTERVAL {EMBARGO_DAYS} DAY THEN 'train'
+             WHEN o_orderdate < DATE '{EMBARGO_CUT}' THEN 'embargo'
+             ELSE 'test'
+           END AS split,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def smp_time_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split WITH AN EMBARGO GAP — the
+    leakage-protection discipline from financial ML (de Prado's purged
+    splits): a plain temporal cut still leaks when features aggregate
+    trailing windows (a train row 1 day before the cut carries a
+    trailing-30d feature that overlaps the test period), so the 30 days
+    before the cut are quarantined from BOTH sides. Complements the
+    engine's other splits — hash (`smp_hash_split`) for i.i.d. data,
+    dedup-aware (`smp_dedup_aware_split`) for near-dup leakage — this
+    one is for temporally autocorrelated data, where random splits are
+    simply wrong. Membership is a pure function of the date: stable
+    across engines, runs, and re-partitioning, and evaluable at the
+    scan with predicate pushdown when materializing one split.
+    """
+    cut = F.lit(EMBARGO_CUT).cast("date")
+    split = (
+        F.when(
+            F.col("o_orderdate") < F.date_sub(cut, EMBARGO_DAYS), "train"
+        )
+        .when(F.col("o_orderdate") < cut, "embargo")
+        .otherwise("test")
+    )
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias(
+                "n_customers"
+            ),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias(
+                "first_date"
+            ),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+                "last_date"
+            ),
+        )
+    )

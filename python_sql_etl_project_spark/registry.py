@@ -254,6 +254,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "strm_signup_purchase_leftouter",
     "agg_bitmap_distinct_users",
     "src_corrupt_records_quarantine",
+    "ts_rolling_regression_slope",
+    "smp_time_embargo_split",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
