@@ -204,6 +204,7 @@ HEADLINE = [
     "src_corrupt_records_quarantine",
     "ts_rolling_regression_slope",
     "smp_time_embargo_split",
+    "win_revenue_bridge",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -3049,3 +3049,122 @@ def smp_time_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "win_revenue_bridge",
+    oracle="""
+    WITH cm AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS idx,
+               o_custkey AS cust,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    contrib AS (
+        SELECT idx, cust, cents AS cur_c, 0 AS prev_c FROM cm
+        UNION ALL
+        SELECT idx + 1, cust, 0, cents FROM cm
+    ),
+    paired AS (
+        SELECT idx, cust,
+               CAST(sum(cur_c) AS BIGINT) AS cur_c,
+               CAST(sum(prev_c) AS BIGINT) AS prev_c
+        FROM contrib GROUP BY 1, 2
+    ),
+    classified AS (
+        SELECT idx,
+               CASE WHEN prev_c = 0 THEN 'new'
+                    WHEN cur_c = 0 THEN 'churned'
+                    WHEN cur_c >= prev_c THEN 'expansion'
+                    ELSE 'contraction' END AS component,
+               cur_c - prev_c AS delta
+        FROM paired
+        WHERE idx > (SELECT min(idx) FROM cm)
+          AND idx <= (SELECT max(idx) FROM cm)
+    )
+    SELECT printf('%04d-%02d', idx // 12, idx % 12 + 1) AS month,
+           component,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(CAST(sum(delta) AS DECIMAL(18,2)) AS DOUBLE) / 100
+               AS revenue_delta
+    FROM classified
+    GROUP BY 1, 2
+    """,
+)
+def win_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue BRIDGE (the BI waterfall): each month's
+    revenue change decomposed into new, churned, expansion, and
+    contraction customers — the report a revenue team reads before the
+    total. The decomposition needs each customer's current AND previous
+    month side by side including absences on either side; instead of a
+    full-outer self-join, every customer-month row EXPLODES into two
+    contributions ((idx, cur=cents) and (idx+1, prev=cents)) and a
+    plain re-aggregation pairs them — union + one groupBy, associative
+    and map-side combinable, no join in the plan at all. The components
+    sum to the month's total revenue delta by construction (delta
+    telescopes), and all classification happens on exact integer cents.
+
+    At 100 TB the same shape holds: the contribution union is a narrow
+    map, the (idx, cust) aggregation is the only shuffle, and the final
+    month census is |months|×4 rows.
+    """
+    cm = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+            ).alias("idx"),
+            F.col("o_custkey").alias("cust"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    contrib = cm.select(
+        "idx", "cust", F.col("cents").alias("cur_c"), F.lit(0).alias("prev_c")
+    ).unionByName(
+        cm.select(
+            (F.col("idx") + 1).alias("idx"),
+            "cust",
+            F.lit(0).alias("cur_c"),
+            F.col("cents").alias("prev_c"),
+        )
+    )
+    paired = contrib.groupBy("idx", "cust").agg(
+        F.sum("cur_c").cast("bigint").alias("cur_c"),
+        F.sum("prev_c").cast("bigint").alias("prev_c"),
+    )
+    # month range as driver-side scalars injected as literal filters —
+    # the same 1-row-collect pattern the rollup high-water mark uses: a
+    # global window would funnel every paired row through ONE task, and
+    # a 1-row bounds join would plan as a nested-loop broadcast
+    lo, hi = cm.agg(F.min("idx"), F.max("idx")).first()
+    classified = (
+        paired.filter(
+            (F.col("idx") > F.lit(lo)) & (F.col("idx") <= F.lit(hi))
+        )
+        .select(
+            "idx",
+            F.when(F.col("prev_c") == 0, "new")
+            .when(F.col("cur_c") == 0, "churned")
+            .when(F.col("cur_c") >= F.col("prev_c"), "expansion")
+            .otherwise("contraction")
+            .alias("component"),
+            (F.col("cur_c") - F.col("prev_c")).alias("delta"),
+        )
+    )
+    return classified.groupBy(
+        F.format_string(
+            "%04d-%02d", F.expr("idx div 12"), F.col("idx") % 12 + 1
+        ).alias("month"),
+        "component",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        (
+            F.sum("delta").cast("decimal(18,2)").cast("double") / 100
+        ).alias("revenue_delta"),
+    )

@@ -256,6 +256,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "src_corrupt_records_quarantine",
     "ts_rolling_regression_slope",
     "smp_time_embargo_split",
+    "win_revenue_bridge",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

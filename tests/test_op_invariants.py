@@ -876,3 +876,35 @@ def test_weighted_median_total_weight(spark):
         assert any(
             abs(float(p) - r.weighted_median_price) < 1e-9 for p in s.prices
         ), r
+
+
+def test_revenue_bridge_telescopes(spark):
+    """Bridge identity: per month, new + churned + expansion +
+    contraction deltas sum to the month's total revenue change."""
+    from pyspark.sql import functions as F
+
+    bridge: dict[str, float] = {}
+    for r in registry.QUERIES["win_revenue_bridge"](spark, SF).collect():
+        bridge[r.month] = round(
+            bridge.get(r.month, 0.0) + r.revenue_delta, 2
+        )
+    monthly = {
+        r.month: float(r.rev)
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("month")
+        )
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            ).alias("rev")
+        )
+        .collect()
+    }
+    months = sorted(monthly)
+    for prev, cur in zip(months, months[1:]):
+        assert cur in bridge, f"month {cur} missing from bridge"
+        expect = round(monthly[cur] - monthly[prev], 2)
+        assert bridge[cur] == pytest.approx(expect, abs=0.01), cur
