@@ -205,6 +205,9 @@ HEADLINE = [
     "ts_rolling_regression_slope",
     "smp_time_embargo_split",
     "win_revenue_bridge",
+    # staging-dominated (writes two snapshot generations before the
+    # measured reads)
+    "ld_snapshot_time_travel",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -933,3 +933,123 @@ def src_corrupt_records_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(
         rows, "event_type string, n_records bigint, n_corrupt bigint"
     )
+
+
+@query(
+    "ld_snapshot_time_travel",
+    oracle=f"""
+    WITH snaps AS (
+        SELECT 'v1' AS snapshot, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(14,2)) AS price
+        FROM orders
+        UNION ALL
+        SELECT 'v2', o_orderstatus,
+               CASE WHEN strftime(date_trunc('month', o_orderdate),
+                                  '%Y-%m') IN {BACKFILL_MONTHS!r}
+                    THEN CAST(o_totalprice AS DECIMAL(14,2)) * 2
+                    ELSE CAST(o_totalprice AS DECIMAL(14,2)) END
+        FROM orders
+    )
+    SELECT snapshot, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(price), 2) AS DOUBLE) AS revenue
+    FROM snaps GROUP BY 1, 2
+    """,
+)
+def ld_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based SNAPSHOTS with time travel — the core mechanism of
+    every table format (Iceberg/Delta/Hudi), built from first
+    principles: a snapshot is a LIST OF FILES, and a correction commits
+    copy-on-write (new files for the repriced months, manifest v2 =
+    v1's untouched files + the new ones — the replaced files are NOT
+    deleted). Both snapshots are then queried side by side: v1 still
+    returns the original table AFTER v2 exists, v2 returns the
+    correction — the isolation property that makes concurrent readers,
+    reproducible backfills, and auditing possible, and which plain
+    directory-overwrite layouts (`ld_dynamic_partition_overwrite`)
+    give up in exchange for simplicity.
+
+    Manifests here are in-memory file lists (driver-side METADATA only
+    — bytes never touch the driver); at 100 TB they become the avro/
+    json manifest files the formats use, with the same read path:
+    ``spark.read.parquet(*manifest)``.
+    """
+    root = tempfile.mkdtemp(prefix="snapshots_")
+    try:
+        orders = read_table(spark, sf_dir, "orders").withColumn(
+            "month",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM"),
+        )
+        base = os.path.join(root, "base")
+        orders.write.mode("overwrite").partitionBy("month").parquet(base)
+
+        def _data_files(d: str) -> list[str]:
+            out = []
+            for dirpath, _dirs, files in os.walk(d):
+                out.extend(
+                    os.path.join(dirpath, f)
+                    for f in files
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                )
+            return sorted(out)
+
+        manifest_v1 = _data_files(base)
+
+        delta = os.path.join(root, "delta-001")
+        correction = orders.filter(
+            F.col("month").isin(*BACKFILL_MONTHS)
+        ).withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(14,2)") * 2).cast(
+                "double"
+            ),
+        )
+        correction.write.mode("overwrite").partitionBy("month").parquet(
+            delta
+        )
+        replaced = {f"month={m}" for m in BACKFILL_MONTHS}
+        manifest_v2 = [
+            f
+            for f in manifest_v1
+            if not any(part in f for part in replaced)
+        ] + _data_files(delta)
+
+        def census(manifest: list[str], tag: str):
+            # explicit leaf files, no basePath: partition discovery is
+            # off and the month dir-key is not materialized — the census
+            # needs only in-file columns
+            return (
+                spark.read.parquet(*manifest)
+                .groupBy("o_orderstatus")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                    F.round(
+                        F.sum(F.col("o_totalprice").cast("decimal(14,2)")),
+                        2,
+                    )
+                    .cast("double")
+                    .alias("revenue"),
+                )
+                .select(
+                    F.lit(tag).alias("snapshot"),
+                    "o_orderstatus",
+                    "n_orders",
+                    "revenue",
+                )
+            )
+
+        # v2 is committed; v1 must STILL read the original values
+        rows = (
+            census(manifest_v1, "v1")
+            .unionByName(census(manifest_v2, "v2"))
+            .collect()
+        )
+    finally:
+        # |snapshots|×|statuses| rows are materialized above; reclaim
+        # both snapshot generations before returning
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "snapshot string, o_orderstatus string, n_orders bigint, "
+        "revenue double",
+    )

@@ -257,6 +257,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "ts_rolling_regression_slope",
     "smp_time_embargo_split",
     "win_revenue_bridge",
+    "ld_snapshot_time_travel",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
