@@ -208,6 +208,7 @@ HEADLINE = [
     # staging-dominated (writes two snapshot generations before the
     # measured reads)
     "ld_snapshot_time_travel",
+    "dq_inflight_observation",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

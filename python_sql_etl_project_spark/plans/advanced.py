@@ -3168,3 +3168,69 @@ def win_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("delta").cast("decimal(18,2)").cast("double") / 100
         ).alias("revenue_delta"),
     )
+
+
+@query(
+    "dq_inflight_observation",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS revenue,
+           CAST(sum(count(*)) OVER () AS BIGINT) AS observed_total_rows,
+           CAST(round(sum(sum(CAST(o_totalprice AS DECIMAL(14,2))))
+                      OVER (), 2) AS DOUBLE) AS observed_total_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def dq_inflight_observation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight metrics via Spark's ``Observation`` API — production
+    pipelines attach data-quality counters to the SAME pass that
+    computes the result (a separate validation query doubles the scan
+    and can silently diverge from what the job actually read). Here the
+    scan is observed with a row count and a DECIMAL revenue total while
+    the census aggregates it; the observed values are then stamped onto
+    the result, and the oracle recomputes them relationally — a hash
+    match proves the observation saw EXACTLY the rows the aggregate
+    consumed, which is the whole point of the API.
+
+    Scale note: observe() adds accumulator-style metrics with zero
+    extra shuffle or scan; it is the mechanism behind streaming-side
+    row-count reconciliation at any volume.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("dq_gate")
+    observed = read_table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev"),
+    )
+    census = (
+        observed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()  # the action that materializes the observation
+    )
+    got = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                r["o_orderstatus"],
+                r["n_orders"],
+                r["revenue"],
+                int(got["n_rows"]),
+                float(round(got["rev"], 2)),
+            )
+            for r in census
+        ],
+        "o_orderstatus string, n_orders bigint, revenue double, "
+        "observed_total_rows bigint, observed_total_revenue double",
+    )

@@ -258,6 +258,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "smp_time_embargo_split",
     "win_revenue_bridge",
     "ld_snapshot_time_travel",
+    "dq_inflight_observation",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
