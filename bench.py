@@ -209,6 +209,7 @@ HEADLINE = [
     # measured reads)
     "ld_snapshot_time_travel",
     "dq_inflight_observation",
+    "agg_exact_correlation",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

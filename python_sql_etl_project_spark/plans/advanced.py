@@ -3234,3 +3234,97 @@ def dq_inflight_observation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus string, n_orders bigint, revenue double, "
         "observed_total_rows bigint, observed_total_revenue double",
     )
+
+
+@query(
+    "agg_exact_correlation",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                    AS BIGINT) AS x,
+               CAST(l_quantity AS BIGINT) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x * y) AS HUGEINT) AS sxy,
+               CAST(sum(x * x) AS HUGEINT) AS sxx,
+               CAST(sum(y * y) AS HUGEINT) AS syy
+        FROM pts GROUP BY 1
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS price_qty_corr
+    FROM m
+    """,
+)
+def agg_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of price and quantity per return flag, from
+    PURE INTEGER moments — the determinism upgrade over ``F.corr``
+    (whose double accumulators differ by summation order across
+    partitions and engines). All five moments are exact 38-digit
+    integer sums of integer cents/quantities, so the only floating
+    arithmetic is two IEEE-correctly-rounded sqrts and one division of
+    EXACT inputs — bit-identical everywhere by the IEEE-754 contract,
+    making a statistic that is normally hash-hostile fully
+    oracle-gateable (rounded to 6 dp for the gate).
+
+    One map-side-combinable aggregate; the moment trick generalizes to
+    covariance matrices and OLS (`ts_rolling_regression_slope`,
+    `txt_zipf_slope` use the same discipline).
+    """
+    pts = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(14,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    # products are cast to DECIMAL(38,0) BEFORE the sum: sum(x·x) tops
+    # 6e19 at sf0.1 already — a BIGINT accumulator would wrap silently
+    # under non-ANSI semantics (DuckDB's SUM(BIGINT)→HUGEINT is exact)
+    m = pts.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias(
+            "sxy"
+        ),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias(
+            "sxx"
+        ),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias(
+            "syy"
+        ),
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.sqrt(
+                    (
+                        F.col("n") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("n") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                )
+            ),
+            6,
+        ).alias("price_qty_corr"),
+    )

@@ -259,6 +259,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "win_revenue_bridge",
     "ld_snapshot_time_travel",
     "dq_inflight_observation",
+    "agg_exact_correlation",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
