@@ -210,6 +210,7 @@ HEADLINE = [
     "ld_snapshot_time_travel",
     "dq_inflight_observation",
     "agg_exact_correlation",
+    "win_skyline_price_recency",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -3328,3 +3328,74 @@ def agg_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("price_qty_corr"),
     )
+
+
+@query(
+    "win_skyline_price_recency",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                   AS cents,
+               o_orderdate AS d
+        FROM orders
+    ),
+    daymax AS (
+        SELECT d, max(cents) AS cents FROM pts GROUP BY 1
+    ),
+    frontier AS (
+        SELECT d, cents
+        FROM (
+            SELECT d, cents,
+                   max(d) OVER (ORDER BY cents
+                                RANGE BETWEEN CURRENT ROW
+                                     AND UNBOUNDED FOLLOWING) AS max_d_ge
+            FROM daymax
+        )
+        WHERE d = max_d_ge
+    )
+    SELECT p.o_orderkey,
+           CAST(CAST(p.cents AS DECIMAL(18,2)) AS DOUBLE) / 100
+               AS totalprice,
+           strftime(p.d, '%Y-%m-%d') AS orderdate
+    FROM pts p JOIN frontier f ON f.d = p.d AND f.cents = p.cents
+    """,
+)
+def win_skyline_price_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) over (totalprice, recency) — the classic
+    OLAP operator (Börzsönyi et al., ICDE 2001): orders not dominated by
+    any other on BOTH dimensions ('is there a bigger order that is also
+    more recent?'). The distributed shape exploits a domination-
+    preserving prefilter: a skyline point must be its own day's price
+    maximum (same date + higher price dominates), so the heavy table
+    first collapses to |days| candidate rows with one map-side-
+    combinable aggregate; the frontier test is then one window over
+    that tiny set — survive iff the row holds the latest date among all
+    candidates with price ≥ its own (integer RANGE framing makes '≥'
+    exact) — and a final equi-join recovers the order ids, ties
+    included. No quadratic dominance join at any step; the global sort
+    the skyline inherently needs runs over days, not orders.
+    """
+    pts = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderdate").alias("d"),
+    )
+    daymax = pts.groupBy("d").agg(F.max("cents").alias("cents"))
+    w = Window.orderBy("cents").rangeBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    frontier = (
+        daymax.withColumn("max_d_ge", F.max("d").over(w))
+        .filter(F.col("d") == F.col("max_d_ge"))
+        .select("d", "cents")
+    )
+    return pts.join(F.broadcast(frontier), ["d", "cents"]).select(
+        "o_orderkey",
+        (F.col("cents").cast("decimal(18,2)").cast("double") / 100).alias(
+            "totalprice"
+        ),
+        F.date_format("d", "yyyy-MM-dd").alias("orderdate"),
+    )

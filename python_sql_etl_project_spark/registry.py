@@ -260,6 +260,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "ld_snapshot_time_travel",
     "dq_inflight_observation",
     "agg_exact_correlation",
+    "win_skyline_price_recency",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
