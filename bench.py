@@ -211,6 +211,7 @@ HEADLINE = [
     "dq_inflight_observation",
     "agg_exact_correlation",
     "win_skyline_price_recency",
+    "src_python_datasource",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

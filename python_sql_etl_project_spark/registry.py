@@ -77,6 +77,7 @@ def load_all() -> None:
     )
     from .streaming import windows  # noqa: F401
     from .load import jdbc, layout, scd  # noqa: F401
+    from .sources import pysource  # noqa: F401
     from .functions import sqlfuncs, udafs  # noqa: F401
 
 
@@ -261,6 +262,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "dq_inflight_observation",
     "agg_exact_correlation",
     "win_skyline_price_recency",
+    "src_python_datasource",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -1,0 +1,105 @@
+"""Custom Python data source (Spark 4 ``DataSource`` API).
+
+The last extension surface the source matrix lacked: when a feed has no
+built-in connector (an internal REST API, a message queue without a
+Spark driver, a bespoke binary log), Spark 4 lets the connector be
+written in PYTHON and registered like any format — partition planning
+on the driver, per-partition generators on the executors, Arrow-batched
+back into the JVM. This module ships a deterministic reference source
+(`SyntheticDocsSource`) exercising the full lifecycle: options,
+schema declaration, partition planning, and executor-side row
+generation — the skeleton a real REST/queue connector drops its I/O
+into.
+
+The reference's closest analog is the provider-SDK fetch
+(``/root/reference/src/extract.py:46-83``), which SURVEY §2.1 scopes to
+a pluggable opener; this is the engine-grade version of that plug
+point: the custom source parallelizes across executors instead of
+streaming through the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..registry import query
+
+N_ROWS = 1000
+N_PARTS = 8
+
+
+class _Part(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class SyntheticDocsReader(DataSourceReader):
+    """Partition-parallel generator: each partition yields its own id
+    range — rows are born distributed, never funneled through the
+    driver (the property that separates a real connector from a
+    ``createDataFrame`` of collected API pages)."""
+
+    def __init__(self, n_rows: int, n_parts: int) -> None:
+        self.n_rows = n_rows
+        self.n_parts = n_parts
+
+    def partitions(self) -> list[InputPartition]:
+        step = -(-self.n_rows // self.n_parts)
+        return [
+            _Part(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _Part):
+        # executor-side; md5 matches the oracle's md5('doc:' || i)
+        import hashlib
+
+        for i in range(partition.start, partition.end):
+            fp = hashlib.md5(f"doc:{i}".encode()).hexdigest()
+            yield (i, fp, len(fp))
+
+
+class SyntheticDocsSource(DataSource):
+    """``spark.read.format("synthetic_docs")`` after registration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return "id bigint, fingerprint string, fp_len int"
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        n_rows = int(self.options.get("n_rows", N_ROWS))
+        n_parts = int(self.options.get("n_parts", N_PARTS))
+        return SyntheticDocsReader(n_rows, n_parts)
+
+
+@query(
+    "src_python_datasource",
+    oracle=f"""
+    SELECT CAST(i AS BIGINT) AS id,
+           md5('doc:' || i) AS fingerprint,
+           CAST(32 AS INT) AS fp_len
+    FROM range({N_ROWS}) t(i)
+    """,
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-connector lifecycle end to end: register a Python
+    ``DataSource``, read it as a named format, and hash-gate every
+    generated row against an independent relational reconstruction.
+    The source plans 8 partitions on the driver and generates rows on
+    the executors (Arrow-batched into the JVM) — the scaling shape a
+    REST/queue/bespoke-log connector needs at 100 TB, where the feed
+    must enter the cluster already parallel. Registration is
+    session-scoped and idempotent.
+    """
+    spark.dataSource.register(SyntheticDocsSource)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("n_rows", N_ROWS)
+        .option("n_parts", N_PARTS)
+        .load()
+    )
