@@ -212,6 +212,7 @@ HEADLINE = [
     "agg_exact_correlation",
     "win_skyline_price_recency",
     "src_python_datasource",
+    "strm_python_stream_source",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -263,6 +263,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "agg_exact_correlation",
     "win_skyline_price_recency",
     "src_python_datasource",
+    "strm_python_stream_source",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

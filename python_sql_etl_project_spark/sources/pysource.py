@@ -21,7 +21,12 @@ streaming through the driver.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..registry import query
 
@@ -102,4 +107,106 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("n_rows", N_ROWS)
         .option("n_parts", N_PARTS)
         .load()
+    )
+
+
+STREAM_N = 600
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked Python streaming source: ``read(start)`` returns
+    everything available past the start offset plus the new offset (the
+    Kafka-consumer contract in miniature); ``readBetweenOffsets``
+    regenerates any committed range deterministically, which is what
+    makes checkpoint REPLAY exact — the engine may re-ask for a batch
+    after recovery and must get bit-identical rows."""
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _rows(self, lo: int, hi: int):
+        import hashlib
+
+        # list-backed iterator, NOT a generator: the engine's prefetch
+        # cache copy.copy()s the iterator, which generators don't support
+        return iter(
+            [
+                (i, fp, int(fp[:2], 16))
+                for i in range(lo, hi)
+                for fp in (hashlib.md5(f"evt:{i}".encode()).hexdigest(),)
+            ]
+        )
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        return (self._rows(pos, STREAM_N), {"pos": STREAM_N})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["pos"], end["pos"])
+
+
+class SyntheticEventsStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return "id bigint, fingerprint string, bucket int"
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader()
+
+
+@query(
+    "strm_python_stream_source",
+    oracle=f"""
+    WITH rows_src AS (
+        SELECT CAST(i AS BIGINT) AS id,
+               md5('evt:' || i) AS fp
+        FROM range({STREAM_N}) t(i)
+    )
+    SELECT CAST(strpos('0123456789abcdef', substring(fp, 2, 1)) - 1
+                AS INT) AS bucket_mod,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(id) AS BIGINT) AS id_checksum
+    FROM rows_src
+    GROUP BY 1
+    """,
+)
+def strm_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON STREAMING source (Spark 4 ``simpleStreamReader``) —
+    the connector shape for feeds with no built-in stream driver (a
+    REST poll loop, an internal queue): offset state lives in the
+    checkpoint, ``read`` advances it, and ``readBetweenOffsets`` makes
+    committed batches exactly replayable after recovery. The stream is
+    drained with AvailableNow into a memory sink and censused by
+    fingerprint bucket; the oracle regenerates the same rows
+    relationally, so the hash gate proves offset-complete, duplicate-
+    free delivery (count + id checksum per bucket).
+    """
+    import tempfile
+
+    spark.dataSource.register(SyntheticEventsStreamSource)
+    q = (
+        spark.readStream.format("synthetic_events_stream")
+        .load()
+        .writeStream.format("memory")
+        .queryName("strm_python_stream_source")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ck_pysrc_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import functions as F
+
+    return (
+        spark.table("strm_python_stream_source")
+        .groupBy((F.col("bucket") % 16).alias("bucket_mod"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("id").cast("bigint").alias("id_checksum"),
+        )
     )
