@@ -213,6 +213,7 @@ HEADLINE = [
     "win_skyline_price_recency",
     "src_python_datasource",
     "strm_python_stream_source",
+    "win_markov_transitions",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -3399,3 +3399,66 @@ def win_skyline_price_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.date_format("d", "yyyy-MM-dd").alias("orderdate"),
     )
+
+
+@query(
+    "win_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n
+        FROM trans GROUP BY 1
+    )
+    SELECT t.prev_type, t.next_type, t.n AS n_transitions,
+           CAST((20000 * t.n + o.row_n) // (2 * o.row_n) AS DOUBLE)
+               / 10000 AS probability
+    FROM trans t JOIN tot o ON o.prev_type = t.prev_type
+    """,
+)
+def win_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior — the model
+    behind next-action prediction, anomaly screens ('error after
+    purchase is 10× baseline'), and simulated user journeys. One lag
+    window over (user, time, event_id) yields the transition stream;
+    the matrix is a |types|² census with row-normalized probabilities
+    rounded half-up in integer arithmetic. Complements
+    `win_top_session_paths` (which ranks whole journeys) with the
+    memoryless model that scales to arbitrary path length for free.
+
+    One user_id shuffle for the lag, then a tiny matrix aggregate; the
+    row-total join is |types|-sized and broadcast.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = read_table(spark, sf_dir, "events").select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    tot = trans.groupBy("prev_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("row_n")
+    )
+    return trans.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.expr("(20000 * n_transitions + row_n) div (2 * row_n)")
+            .cast("double")
+            / 10000
+        ).alias("probability"),
+    )

@@ -264,6 +264,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "win_skyline_price_recency",
     "src_python_datasource",
     "strm_python_stream_source",
+    "win_markov_transitions",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
