@@ -214,6 +214,7 @@ HEADLINE = [
     "src_python_datasource",
     "strm_python_stream_source",
     "win_markov_transitions",
+    "sim_embedding_collapse_audit",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

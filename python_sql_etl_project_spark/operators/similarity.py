@@ -1391,3 +1391,89 @@ def sim_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("mean_sq_err"),
     )
+
+
+COLLAPSE_DIMS = 8
+
+
+@query(
+    "sim_embedding_collapse_audit",
+    oracle=f"""
+    WITH micro AS (
+        SELECT label, d.i AS dim,
+               CAST(round(CAST(embedding[d.i + 1] AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS v
+        FROM embeddings, (SELECT unnest(range({COLLAPSE_DIMS})) AS i) d
+    ),
+    m AS (
+        SELECT label, dim,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(v) AS HUGEINT) AS sx,
+               CAST(sum(v * v) AS HUGEINT) AS sxx
+        FROM micro GROUP BY 1, 2
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           round(CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000), 6)
+               AS mean_value,
+           round(CAST(n * sxx - sx * sx AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 8)
+               AS variance
+    FROM m
+    """,
+)
+def sim_embedding_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-collapse audit: per-label mean and variance of each of
+    the first ``COLLAPSE_DIMS`` dimensions — the diagnostic run before trusting an
+    embedding table for dedup or retrieval (collapsed or near-constant
+    dimensions make cosine similarity degenerate and LSH buckets
+    useless; per-label variance ≈ 0 means the encoder memorized the
+    label, not the content). Values quantize to integer micro-units
+    (float32 → double is exact, and a float32 times 10⁶ can never land
+    exactly on .5, so the half-up/half-even rounding divergence is
+    unreachable); the moments are exact DECIMAL sums, and the final
+    mean/variance are single IEEE divisions of exact inputs, rounded
+    for the gate.
+
+    One explode bounded by ``COLLAPSE_DIMS``×|rows| and one map-side-combinable
+    aggregate; output is |labels|×``COLLAPSE_DIMS`` rows.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    micro = emb.select(
+        "label",
+        F.posexplode(F.slice("embedding", 1, COLLAPSE_DIMS)).alias(
+            "dim", "el"
+        ),
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("el").cast("double") * 1000000, 0)
+        .cast("bigint")
+        .alias("v"),
+    )
+    m = micro.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias(
+            "sxx"
+        ),
+    )
+    return m.select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        F.round(
+            F.col("sx").cast("double")
+            / (F.col("n").cast("double") * 1000000),
+            6,
+        ).alias("mean_value"),
+        F.round(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            / (
+                F.col("n").cast("double")
+                * F.col("n").cast("double")
+                * F.lit(1e12)
+            ),
+            8,
+        ).alias("variance"),
+    )

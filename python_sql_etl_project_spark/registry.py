@@ -265,6 +265,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "src_python_datasource",
     "strm_python_stream_source",
     "win_markov_transitions",
+    "sim_embedding_collapse_audit",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
