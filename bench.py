@@ -215,6 +215,7 @@ HEADLINE = [
     "strm_python_stream_source",
     "win_markov_transitions",
     "sim_embedding_collapse_audit",
+    "txt_novelty_decay_curve",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -1446,3 +1446,90 @@ def dd_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("jaccard_est") - F.coalesce("jaccard_exact", F.lit(0.0))), 4
         ).alias("abs_err"),
     )
+
+
+NOVELTY_BATCH = 50  # docs per simulated ingestion batch
+
+
+@query(
+    "txt_novelty_decay_curve",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    batched AS (
+        SELECT doc_id // {NOVELTY_BATCH} AS batch, s FROM sh
+    ),
+    first_seen AS (
+        SELECT s, min(batch) AS first_batch FROM batched GROUP BY 1
+    ),
+    per_batch AS (
+        SELECT b.batch,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT b.s) AS BIGINT) AS n_distinct,
+               CAST(sum(CASE WHEN f.first_batch = b.batch
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_first_occ
+        FROM batched b JOIN first_seen f ON f.s = b.s
+        GROUP BY 1
+    ),
+    novel AS (
+        SELECT first_batch AS batch,
+               CAST(count(*) AS BIGINT) AS n_new_shingles
+        FROM first_seen GROUP BY 1
+    )
+    SELECT p.batch, p.n_occurrences, p.n_distinct, n.n_new_shingles,
+           CAST((20000 * n.n_new_shingles + p.n_distinct)
+                // (2 * p.n_distinct) AS DOUBLE) / 10000 AS novelty_rate
+    FROM per_batch p JOIN novel n ON n.batch = p.batch
+    """,
+)
+def txt_novelty_decay_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus SATURATION curve — the dedup-ROI question asked before
+    paying for more crawl: as batches arrive in ingestion order, what
+    fraction of each batch's distinct shingles has never been seen
+    before? A healthy growing corpus decays slowly; a saturated (or
+    self-copying) source decays to ~0 and more data buys nothing. Each
+    shingle's first-seen batch comes from one min-aggregate; the curve
+    joins it back per batch — two shuffles on the shingle key, reusing
+    :func:`shingles`' hot-capped exploded set, with the rate rounded
+    half-up in integer arithmetic.
+
+    At 100 TB the identical plan runs incrementally: persist
+    ``first_seen`` as the corpus shingle registry and each day's batch
+    only anti-joins it (`dd_incremental_minhash` is that daily path).
+    """
+    sh = shingles(spark, sf_dir)
+    batched = sh.select(
+        F.expr(f"doc_id div {NOVELTY_BATCH}").alias("batch"), "s"
+    )
+    first_seen = batched.groupBy("s").agg(
+        F.min("batch").alias("first_batch")
+    )
+    joined = batched.join(first_seen, "s")
+    per_batch = joined.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.countDistinct("s").cast("bigint").alias("n_distinct"),
+        F.sum(
+            F.when(F.col("first_batch") == F.col("batch"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_first_occ"),
+    )
+    novel = first_seen.groupBy(
+        F.col("first_batch").alias("batch")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_new_shingles"))
+    out = (
+        per_batch.join(novel, "batch")
+        .select(
+            "batch",
+            "n_occurrences",
+            "n_distinct",
+            "n_new_shingles",
+            (
+                F.expr(
+                    "(20000 * n_new_shingles + n_distinct)"
+                    " div (2 * n_distinct)"
+                ).cast("double")
+                / 10000
+            ).alias("novelty_rate"),
+        )
+    )
+    return finalize_unpersist(out, sh)

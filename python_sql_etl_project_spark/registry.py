@@ -266,6 +266,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "strm_python_stream_source",
     "win_markov_transitions",
     "sim_embedding_collapse_audit",
+    "txt_novelty_decay_curve",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
