@@ -216,6 +216,7 @@ HEADLINE = [
     "win_markov_transitions",
     "sim_embedding_collapse_audit",
     "txt_novelty_decay_curve",
+    "sim_hard_negatives",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

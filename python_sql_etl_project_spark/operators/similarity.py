@@ -1477,3 +1477,108 @@ def sim_embedding_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("variance"),
     )
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, a.label AS query_label,
+               b.vec_id AS neighbor_id, b.label AS neighbor_label,
+               {_COS_SQL} AS cosine
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {{nq}}
+    ),
+    pos AS (
+        SELECT query_id, neighbor_id AS positive_id, cosine AS positive_cos
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id)
+                      AS r
+              FROM scored WHERE neighbor_label = query_label)
+        WHERE r = 1
+    ),
+    neg AS (
+        SELECT query_id, neighbor_id AS hard_negative_id,
+               neighbor_label AS hard_negative_label,
+               cosine AS hard_negative_cos
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id)
+                      AS r
+              FROM scored WHERE neighbor_label <> query_label)
+        WHERE r = 1
+    )
+    SELECT p.query_id, p.positive_id, round(p.positive_cos, 6)
+               AS positive_cos,
+           n.hard_negative_id, n.hard_negative_label,
+           round(n.hard_negative_cos, 6) AS hard_negative_cos,
+           round(p.positive_cos - n.hard_negative_cos, 6) AS margin
+    FROM pos p JOIN neg n ON n.query_id = p.query_id
+    """.format(nq=N_QUERIES),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for contrastive training: per query, the nearest
+    SAME-label vector (the positive) and the nearest OTHER-label vector
+    (the hard negative), with the triplet margin between them — the
+    mining step every embedding-model fine-tune runs, and the
+    diagnostic for label noise (a negative margin means some other
+    label's vector sits closer than the query's own class). Same
+    bounded plan as the brute-kNN baseline — broadcast query set, one
+    corpus pass, two per-query windows over the scored sliver; the
+    scale path swaps candidate generation for the IVF cells exactly as
+    retrieval does.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        _cosine_prenorm(
+            F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    pos = (
+        scored.filter(F.col("neighbor_label") == F.col("query_label"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("positive_id"),
+            F.round("cosine", 6).alias("positive_cos"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("neighbor_label") != F.col("query_label"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("hard_negative_id"),
+            F.col("neighbor_label").alias("hard_negative_label"),
+            F.round("cosine", 6).alias("hard_negative_cos"),
+        )
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id",
+        "positive_id",
+        "positive_cos",
+        "hard_negative_id",
+        "hard_negative_label",
+        "hard_negative_cos",
+        F.round(
+            F.col("positive_cos") - F.col("hard_negative_cos"), 6
+        ).alias("margin"),
+    )

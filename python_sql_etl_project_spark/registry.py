@@ -267,6 +267,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "win_markov_transitions",
     "sim_embedding_collapse_audit",
     "txt_novelty_decay_curve",
+    "sim_hard_negatives",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -37,6 +37,10 @@ BNLJ_ALLOWED = {
     "sim_kmeans_codebook": "KB-scale codebook broadcast per Lloyd iteration",
     "sim_semdedup_prune": "KB-scale codebook broadcast for cell assignment",
     "sim_knn_pandas_udf": "tiny query set broadcast against corpus",
+    "sim_hard_negatives": (
+        "tiny query set broadcast against corpus (triplet-mining "
+        "baseline, same bound as sim_knn_brute)"
+    ),
     "sim_matryoshka_audit": "tiny query set broadcast against corpus",
     "q11_revenue_concentration": "1-row global-total broadcast",
     "ld_partition_skew": "1-row (total, partition-count) aggregate broadcast",
@@ -101,6 +105,7 @@ _BOUNDING_NODES = ("Aggregate", "Deduplicate", "GlobalLimit", "Sample")
 FACT_HINT_ALLOWED = {
     "sim_knn_brute": "query set is Filter(vec_id < 8): constant 8 rows",
     "sim_knn_pandas_udf": "query set is Filter(vec_id < 8): constant 8 rows",
+    "sim_hard_negatives": "query set is Filter(vec_id < 8): constant 8 rows",
     "sim_matryoshka_audit": "query set is Filter(vec_id < 8): constant 8 rows",
     "sim_ivf_recall_audit": (
         "exact-baseline query set is Filter(vec_id < 25): constant 25 rows"
