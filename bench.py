@@ -217,6 +217,7 @@ HEADLINE = [
     "sim_embedding_collapse_audit",
     "txt_novelty_decay_curve",
     "sim_hard_negatives",
+    "txt_heaps_law_fit",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

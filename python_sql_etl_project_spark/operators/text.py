@@ -1303,3 +1303,125 @@ def txt_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("oov_rate"),
     )
+HEAPS_BATCH = 50  # docs per cumulative checkpoint
+
+
+@query(
+    "txt_heaps_law_fit",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id // {HEAPS_BATCH} AS batch,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    firsts AS (
+        SELECT t, min(batch) AS first_batch FROM tok GROUP BY 1
+    ),
+    newv AS (
+        SELECT first_batch AS batch, CAST(count(*) AS BIGINT) AS nv
+        FROM firsts GROUP BY 1
+    ),
+    cnt AS (
+        SELECT batch, CAST(count(*) AS BIGINT) AS nt FROM tok GROUP BY 1
+    ),
+    cum AS (
+        SELECT c.batch,
+               sum(c.nt) OVER (ORDER BY c.batch
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+               sum(coalesce(v.nv, 0)) OVER (ORDER BY c.batch
+                               ROWS UNBOUNDED PRECEDING) AS cum_vocab
+        FROM cnt c LEFT JOIN newv v ON v.batch = c.batch
+    ),
+    pts AS (
+        SELECT CAST(round(ln(cum_tokens) * 1000000) AS BIGINT) AS x6,
+               CAST(round(ln(cum_vocab) * 1000000) AS BIGINT) AS y6
+        FROM cum
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x6) AS HUGEINT) AS sx,
+               CAST(sum(y6) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x6 AS HUGEINT) * y6) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x6 AS HUGEINT) * x6) AS HUGEINT) AS sxx
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CAST(CAST((20000 * (n * sxy - sx * sy) + (n * sxx - sx * sx))
+                     // (2 * (n * sxx - sx * sx)) AS BIGINT) AS DOUBLE)
+               / 10000 AS heaps_beta,
+           CAST(CAST((20 * (sy * sxx - sx * sxy)
+                      + (n * sxx - sx * sx))
+                     // (2 * (n * sxx - sx * sx)) AS BIGINT) AS DOUBLE)
+               / 10 AS heaps_log_k_micro
+    FROM sums
+    """,
+)
+def txt_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit — vocabulary growth V(n) ≈ K·n^β over ingestion
+    order, the companion diagnostic to the Zipf slope and the novelty
+    decay curve: β near the language's baseline (~0.5) means the corpus
+    keeps finding genuinely new vocabulary; β collapsing toward 0 means
+    token growth without vocab growth (templates, boilerplate). Points
+    are cumulative (tokens, vocab) after each 50-doc batch — cumulative
+    vocab via the first-occurrence trick (one min-aggregate, no
+    per-batch distinct scans) — and the log-log OLS runs in the Zipf
+    discipline: micro-unit integer logs, 38-digit integer sums, one
+    half-up integer division each for slope and intercept.
+
+    The cumulative windows run over |batches| rows; everything heavy is
+    map-side-combinable token counting.
+    """
+    tok = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        F.expr(f"doc_id div {HEAPS_BATCH}").alias("batch"),
+        F.explode(tokens()).alias("t"),
+    )
+    firsts = tok.groupBy("t").agg(F.min("batch").alias("first_batch"))
+    newv = firsts.groupBy(F.col("first_batch").alias("batch")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv")
+    )
+    cnt = tok.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt")
+    )
+    w = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        cnt.join(newv, "batch", "left")
+        .select(
+            "batch",
+            F.sum("nt").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("nv", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )
+    pts = cum.select(
+        F.round(F.log("cum_tokens") * 1000000, 0).cast("bigint").alias("x6"),
+        F.round(F.log("cum_vocab") * 1000000, 0).cast("bigint").alias("y6"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x6").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y6").cast("decimal(38,0)")).alias("sy"),
+        F.sum(
+            (F.col("x6").cast("decimal(38,0)") * F.col("y6"))
+        ).alias("sxy"),
+        F.sum(
+            (F.col("x6").cast("decimal(38,0)") * F.col("x6"))
+        ).alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        (
+            F.expr(
+                "CAST((20000 * (n * sxy - sx * sy) + (n * sxx - sx * sx))"
+                " div (2 * (n * sxx - sx * sx)) AS BIGINT)"
+            ).cast("double")
+            / 10000
+        ).alias("heaps_beta"),
+        (
+            F.expr(
+                "CAST((20 * (sy * sxx - sx * sxy) + (n * sxx - sx * sx))"
+                " div (2 * (n * sxx - sx * sx)) AS BIGINT)"
+            ).cast("double")
+            / 10
+        ).alias("heaps_log_k_micro"),
+    )

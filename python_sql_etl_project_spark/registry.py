@@ -268,6 +268,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "sim_embedding_collapse_audit",
     "txt_novelty_decay_curve",
     "sim_hard_negatives",
+    "txt_heaps_law_fit",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
