@@ -218,6 +218,7 @@ HEADLINE = [
     "txt_novelty_decay_curve",
     "sim_hard_negatives",
     "txt_heaps_law_fit",
+    "mm_phash_neardup_pairs",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -456,3 +456,137 @@ def mm_byte_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("avg_distinct_bytes"),
     )
+
+
+PHASH_BITS = 16
+PHASH_MAX_HAMMING = 3
+
+
+def _byte_sql_duck(h: str, i: int) -> str:
+    """Byte i (0-based) of a 32-char md5 hex string, as 0..255 (DuckDB)."""
+    n1 = f"(strpos('0123456789abcdef', substring({h}, {2 * i + 1}, 1)) - 1)"
+    n2 = f"(strpos('0123456789abcdef', substring({h}, {2 * i + 2}, 1)) - 1)"
+    return f"(16 * {n1} + {n2})"
+
+
+def _phash_sql_duck(h: str) -> str:
+    """Average-hash over the 16 payload bytes: bit i set iff byte i is
+    above the payload mean (16·bᵢ > Σb — integer cross-multiplication,
+    no division). Generated from one loop for both dialects."""
+    total = " + ".join(_byte_sql_duck(h, i) for i in range(PHASH_BITS))
+    bits = " + ".join(
+        f"(CASE WHEN 16 * {_byte_sql_duck(h, i)} > ({total}) "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(PHASH_BITS)
+    )
+    return f"({bits})"
+
+
+def _phash_col_spark(hexcol: str):
+    from pyspark.sql import functions as F
+
+    def byte(i: int):
+        return F.conv(F.substring(F.col(hexcol), 2 * i + 1, 2), 16, 10).cast(
+            "int"
+        )
+
+    total = byte(0)
+    for i in range(1, PHASH_BITS):
+        total = total + byte(i)
+    acc = F.lit(0)
+    for i in range(PHASH_BITS):
+        acc = acc + F.when(16 * byte(i) > total, F.lit(1 << i)).otherwise(0)
+    return acc
+
+
+@query(
+    "mm_phash_neardup_pairs",
+    oracle=f"""
+    WITH assets AS (
+        SELECT doc_id AS asset_id, md5(text) AS payload_hex
+        FROM documents
+    ),
+    hashed AS (
+        SELECT asset_id,
+               {_phash_sql_duck("payload_hex")} AS phash
+        FROM assets
+    ),
+    nibbles AS (
+        SELECT asset_id, phash, n.i AS nibble_idx,
+               (phash >> (4 * n.i)) & 15 AS nibble_val
+        FROM hashed, (SELECT unnest(range(4)) AS i) n
+    ),
+    cand AS (
+        SELECT DISTINCT a.asset_id AS a1, b.asset_id AS a2,
+               a.phash AS h1, b.phash AS h2
+        FROM nibbles a JOIN nibbles b
+          ON a.nibble_idx = b.nibble_idx
+         AND a.nibble_val = b.nibble_val
+         AND a.asset_id < b.asset_id
+    )
+    SELECT a1, a2,
+           CAST(bit_count(CAST(xor(h1, h2) AS BIGINT)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(CAST(xor(h1, h2) AS BIGINT)) <= {PHASH_MAX_HAMMING}
+    """,
+)
+def mm_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate ASSET pairs — the image-dedup
+    analog of SimHash text dedup: an average-hash (aHash) summarizes
+    each binary payload as 16 bits (bit i set iff byte i exceeds the
+    payload mean — on a real image these are mean-thresholded grayscale
+    blocks; the engine-side contract is identical), and near-dups are
+    pairs within Hamming distance ``PHASH_MAX_HAMMING``. Candidate
+    generation is nibble-blocked exactly like ``dd_simhash_pairs`` —
+    Hamming ≤ 3 over 16 bits guarantees ≥ 1 of 4 equal nibbles, so the
+    self-join runs on (nibble_idx, value) buckets and the full pair
+    space never materializes. The hash arithmetic (byte extraction,
+    mean threshold, bit assembly) is generated from ONE loop for both
+    dialects — integer comparisons only, no float anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    from ..session import read_table
+
+    hashed = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.md5("text").alias("payload_hex"),
+        )
+        .select(
+            "asset_id", _phash_col_spark("payload_hex").alias("phash")
+        )
+    )
+    nib = hashed.select(
+        "asset_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("nibble_idx"),
+    ).withColumn(
+        "nibble_val", F.expr("(phash >> (4 * nibble_idx)) & 15")
+    )
+    a = nib.select(
+        F.col("asset_id").alias("a1"),
+        F.col("phash").alias("h1"),
+        "nibble_idx",
+        "nibble_val",
+    )
+    b = nib.select(
+        F.col("asset_id").alias("a2"),
+        F.col("phash").alias("h2"),
+        "nibble_idx",
+        "nibble_val",
+    )
+    cand = (
+        a.join(b, ["nibble_idx", "nibble_val"])
+        .filter(F.col("a1") < F.col("a2"))
+        .select("a1", "a2", "h1", "h2")
+        .distinct()
+    )
+    return cand.select(
+        "a1",
+        "a2",
+        F.bit_count(
+            F.expr("CAST(h1 ^ h2 AS BIGINT)")
+        ).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= PHASH_MAX_HAMMING)

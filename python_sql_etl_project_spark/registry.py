@@ -269,6 +269,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "txt_novelty_decay_curve",
     "sim_hard_negatives",
     "txt_heaps_law_fit",
+    "mm_phash_neardup_pairs",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
