@@ -1533,3 +1533,116 @@ def txt_novelty_decay_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return finalize_unpersist(out, sh)
+
+
+#: Span width for exact duplicated-span removal (tokens per span).
+SPAN_W = 20
+
+
+@query(
+    "dd_span_dedup_retention",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, source, i AS span_idx,
+               md5(array_to_string(
+                   w[(i * {SPAN_W} + 1):(i * {SPAN_W} + {SPAN_W})], ' '))
+                   AS h,
+               CAST(len(w[(i * {SPAN_W} + 1):(i * {SPAN_W} + {SPAN_W})])
+                    AS BIGINT) AS sl
+        FROM tok,
+             unnest(generate_series(0, (len(w) + {SPAN_W} - 1)
+                                       // {SPAN_W} - 1)) AS u(i)
+    ),
+    marked AS (
+        SELECT source, sl,
+               CASE WHEN row_number()
+                         OVER (PARTITION BY h ORDER BY doc_id, span_idx)
+                         > 1 THEN 1 ELSE 0 END AS is_dup
+        FROM spans
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(is_dup) AS BIGINT) AS n_dup_spans,
+               CAST(sum(sl) AS BIGINT) AS n_tokens,
+               CAST(sum(is_dup * sl) AS BIGINT) AS n_dropped_tokens
+        FROM marked GROUP BY 1
+    )
+    SELECT source, n_spans, n_dup_spans, n_tokens, n_dropped_tokens,
+           CAST((20000 * (n_tokens - n_dropped_tokens) + n_tokens)
+                // (2 * n_tokens) AS DOUBLE) / 10000 AS retained_rate
+    FROM agg
+    """,
+)
+def dd_span_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN removal census (the RefinedWeb /
+    massive-text 'exact substring dedup' stage, at span granularity):
+    chop every document into consecutive {SPAN_W}-token spans, hash
+    each span, keep only the FIRST occurrence of each span text
+    corpus-wide (ingest order: (doc_id, span_idx)), and report per
+    source how many spans and tokens survive. Complements the pairwise
+    detectors (`dd_shingle_jaccard_pairs` finds near-dup DOCUMENTS;
+    this measures removable duplicated MASS inside and across docs —
+    the number a curation run budgets against).
+
+    Scale shape: spans are a narrow projection (md5 of a token slice —
+    no shuffle); keep-first is ONE shuffle on span hash (window
+    row_number over (doc_id, span_idx) — the `ref_dedupe_first`
+    discipline); the census is map-side-combinable. At 100 TB the
+    span-hash shuffle is the cost — exactly the suffix-array-free
+    trade the big curation pipelines make; retention is rounded
+    half-up in integer arithmetic.
+    """
+    docs = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "source", tokens().alias("w")
+    )
+    spans = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(w) + {SPAN_W} - 1)"
+                f" div {SPAN_W} - 1),"
+                f" i -> slice(w, i * {SPAN_W} + 1, {SPAN_W}))"
+            )
+        ).alias("span_idx", "sw"),
+    ).select(
+        "doc_id",
+        "source",
+        "span_idx",
+        F.md5(F.concat_ws(" ", "sw")).alias("h"),
+        F.size("sw").cast("bigint").alias("sl"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "span_idx")
+    marked = spans.select(
+        "source",
+        "sl",
+        F.when(F.row_number().over(w) > 1, 1).otherwise(0).alias("is_dup"),
+    )
+    agg = marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_spans"),
+        F.sum("sl").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("is_dup") * F.col("sl")).cast("bigint").alias(
+            "n_dropped_tokens"
+        ),
+    )
+    return agg.select(
+        "source",
+        "n_spans",
+        "n_dup_spans",
+        "n_tokens",
+        "n_dropped_tokens",
+        (
+            F.expr(
+                "(20000 * (n_tokens - n_dropped_tokens) + n_tokens)"
+                " div (2 * n_tokens)"
+            ).cast("double")
+            / 10000
+        ).alias("retained_rate"),
+    )

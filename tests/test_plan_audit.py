@@ -56,6 +56,14 @@ BNLJ_ALLOWED = {
     "ts_locf_hourly_value": (
         "same bounded hour×type grid as ts_hourly_rollup_gapfill"
     ),
+    "smp_curriculum_phases": "1-row tercile-boundary aggregate broadcast",
+    "txt_bm25_search": (
+        "1-row corpus-total (N, A) aggregate broadcast onto the "
+        "query-term postings"
+    ),
+    "jn_association_rules": (
+        "1-row order-total aggregate broadcast onto the 20-row rule set"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
