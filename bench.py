@@ -219,6 +219,18 @@ HEADLINE = [
     "sim_hard_negatives",
     "txt_heaps_law_fit",
     "mm_phash_neardup_pairs",
+    # wave 4: retrieval, curriculum, span dedup, rules, k-core, M4
+    "graph_kcore",
+    "ts_m4_downsample",
+    "smp_curriculum_phases",
+    "txt_bm25_search",
+    "dd_span_dedup_retention",
+    "jn_association_rules",
+    "txt_kwic_snippets",
+    "pack_padding_efficiency",
+    "ts_backtest_seasonal_naive",
+    "graph_label_propagation",
+    "ld_snapshot_diff",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -1053,3 +1053,146 @@ def ld_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "snapshot string, o_orderstatus string, n_orders bigint, "
         "revenue double",
     )
+
+
+#: Snapshot-diff fixture: v2 reprices BACKFILL_MONTHS (updates), drops
+#: this month's files from the manifest (deletes), and appends the same
+#: rows re-keyed negative as a migration batch (inserts).
+DIFF_DROP_MONTH = "1996-06"
+
+
+@query(
+    "ld_snapshot_diff",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS m,
+               CAST(o_totalprice AS DECIMAL(14,2)) AS price
+        FROM orders
+    ),
+    classified AS (
+        SELECT CASE WHEN m = '{DIFF_DROP_MONTH}' THEN 'deleted'
+                    WHEN m IN {BACKFILL_MONTHS!r} THEN 'updated'
+                    ELSE 'unchanged' END AS change_type,
+               price
+        FROM tagged
+        UNION ALL
+        SELECT 'added', price FROM tagged WHERE m = '{DIFF_DROP_MONTH}'
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CASE change_type
+                          WHEN 'added' THEN price
+                          WHEN 'deleted' THEN -price
+                          WHEN 'updated' THEN price
+                          ELSE 0 END), 2) AS DOUBLE) AS revenue_delta
+    FROM classified
+    GROUP BY 1
+    """,
+)
+def ld_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF (the ``table_changes()`` / CDC-read of the table
+    formats) between two manifest-based snapshot versions: v2 commits a
+    copy-on-write reprice of ``BACKFILL_MONTHS`` (updates), drops
+    {DIFF_DROP_MONTH}'s files from the manifest (deletes), and appends
+    the same rows re-keyed as a migration batch (inserts). The diff
+    reads BOTH snapshots from their file lists and classifies every key
+    via ONE full-outer join: added (absent in v1), deleted (absent in
+    v2), updated (present in both, value changed), unchanged — plus
+    the net revenue delta per class in exact DECIMAL. This is the
+    audit a lakehouse runs before promoting a snapshot: what exactly
+    changed, and by how much.
+
+    The oracle recomputes the census LOGICALLY from the source table
+    (the fixture's construction is deterministic), so the whole
+    file-level write→manifest→diff path is hash-gated end to end.
+
+    Scale shape: the diff join shuffles both snapshots ONCE on the
+    primary key; per-class census is map-side-combinable. At 100 TB
+    the join would first prune to partitions whose manifests differ
+    (file lists are metadata) — noted in the docstring because the
+    fixture's 3-month delta IS that pruned set.
+    """
+    root = tempfile.mkdtemp(prefix="snapdiff_")
+    try:
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderdate",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+        )
+        base = os.path.join(root, "base")
+        orders.write.mode("overwrite").partitionBy("month").parquet(base)
+
+        def _data_files(d: str) -> list[str]:
+            out = []
+            for dirpath, _dirs, files in os.walk(d):
+                out.extend(
+                    os.path.join(dirpath, f)
+                    for f in files
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                )
+            return sorted(out)
+
+        manifest_v1 = _data_files(base)
+
+        delta = os.path.join(root, "delta-001")
+        repriced = orders.filter(F.col("month").isin(*BACKFILL_MONTHS)).withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(14,2)") * 2).cast("double"),
+        )
+        migrated = orders.filter(F.col("month") == DIFF_DROP_MONTH).withColumn(
+            "o_orderkey", -F.col("o_orderkey")
+        )
+        repriced.unionByName(migrated).write.mode("overwrite").partitionBy(
+            "month"
+        ).parquet(delta)
+        dropped = {f"month={m}" for m in (*BACKFILL_MONTHS, DIFF_DROP_MONTH)}
+        manifest_v2 = [
+            f for f in manifest_v1 if not any(p in f for p in dropped)
+        ] + _data_files(delta)
+
+        v1 = spark.read.parquet(*manifest_v1).select(
+            F.col("o_orderkey").alias("k1"),
+            F.col("o_totalprice").cast("decimal(14,2)").alias("p1"),
+        )
+        v2 = spark.read.parquet(*manifest_v2).select(
+            F.col("o_orderkey").alias("k2"),
+            F.col("o_totalprice").cast("decimal(14,2)").alias("p2"),
+        )
+        diff = v1.join(v2, v1.k1 == v2.k2, "full_outer").select(
+            F.when(F.col("k1").isNull(), "added")
+            .when(F.col("k2").isNull(), "deleted")
+            .when(F.col("p1") != F.col("p2"), "updated")
+            .otherwise("unchanged")
+            .alias("change_type"),
+            F.col("p1"),
+            F.col("p2"),
+        )
+        rows = (
+            diff.groupBy("change_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.round(
+                    F.sum(
+                        F.when(F.col("change_type") == "added", F.col("p2"))
+                        .when(F.col("change_type") == "deleted", -F.col("p1"))
+                        .when(
+                            F.col("change_type") == "updated",
+                            F.col("p2") - F.col("p1"),
+                        )
+                        .otherwise(F.lit(0).cast("decimal(14,2)"))
+                    ),
+                    2,
+                )
+                .cast("double")
+                .alias("revenue_delta"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "change_type string, n_rows bigint, revenue_delta double"
+    )

@@ -20,7 +20,7 @@ irrelevant for ranking use.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -706,6 +706,84 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "core_degree",
             F.lit(k).cast("bigint").alias("k_threshold"),
         )
+    )
+    res = finalize_unpersist(out)
+    pairs.unpersist()
+    return res
+
+
+#: Synchronous label-propagation rounds (pinned on both engines).
+LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(prev: str, this: str) -> str:
+    return f"""
+    {this} AS (
+        SELECT src AS node, label FROM (
+            SELECT p.src, l.label,
+                   row_number() OVER (PARTITION BY p.src
+                                      ORDER BY count(*) DESC, l.label) AS rn
+            FROM pairs p JOIN {prev} l ON l.node = p.dst
+            GROUP BY p.src, l.label
+        ) t
+        WHERE rn = 1
+    )"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_PR_EDGES_CTE},
+    l0 AS (SELECT src AS node, src AS label FROM deg),
+    {",".join(_lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(LPA_ROUNDS))}
+    SELECT node AS part_key, label AS community
+    FROM l{LPA_ROUNDS}
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA,
+    Raghavan et al. 2007) over the part co-purchase graph: every node
+    starts labeled with its own id; each round it adopts the most
+    common label among its neighbors. The family's third iterative
+    primitive after PageRank (influence) and k-core (density) —
+    LPA yields the community PARTITION that merchandising and
+    bot-ring detection consume.
+
+    Determinism: vanilla LPA is notoriously run-order-dependent; this
+    is the deterministic variant — SYNCHRONOUS rounds (all nodes
+    update from the same snapshot, the only sane semantics for a
+    distributed engine anyway) with frequency ties broken by MINIMUM
+    label, and a PINNED round count ({LPA_ROUNDS}) on both engines, so
+    results are identical by construction (oscillation, synchronous
+    LPA's known failure mode on bipartite-ish structure, affects
+    modularity, never determinism).
+
+    Scale shape: per round ONE shuffle — join the |V|-row label vector
+    to the cached edge list, count (node, label) pairs
+    (map-side-combinable), rank per node with a window whose
+    partitions are node-sized. ``localCheckpoint`` per round truncates
+    lineage; |V|-sized state total, the same Pregel-as-joins shape as
+    PageRank.
+    """
+    pairs = _copurchase_pairs(spark, sf_dir).persist()
+    labels = pairs.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), "label")
+    for _ in range(LPA_ROUNDS):
+        labels = (
+            pairs.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint()
+        )
+    out = labels.select(
+        F.col("node").alias("part_key"), F.col("label").alias("community")
     )
     res = finalize_unpersist(out)
     pairs.unpersist()

@@ -1347,3 +1347,112 @@ def smp_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("ttr_micro").cast("double") / 1000000).alias("min_ttr"),
         (F.max("ttr_micro").cast("double") / 1000000).alias("max_ttr"),
     )
+
+
+#: Sequences per training batch for the padding audit.
+PAD_BATCH = 8
+
+
+@query(
+    "pack_padding_efficiency",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    arrival AS (
+        SELECT source, n_tokens,
+               (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+                   // {PAD_BATCH} AS batch
+        FROM toks
+    ),
+    bylen AS (
+        SELECT source, n_tokens,
+               (row_number() OVER (PARTITION BY source
+                                   ORDER BY n_tokens, doc_id) - 1)
+                   // {PAD_BATCH} AS batch
+        FROM toks
+    ),
+    a AS (
+        SELECT 'arrival' AS strategy, source, batch,
+               CAST(count(*) AS BIGINT) AS bn,
+               CAST(max(n_tokens) AS BIGINT) AS bmax,
+               CAST(sum(n_tokens) AS BIGINT) AS bsum
+        FROM arrival GROUP BY 2, 3
+    ),
+    s AS (
+        SELECT 'length_sorted' AS strategy, source, batch,
+               CAST(count(*) AS BIGINT) AS bn,
+               CAST(max(n_tokens) AS BIGINT) AS bmax,
+               CAST(sum(n_tokens) AS BIGINT) AS bsum
+        FROM bylen GROUP BY 2, 3
+    ),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM s)
+    SELECT strategy,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(bsum) AS BIGINT) AS total_tokens,
+           CAST(sum(bn * bmax) AS BIGINT) AS total_cells,
+           CAST((2000000 * (sum(bn * bmax) - sum(bsum))
+                 + sum(bn * bmax)) // (2 * sum(bn * bmax)) AS DOUBLE)
+               / 1000000 AS padding_waste
+    FROM u
+    GROUP BY 1
+    """,
+)
+def pack_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency audit for pad-to-longest batch collation: with
+    batches of {PAD_BATCH} sequences padded to the batch max, what
+    fraction of compute cells is padding under ARRIVAL order vs
+    LENGTH-SORTED order (the 'sorted batching' / bucketing trick every
+    training loader implements)? Companion to
+    ``pack_order_fragmentation`` — that audits concat-then-chunk
+    packing (document splits); this audits padded batching (wasted
+    FLOPs), the other standard collation.
+
+    Batching is per source partition (window over the coarse
+    ``source`` shuffle, exactly like the fragmentation audit — never
+    a global sort); both strategies read the one tokenized scan, and
+    the waste rate is rounded half-up in integer arithmetic. At 100 TB
+    the per-shard batch numbering IS how loaders batch (global order
+    is neither needed nor wanted for shuffled training data).
+    """
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    toks = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "source", n_tokens.alias("n_tokens")
+    )
+    wa = Window.partitionBy("source").orderBy("doc_id")
+    wl = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+
+    def batched(w, strategy: str) -> DataFrame:
+        return (
+            toks.select(
+                "source",
+                "n_tokens",
+                ((F.row_number().over(w) - 1) / PAD_BATCH)
+                .cast("bigint")
+                .alias("batch"),
+            )
+            .groupBy("source", "batch")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("bn"),
+                F.max("n_tokens").cast("bigint").alias("bmax"),
+                F.sum("n_tokens").cast("bigint").alias("bsum"),
+            )
+            .select(F.lit(strategy).alias("strategy"), "bn", "bmax", "bsum")
+        )
+
+    u = batched(wa, "arrival").unionByName(batched(wl, "length_sorted"))
+    return u.groupBy("strategy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        F.sum("bsum").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("bn") * F.col("bmax")).cast("bigint").alias("total_cells"),
+        (
+            F.expr(
+                "(2000000 * (sum(bn * bmax) - sum(bsum)) + sum(bn * bmax))"
+                " div (2 * sum(bn * bmax))"
+            ).cast("double")
+            / 1000000
+        ).alias("padding_waste"),
+    )

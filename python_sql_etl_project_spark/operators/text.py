@@ -1568,3 +1568,64 @@ def txt_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score6"), "doc_id")
         .limit(BM25_TOP_K)
     )
+#: KWIC context radius (tokens either side of the hit).
+KWIC_RADIUS = 3
+KWIC_TERM = "dup"
+
+
+@query(
+    "txt_kwic_snippets",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, source, w,
+               list_position(w, '{KWIC_TERM}') AS pos,
+               len(w) AS n
+        FROM tok
+        WHERE list_position(w, '{KWIC_TERM}') > 0
+    )
+    SELECT doc_id, source, CAST(pos AS BIGINT) AS hit_pos,
+           array_to_string(
+               w[greatest(1, pos - {KWIC_RADIUS}):least(n, pos + {KWIC_RADIUS})],
+               ' ') AS snippet
+    FROM hits
+    """,
+)
+def txt_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC (keyword-in-context) snippet extraction: for every document
+    containing the query term, emit the ±{KWIC_RADIUS}-token window
+    around its FIRST occurrence — the search-result-snippet /
+    corpus-inspection primitive that pairs with ``txt_bm25_search``
+    (that ranks; this shows the analyst WHY a doc matched).
+
+    Pure narrow projection: tokenize → ``array_position`` →
+    ``slice`` → ``concat_ws``, all JVM-side inside one codegen stage —
+    no shuffle, no UDF, no floats. The predicate (term present) is the
+    only filter, so at 100 TB this is a single scan emitting only
+    matching docs.
+    """
+    w = tokens()
+    hits = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id",
+        "source",
+        w.alias("w"),
+        F.array_position(w, KWIC_TERM).alias("pos"),
+        F.size(w).alias("n"),
+    ).filter(F.col("pos") > 0)
+    return hits.select(
+        "doc_id",
+        "source",
+        F.col("pos").cast("bigint").alias("hit_pos"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                f"slice(w, greatest(1, pos - {KWIC_RADIUS}),"
+                f" least(n, pos + {KWIC_RADIUS})"
+                f" - greatest(1, pos - {KWIC_RADIUS}) + 1)"
+            ),
+        ).alias("snippet"),
+    )

@@ -3645,3 +3645,124 @@ def jn_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+#: Backtest holdout: the last calendar day of the event span.
+BACKTEST_DAY = "2024-01-30"
+
+
+@query(
+    "ts_backtest_seasonal_naive",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS d,
+               CAST(extract(hour FROM ts) AS INT) AS hod,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                   AS v_micro
+        FROM events
+        GROUP BY 1, 2, 3
+    ),
+    train AS (
+        SELECT event_type, hod,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(v_micro) AS BIGINT) AS s
+        FROM hourly WHERE d < DATE '{BACKTEST_DAY}'
+        GROUP BY 1, 2
+    ),
+    fc AS (
+        SELECT event_type, hod,
+               (2 * s + n_days) // (2 * n_days) AS fc_micro
+        FROM train
+    ),
+    test AS (
+        SELECT event_type, hod, v_micro
+        FROM hourly WHERE d = DATE '{BACKTEST_DAY}'
+    ),
+    joined AS (
+        SELECT coalesce(t.event_type, f.event_type) AS event_type,
+               coalesce(t.v_micro, 0) AS actual,
+               coalesce(f.fc_micro, 0) AS fc
+        FROM test t
+        FULL OUTER JOIN fc f
+          ON f.event_type = t.event_type AND f.hod = t.hod
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST((2 * sum(abs(actual - fc)) + count(*))
+                // (2 * count(*)) AS BIGINT) AS mae_micro,
+           CAST(CAST((2 * sum(abs(actual - fc)) + count(*))
+                     // (2 * count(*)) AS BIGINT) AS DOUBLE) / 1000000
+               AS mae
+    FROM joined
+    GROUP BY 1
+    """,
+)
+def ts_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: hold out the span's last day, forecast each
+    of its hours per event type with the SEASONAL-NAIVE model (mean of
+    the same hour-of-day over all training days — the baseline every
+    forecasting system must beat, and the one ``ts_seasonality_index``
+    parameterizes), and report per-type MAE. This is the evaluation
+    loop of a capacity/anomaly pipeline: the model is the cheap one;
+    the operator shape (train/holdout split by time, join forecasts to
+    actuals, exact error aggregate) is what matters at scale.
+
+    One shuffled hourly aggregate feeds BOTH train and test (the split
+    is a filter, not a second scan); the forecast table is
+    |types|x24 — broadcast-sized; a FULL OUTER join scores missing
+    hours as 0 on either side (gap semantics consistent with
+    ``ts_hourly_rollup_gapfill``). Hour sums ride exact DECIMAL
+    micro-units; the hourly-mean forecast and the MAE are half-up
+    integer divisions — no float arithmetic anywhere.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+        ).alias("v_micro")
+    )
+    train = (
+        hourly.filter(F.col("d") < F.lit(BACKTEST_DAY).cast("date"))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("v_micro").cast("bigint").alias("s"),
+        )
+    )
+    fc = train.select(
+        "event_type",
+        "hod",
+        F.expr("(2 * s + n_days) div (2 * n_days)").alias("fc_micro"),
+    )
+    test = hourly.filter(F.col("d") == F.lit(BACKTEST_DAY).cast("date")).select(
+        "event_type", "hod", "v_micro"
+    )
+    joined = test.join(
+        fc.withColumnsRenamed({"event_type": "f_type", "hod": "f_hod"}),
+        (F.col("f_type") == F.col("event_type"))
+        & (F.col("f_hod") == F.col("hod")),
+        "full_outer",
+    ).select(
+        F.coalesce("event_type", "f_type").alias("etype"),
+        F.coalesce("v_micro", F.lit(0)).alias("actual"),
+        F.coalesce("fc_micro", F.lit(0)).alias("fc"),
+    )
+    return joined.groupBy(F.col("etype").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.expr(
+            "CAST((2 * sum(abs(actual - fc)) + count(*))"
+            " div (2 * count(*)) AS BIGINT)"
+        ).alias("mae_micro"),
+        (
+            F.expr(
+                "CAST((2 * sum(abs(actual - fc)) + count(*))"
+                " div (2 * count(*)) AS BIGINT)"
+            ).cast("double")
+            / 1000000
+        ).alias("mae"),
+    )

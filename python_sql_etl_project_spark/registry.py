@@ -276,6 +276,11 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "txt_bm25_search",
     "dd_span_dedup_retention",
     "jn_association_rules",
+    "txt_kwic_snippets",
+    "pack_padding_efficiency",
+    "ts_backtest_seasonal_naive",
+    "graph_label_propagation",
+    "ld_snapshot_diff",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

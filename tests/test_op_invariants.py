@@ -987,3 +987,64 @@ def test_association_rules_probability_bounds(spark):
             assert 0 < p <= 1, r
         assert r.support <= max(r.conf_a_to_b, r.conf_b_to_a) + 1e-9
         assert r.lift > 0
+
+
+def test_kwic_snippets_contain_term(spark):
+    """Every snippet contains the query term and the hit position is
+    a valid 1-based index."""
+    from python_sql_etl_project_spark.operators.text import KWIC_TERM
+
+    rows = registry.QUERIES["txt_kwic_snippets"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.hit_pos >= 1
+        assert KWIC_TERM in r.snippet.split(), r
+
+
+def test_padding_sorted_never_worse(spark):
+    """Length-sorted batching can only reduce pad-to-longest waste, and
+    both strategies batch the same token mass."""
+    rows = {r.strategy: r for r in
+            registry.QUERIES["pack_padding_efficiency"](spark, SF).collect()}
+    assert set(rows) == {"arrival", "length_sorted"}
+    assert rows["arrival"].total_tokens == rows["length_sorted"].total_tokens
+    assert rows["arrival"].n_batches == rows["length_sorted"].n_batches
+    assert rows["length_sorted"].padding_waste <= rows["arrival"].padding_waste
+    for r in rows.values():
+        assert 0 <= r.padding_waste < 1
+        assert r.total_cells >= r.total_tokens
+
+
+def test_backtest_covers_holdout_hours(spark):
+    """MAE is non-negative and each type scores at most 24 holdout
+    hours (more would mean the train/test split leaked)."""
+    rows = registry.QUERIES["ts_backtest_seasonal_naive"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_hours <= 24, r
+        assert r.mae_micro >= 0
+
+
+def test_lpa_is_a_partition_of_nodes(spark):
+    """Every node gets exactly one community, and community ids are
+    node ids (LPA labels originate as node ids)."""
+    rows = registry.QUERIES["graph_label_propagation"](spark, SF).collect()
+    assert rows
+    nodes = [r.part_key for r in rows]
+    assert len(nodes) == len(set(nodes))
+    labels = {r.community for r in rows}
+    assert labels <= set(nodes)
+
+
+def test_snapshot_diff_census_is_conserved(spark):
+    """The fixture's construction fixes the census: inserts mirror the
+    dropped month (equal counts, opposite revenue sign), the unchanged
+    class carries zero delta, and updates gain exactly the reprice."""
+    rows = {r.change_type: r for r in
+            registry.QUERIES["ld_snapshot_diff"](spark, SF).collect()}
+    assert set(rows) == {"added", "deleted", "updated", "unchanged"}
+    assert rows["added"].n_rows == rows["deleted"].n_rows
+    assert abs(rows["added"].revenue_delta
+               + rows["deleted"].revenue_delta) < 1e-6
+    assert rows["unchanged"].revenue_delta == 0.0
+    assert rows["updated"].revenue_delta > 0
