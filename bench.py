@@ -231,6 +231,10 @@ HEADLINE = [
     "ts_backtest_seasonal_naive",
     "graph_label_propagation",
     "ld_snapshot_diff",
+    "agg_cohort_ltv",
+    "smp_coreset_kcenter",
+    "win_keyset_pagination",
+    "pipe_dataset_card",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

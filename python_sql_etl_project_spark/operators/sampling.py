@@ -1456,3 +1456,235 @@ def pack_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("padding_waste"),
     )
+
+
+#: Coreset size for greedy k-center selection.
+CORESET_K = 8
+
+
+def _coreset_dist_sql(vec: str, center: str) -> str:
+    return (
+        f"round(list_sum(list_transform(range(1, 65), i -> "
+        f"(CAST({vec}.embedding[i] AS DOUBLE)"
+        f" - CAST({center}.embedding[i] AS DOUBLE))"
+        f" * (CAST({vec}.embedding[i] AS DOUBLE)"
+        f" - CAST({center}.embedding[i] AS DOUBLE)))), 6)"
+    )
+
+
+def _coreset_oracle() -> str:
+    parts = [
+        "WITH base AS (SELECT vec_id, embedding FROM embeddings)",
+        "c0 AS (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT 1)",
+        f"m0 AS (SELECT b.vec_id, {_coreset_dist_sql('b', 'c')} AS d"
+        " FROM base b, c0 c)",
+    ]
+    for i in range(1, CORESET_K):
+        parts.append(
+            f"s{i} AS (SELECT vec_id FROM m{i - 1}"
+            " ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        if i < CORESET_K - 1:
+            parts.append(
+                f"c{i} AS (SELECT b.vec_id, b.embedding FROM base b"
+                f" JOIN s{i} ON s{i}.vec_id = b.vec_id)"
+            )
+            parts.append(
+                f"m{i} AS (SELECT m.vec_id,"
+                f" least(m.d, {_coreset_dist_sql('b', 'c')}) AS d"
+                f" FROM m{i - 1} m JOIN base b ON b.vec_id = m.vec_id,"
+                f" c{i} c)"
+            )
+    selects = [
+        "SELECT 0 AS sel_rank, vec_id, CAST(0.0 AS DOUBLE) AS gain_d2 FROM c0"
+    ]
+    for i in range(1, CORESET_K):
+        selects.append(
+            f"SELECT {i}, m.vec_id, m.d FROM m{i - 1} m"
+            f" JOIN s{i} ON s{i}.vec_id = m.vec_id"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("smp_coreset_kcenter", oracle=_coreset_oracle())
+def smp_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center CORESET selection over the embedding table (the
+    farthest-point / Gonzalez-1985 2-approximation): start from the
+    lowest vec_id, then repeatedly pick the point FARTHEST from the
+    chosen set. The selected {CORESET_K} points maximize coverage
+    diversity — the standard seed set for diversity-aware data
+    selection, active-learning batches, and k-means initialization
+    (k-center seeding is what k-means++ approximates stochastically;
+    this variant is exactly deterministic). Output: selection order,
+    the chosen ids, and each pick's gain (its distance to the
+    previously-chosen set — a non-increasing sequence whose last value
+    bounds the covering radius).
+
+    Iteration state is the classic O(N) min-distance vector, updated
+    INCREMENTALLY each round against only the newest center (never
+    recomputed against the whole set). The newest center's 64 floats
+    are collected driver-side and injected as a literal array, so
+    every round is a narrow projection + a top-1
+    TakeOrderedAndProject — no join anywhere. Distances are the
+    sequential squared-diff fold rounded to 6 dp before comparison
+    (both engines fold dims in index order → identical doubles;
+    rounding collapses any residual low-bit risk before the argmax),
+    ties broken by vec_id.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def dist_to(center_vals: list[float]):
+        lit_arr = F.array(*[F.lit(float(v)) for v in center_vals])
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    lit_arr,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    first = emb.orderBy("vec_id").limit(1).first()
+    picks = [(0, first.vec_id, 0.0)]
+    center_emb = [float(v) for v in first.embedding]
+    mind = emb.select("vec_id", "embedding", dist_to(center_emb).alias("d"))
+    for rank in range(1, CORESET_K):
+        nxt = mind.orderBy(F.desc("d"), "vec_id").limit(1).first()
+        picks.append((rank, nxt.vec_id, float(nxt.d)))
+        if rank == CORESET_K - 1:
+            break
+        center_emb = [
+            float(v)
+            for v in emb.filter(F.col("vec_id") == nxt.vec_id)
+            .first()
+            .embedding
+        ]
+        mind = mind.select(
+            "vec_id",
+            "embedding",
+            F.least("d", dist_to(center_emb)).alias("d"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        picks, "sel_rank int, vec_id bigint, gain_d2 double"
+    )
+
+
+@query(
+    "pipe_dataset_card",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id, source, lang,
+               md5(text) AS h,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS nt,
+               CAST(len(list_distinct(string_split_regex(trim(text),
+                                                         '\\s+')))
+                   AS BIGINT) AS nd
+        FROM documents
+    ),
+    marked AS (
+        SELECT source, lang, nt,
+               CASE WHEN nt >= 20 AND 5 * nd >= nt THEN 1 ELSE 0 END
+                   AS passes,
+               CASE WHEN row_number()
+                         OVER (PARTITION BY h ORDER BY doc_id) > 1
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM feat
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST(sum(passes) AS BIGINT) AS n_pass,
+               CAST(sum(is_dup) AS BIGINT) AS n_exact_dup
+        FROM marked GROUP BY 1
+    ),
+    lang_mode AS (
+        SELECT source, lang, c FROM (
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS c,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY count(*) DESC, lang) AS rn
+            FROM marked GROUP BY source, lang
+        ) t WHERE rn = 1
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           CAST((20000 * p.n_pass + p.n_docs) // (2 * p.n_docs) AS DOUBLE)
+               / 10000 AS quality_pass_rate,
+           CAST((20000 * p.n_exact_dup + p.n_docs) // (2 * p.n_docs)
+                AS DOUBLE) / 10000 AS exact_dup_rate,
+           l.lang AS top_lang,
+           CAST((20000 * l.c + p.n_docs) // (2 * p.n_docs) AS DOUBLE)
+               / 10000 AS top_lang_share
+    FROM per_source p JOIN lang_mode l ON l.source = p.source
+    """,
+)
+def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generator: the per-source summary block a released
+    training set ships with (docs, token mass, quality pass rate,
+    exact-duplicate rate, dominant language + its share) — the
+    composition target the curation operators exist FOR, fused so the
+    corpus is scanned ONCE: a single feature projection feeds the
+    quality gate (``txt_quality_score``'s rule), the exact-dup marker
+    (``ref_dedupe_first``'s keep-first window on md5), the per-source
+    census, and the language mode (group + rank over |sources|x|langs|
+    rows). Rates are half-up integer micro-rounding; the dup window is
+    the one shuffle touching doc-level rows.
+    """
+    w = tokens()
+    feat = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(w).cast("bigint").alias("nt"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("nd"),
+    )
+    dup_w = Window.partitionBy("h").orderBy("doc_id")
+    marked = feat.select(
+        "source",
+        "lang",
+        "nt",
+        F.when((F.col("nt") >= 20) & (5 * F.col("nd") >= F.col("nt")), 1)
+        .otherwise(0)
+        .alias("passes"),
+        F.when(F.row_number().over(dup_w) > 1, 1).otherwise(0).alias("is_dup"),
+    )
+    per_source = marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+        F.sum("passes").cast("bigint").alias("n_pass"),
+        F.sum("is_dup").cast("bigint").alias("n_exact_dup"),
+    )
+    mode_w = Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+    lang_mode = (
+        marked.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("rn", F.row_number().over(mode_w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "c")
+    )
+    return per_source.join(F.broadcast(lang_mode), "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.expr("(20000 * n_pass + n_docs) div (2 * n_docs)").cast("double")
+            / 10000
+        ).alias("quality_pass_rate"),
+        (
+            F.expr("(20000 * n_exact_dup + n_docs) div (2 * n_docs)").cast(
+                "double"
+            )
+            / 10000
+        ).alias("exact_dup_rate"),
+        "top_lang",
+        (
+            F.expr("(20000 * c + n_docs) div (2 * n_docs)").cast("double")
+            / 10000
+        ).alias("top_lang_share"),
+    )

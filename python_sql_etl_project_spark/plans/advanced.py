@@ -3766,3 +3766,175 @@ def ts_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("mae"),
     )
+
+
+@query(
+    "agg_cohort_ltv",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               (CAST(extract(year FROM o_orderdate) AS BIGINT) * 12
+                + CAST(extract(month FROM o_orderdate) AS BIGINT)) AS ym,
+               CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    firsts AS (
+        SELECT o_custkey, ym, cents,
+               min(ym) OVER (PARTITION BY o_custkey) AS cohort_ym
+        FROM o
+    ),
+    cohort_size AS (
+        SELECT cohort_ym, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM firsts GROUP BY 1
+    ),
+    cell AS (
+        SELECT cohort_ym, CAST(ym - cohort_ym AS INT) AS month_offset,
+               CAST(sum(cents) AS BIGINT) AS rev_cents
+        FROM firsts GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_ym, month_offset,
+               sum(rev_cents) OVER (PARTITION BY cohort_ym
+                                    ORDER BY month_offset
+                                    ROWS UNBOUNDED PRECEDING) AS cum_cents
+        FROM cell
+    )
+    SELECT concat(CAST((c.cohort_ym - 1) // 12 AS VARCHAR), '-',
+                  CASE WHEN ((c.cohort_ym - 1) % 12) + 1 < 10
+                       THEN concat('0', CAST(((c.cohort_ym - 1) % 12) + 1
+                                             AS VARCHAR))
+                       ELSE CAST(((c.cohort_ym - 1) % 12) + 1 AS VARCHAR)
+                  END) AS cohort_month,
+           c.month_offset,
+           s.n_customers,
+           CAST(CAST(c.cum_cents AS BIGINT) AS DOUBLE) / 100
+               AS cum_revenue,
+           CAST((2 * c.cum_cents + s.n_customers)
+                // (2 * s.n_customers) AS DOUBLE) / 100 AS ltv_per_user
+    FROM cum c JOIN cohort_size s ON s.cohort_ym = c.cohort_ym
+    """,
+)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV (lifetime-value) curves: customers grouped by
+    first-order month, each cohort's CUMULATIVE revenue tracked across
+    month offsets, per-user — the growth-finance companion to
+    ``win_cohort_retention`` (that counts who comes back; this counts
+    what they're worth, the number CAC is paid against).
+
+    Exact-arithmetic discipline: money rides integer CENTS from the
+    first projection (DECIMAL→BIGINT), month arithmetic is pure
+    ``year*12+month`` integers, and the per-user LTV is a half-up
+    integer division — the only doubles are final display casts.
+
+    Scale shape: one shuffle on ``o_custkey`` (the first-order
+    window), one on the (cohort, offset) cell grid; the cumulative
+    window and the size join run over the |months|² /2 cohort matrix —
+    broadcast-sized forever. Cohort-month formatting is done with
+    integer arithmetic (not date functions) so both engines render
+    identically.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate").cast("bigint") * 12
+         + F.month("o_orderdate").cast("bigint")).alias("ym"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    firsts = o.select(
+        "o_custkey",
+        "ym",
+        "cents",
+        F.min("ym").over(Window.partitionBy("o_custkey")).alias("cohort_ym"),
+    )
+    cohort_size = firsts.groupBy("cohort_ym").agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_customers")
+    )
+    cell = firsts.groupBy(
+        "cohort_ym", (F.col("ym") - F.col("cohort_ym")).cast("int").alias(
+            "month_offset"
+        )
+    ).agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    cum = cell.select(
+        "cohort_ym",
+        "month_offset",
+        F.sum("rev_cents")
+        .over(
+            Window.partitionBy("cohort_ym")
+            .orderBy("month_offset")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(cohort_size), "cohort_ym").select(
+        F.concat(
+            F.expr("CAST((cohort_ym - 1) div 12 AS STRING)"),
+            F.lit("-"),
+            F.lpad(F.expr("CAST(((cohort_ym - 1) % 12) + 1 AS STRING)"), 2, "0"),
+        ).alias("cohort_month"),
+        "month_offset",
+        "n_customers",
+        (F.col("cum_cents").cast("double") / 100).alias("cum_revenue"),
+        (
+            F.expr("(2 * cum_cents + n_customers) div (2 * n_customers)")
+            .cast("double")
+            / 100
+        ).alias("ltv_per_user"),
+    )
+
+
+#: Keyset cursor: resume AFTER this (date, key) position.
+KEYSET_CURSOR_DATE = "1995-06-15"
+KEYSET_CURSOR_KEY = 0
+KEYSET_PAGE = 50
+
+
+@query(
+    "win_keyset_pagination",
+    oracle=f"""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(o_totalprice AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderdate > DATE '{KEYSET_CURSOR_DATE}'
+       OR (o_orderdate = DATE '{KEYSET_CURSOR_DATE}'
+           AND o_orderkey > {KEYSET_CURSOR_KEY})
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT {KEYSET_PAGE}
+    """,
+)
+def win_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination — the API-serving pattern that
+    replaces OFFSET: fetch the next {KEYSET_PAGE} orders after a
+    (date, key) cursor with a sargable compound predicate. OFFSET n
+    must SCAN AND DISCARD n rows (linearly worse per page, and
+    inconsistent under concurrent inserts); the keyset predicate
+    starts where the last page ended, costs the same for page 1 and
+    page 1e6, and is stable under appends — at 100 TB it is the only
+    viable pagination.
+
+    Plan: the row-group min/max pruned scan (the predicate reaches
+    parquet as PushedFilters) feeds TakeOrderedAndProject —
+    per-partition top-k, then a k-row merge; no global sort, no
+    offset discard. Values are selections (price is a stored double;
+    the date renders as a string for cross-engine hashing).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cd = F.lit(KEYSET_CURSOR_DATE).cast("date")
+    return (
+        o.filter(
+            (F.col("o_orderdate") > cd)
+            | (
+                (F.col("o_orderdate") == cd)
+                & (F.col("o_orderkey") > KEYSET_CURSOR_KEY)
+            )
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(KEYSET_PAGE)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_totalprice").cast("double").alias("total_price"),
+        )
+    )

@@ -281,6 +281,10 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "ts_backtest_seasonal_naive",
     "graph_label_propagation",
     "ld_snapshot_diff",
+    "agg_cohort_ltv",
+    "smp_coreset_kcenter",
+    "win_keyset_pagination",
+    "pipe_dataset_card",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

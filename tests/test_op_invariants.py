@@ -1048,3 +1048,66 @@ def test_snapshot_diff_census_is_conserved(spark):
                + rows["deleted"].revenue_delta) < 1e-6
     assert rows["unchanged"].revenue_delta == 0.0
     assert rows["updated"].revenue_delta > 0
+
+
+def test_cohort_ltv_is_monotone(spark):
+    """Cumulative revenue never decreases along a cohort's offset axis,
+    and per-user LTV times cohort size reproduces the cumulative total
+    to rounding."""
+    rows = registry.QUERIES["agg_cohort_ltv"](spark, SF).collect()
+    assert rows
+    by_cohort: dict[str, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_month, []).append(r)
+        assert abs(r.ltv_per_user * r.n_customers - r.cum_revenue) <= (
+            r.n_customers * 0.005 + 0.01
+        )
+    for cells in by_cohort.values():
+        cells.sort(key=lambda r: r.month_offset)
+        for a, b in zip(cells, cells[1:]):
+            assert b.cum_revenue >= a.cum_revenue - 1e-9
+
+
+def test_coreset_gains_nonincreasing(spark):
+    """Farthest-point gains are non-increasing (each pick covers the
+    space more), picks are distinct, ranks are 0..k-1."""
+    from python_sql_etl_project_spark.operators.sampling import CORESET_K
+
+    rows = sorted(
+        registry.QUERIES["smp_coreset_kcenter"](spark, SF).collect(),
+        key=lambda r: r.sel_rank,
+    )
+    assert [r.sel_rank for r in rows] == list(range(CORESET_K))
+    assert len({r.vec_id for r in rows}) == CORESET_K
+    gains = [r.gain_d2 for r in rows[1:]]
+    for a, b in zip(gains, gains[1:]):
+        assert b <= a + 1e-9
+
+
+def test_keyset_page_is_ordered_after_cursor(spark):
+    """The page is full, strictly (date, key)-ordered, and every row
+    lies strictly after the cursor."""
+    from python_sql_etl_project_spark.plans.advanced import (
+        KEYSET_CURSOR_DATE,
+        KEYSET_CURSOR_KEY,
+        KEYSET_PAGE,
+    )
+
+    rows = registry.QUERIES["win_keyset_pagination"](spark, SF).collect()
+    assert len(rows) == KEYSET_PAGE
+    keys = [(r.order_date, r.o_orderkey) for r in rows]
+    assert keys == sorted(keys)
+    assert len(set(keys)) == len(keys)
+    assert keys[0] > (KEYSET_CURSOR_DATE, KEYSET_CURSOR_KEY)
+
+
+def test_dataset_card_rates_are_valid(spark):
+    """All three rates are valid proportions and the dominant language
+    share is consistent with at least a plurality."""
+    rows = registry.QUERIES["pipe_dataset_card"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        for rate in (r.quality_pass_rate, r.exact_dup_rate, r.top_lang_share):
+            assert 0 <= rate <= 1, r
+        assert r.top_lang_share > 0
+        assert r.n_tokens > 0
