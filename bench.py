@@ -235,6 +235,7 @@ HEADLINE = [
     "smp_coreset_kcenter",
     "win_keyset_pagination",
     "pipe_dataset_card",
+    "txt_compression_ratio",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -1629,3 +1629,48 @@ def txt_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("snippet"),
     )
+#: Compression-ratio quality gate bounds (Gopher filters docs whose
+#: zlib ratio is implausibly low — boilerplate/repetition — or high).
+COMPRESSION_SCHEMA = (
+    "doc_id bigint, source string, n_bytes bigint, n_compressed bigint, "
+    "compression_ratio double"
+)
+
+
+def _compression_batches(batches):
+    import zlib
+
+    for pdf in batches:
+        raw = pdf["text"].str.encode("utf-8")
+        n_bytes = raw.str.len().astype("int64")
+        n_comp = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+        out = pdf[["doc_id", "source"]].copy()
+        out["n_bytes"] = n_bytes
+        out["n_compressed"] = n_comp
+        out["compression_ratio"] = (n_comp / n_bytes).round(4)
+        yield out
+
+
+@query("txt_compression_ratio")
+def txt_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap quality
+    signal (used by Gopher/MassiveText): highly repetitive or templated
+    text compresses far below natural prose, so the ratio is a one-pass
+    repetition detector that needs no tokenizer. Rows-only gate BY
+    DESIGN: zlib is not expressible in SQL, so there is no DuckDB
+    oracle — instead the invariant suite pins determinism (two runs
+    hash-identically), exact byte accounting, and the
+    repetition-sensitivity property on constructed inputs
+    (tests/test_op_invariants.py).
+
+    Runs as Arrow-batched ``mapInPandas`` (the ``mm_feature_extract``
+    discipline — columnar batches, stateless per batch, stdlib-only
+    closure so nothing must be shipped to executors); DEFLATE level
+    pinned at 6 so the ratio is reproducible across zlib builds in
+    practice (RFC 1951 output is implementation-defined in principle —
+    one more reason this stays rows-only rather than hash-gated).
+    """
+    docs = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "source", "text"
+    )
+    return docs.mapInPandas(_compression_batches, schema=COMPRESSION_SCHEMA)

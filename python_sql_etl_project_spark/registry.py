@@ -285,6 +285,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "smp_coreset_kcenter",
     "win_keyset_pagination",
     "pipe_dataset_card",
+    "txt_compression_ratio",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -943,3 +943,105 @@ def strm_signup_purchase_leftouter(spark: SparkSession, sf_dir: str) -> DataFram
     return _run_to_table(
         spark, joined, "strm_signup_purchase_leftouter", "append"
     )
+
+
+
+def _make_spend_processor():
+    """Build the typed-state processor for :func:`transform_with_state_profile`.
+
+    Defined in a factory so the ``StatefulProcessor`` import (and the
+    protobuf dependency behind its state-server protocol) stays lazy."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserSpendProcessor(StatefulProcessor):
+        """Per-user running profile in typed ValueState: event count,
+        value total, purchase count. transformWithState's typed-state
+        API (vs applyInPandasWithState's single tuple blob) is what
+        production stateful pipelines migrate to in Spark 4."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n BIGINT, v DOUBLE, p BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, v, p = 0, 0.0, 0
+            if self._agg.exists():
+                n, v, p = self._agg.get()
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+                p += int((pdf["event_type"] == "purchase").sum())
+            self._agg.update((n, v, p))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(v, 4)],
+                    "n_purchases": [p],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserSpendProcessor()
+
+
+def transform_with_state_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime profile on the Spark 4
+    ``transformWithStateInPandas`` API (SPARK-49564) — the successor to
+    ``applyInPandasWithState`` (``strm_stateful_user_profile``) with
+    TYPED state handles, timers, and state-schema evolution. Same
+    contract as the older op so the two APIs are directly comparable.
+
+    ENVIRONMENT BOUNDARY (like ``multimodal.decode_image``): the
+    transformWithState Python state-server protocol requires
+    ``google.protobuf``, which this sandbox does not ship, so the
+    operator is NOT registered in ``queries()`` — a registration that
+    can never pass would poison the driver gate. The capability check
+    below raises a clear error without it and the test suite covers the
+    gated path via ``importorskip``; on a protobuf-equipped cluster
+    this function is driver-contract-shaped (same signature, oracle
+    would be the ``strm_stateful_user_profile`` batch aggregate plus a
+    purchase count).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf (the state-"
+            "server protocol); not available in this environment"
+        ) from e
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("n_purchases", T.LongType()),
+        ]
+    )
+    ev = stream_events(spark, sf_dir).select("user_id", "event_type", "value")
+    profiles = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_spend_processor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    raw = _run_to_table(
+        spark, profiles, "strm_transform_with_state", "update"
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = F.row_number().over(
+        _W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    )
+    return raw.withColumn("rn", w).filter(F.col("rn") == 1).drop("rn")

@@ -1111,3 +1111,58 @@ def test_dataset_card_rates_are_valid(spark):
             assert 0 <= rate <= 1, r
         assert r.top_lang_share > 0
         assert r.n_tokens > 0
+
+
+def test_transform_with_state_is_capability_gated(spark):
+    """transformWithStateInPandas needs google.protobuf (absent in this
+    sandbox): without it the surface must fail with the documented
+    RuntimeError, never a cryptic stream crash; with it, the profile
+    must match the batch aggregate."""
+    from python_sql_etl_project_spark.streaming.windows import (
+        transform_with_state_profile,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+        has_proto = True
+    except ImportError:
+        has_proto = False
+    if not has_proto:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="protobuf"):
+            transform_with_state_profile(spark, SF)
+    else:  # pragma: no cover - protobuf-equipped environments only
+        rows = transform_with_state_profile(spark, SF).collect()
+        assert rows and all(r.n_events >= r.n_purchases for r in rows)
+
+
+def test_compression_ratio_properties(spark):
+    """Rows-only op, so the invariants carry the gate: exact byte
+    accounting, deterministic across runs, and repetition-sensitive
+    (a constant-token doc compresses materially better than the
+    corpus median)."""
+    import zlib
+
+    df = registry.QUERIES["txt_compression_ratio"](spark, SF)
+    rows = sorted(df.collect(), key=lambda r: r.doc_id)
+    again = sorted(
+        registry.QUERIES["txt_compression_ratio"](spark, SF).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    n_docs = registry.QUERIES["txt_token_stats"](spark, SF).count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.n_bytes > 0 and r.n_compressed > 0
+        assert 0 < r.compression_ratio < 2
+    # spot-check byte accounting against local zlib on one known doc
+    doc = spark.read.parquet(f"{SF}/documents.parquet").limit(1).first()
+    mine = next(r for r in rows if r.doc_id == doc.doc_id)
+    assert mine.n_bytes == len(doc.text.encode("utf-8"))
+    assert mine.n_compressed == len(zlib.compress(doc.text.encode("utf-8"), 6))
+    # repetition sensitivity: constant text compresses better than median
+    ratios = sorted(r.compression_ratio for r in rows)
+    median = ratios[len(ratios) // 2]
+    constant = len(zlib.compress(("spam " * 60).encode(), 6)) / 300
+    assert constant < median
