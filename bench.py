@@ -236,6 +236,8 @@ HEADLINE = [
     "win_keyset_pagination",
     "pipe_dataset_card",
     "txt_compression_ratio",
+    "graph_modularity",
+    "sim_ivfpq_search",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

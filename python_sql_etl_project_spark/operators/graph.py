@@ -788,3 +788,131 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = finalize_unpersist(out)
     pairs.unpersist()
     return res
+
+
+@query(
+    "graph_modularity",
+    oracle=f"""
+    WITH {_PR_EDGES_CTE},
+    l0 AS (SELECT src AS node, src AS label FROM deg),
+    {",".join(_lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(LPA_ROUNDS))},
+    dtot AS (SELECT CAST(sum(deg) AS BIGINT) AS dd FROM deg),
+    per_node AS (
+        SELECT l.node, l.label, d.deg
+        FROM l{LPA_ROUNDS} l JOIN deg d ON d.src = l.node
+    ),
+    internal AS (
+        SELECT a.label, CAST(count(*) AS BIGINT) AS e_in
+        FROM pairs p
+        JOIN per_node a ON a.node = p.src
+        JOIN per_node b ON b.node = p.dst AND b.label = a.label
+        GROUP BY 1
+    ),
+    comm AS (
+        SELECT n.label AS community,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(n.deg) AS BIGINT) AS degree_sum,
+               CAST(coalesce(any_value(i.e_in), 0) AS BIGINT)
+                   AS internal_directed_edges
+        FROM per_node n LEFT JOIN internal i ON i.label = n.label
+        GROUP BY 1
+    )
+    SELECT community, n_members, internal_directed_edges, degree_sum,
+           CAST(CAST((2000000 * (CAST(internal_directed_edges AS HUGEINT)
+                                 * t.dd
+                                 - CAST(degree_sum AS HUGEINT) * degree_sum)
+                      + CAST(t.dd AS HUGEINT) * t.dd)
+                     // (2 * CAST(t.dd AS HUGEINT) * t.dd)
+                AS BIGINT) AS DOUBLE) / 1000000 AS contribution
+    FROM comm, dtot t
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the ``graph_label_propagation`` partition,
+    per community: ``Q_c = e_c/D - (d_c/D)^2`` over directed edge
+    counts (D = 2m), so Σ contributions = Q — the number that says
+    whether LPA found real structure (Q near 0 on this quasi-random
+    co-purchase graph IS the honest answer, and exactly what the
+    operator exists to reveal). Completes the graph family's
+    analyze-then-score loop: partition (LPA) → quality (this).
+
+    Exact arithmetic: internal-edge counts and degree sums are
+    integers; each contribution is ONE integer division over 38-digit
+    intermediates (D² at 100 TB dwarfs BIGINT), rounded at 6 dp
+    half-up for positive values and toward zero for negative ones
+    (Spark ``div`` and DuckDB ``//`` both truncate toward zero —
+    identical on both engines, which is what the hash gate needs).
+
+    Scale shape: the LPA rounds as in ``graph_label_propagation``;
+    scoring adds two label-vector joins onto the cached edge list
+    (internal-edge census) and a |communities|-row aggregate with the
+    1-row degree total broadcast."""
+    pairs = _copurchase_pairs(spark, sf_dir).persist()
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    labels = pairs.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), "label")
+    for _ in range(LPA_ROUNDS):
+        labels = (
+            pairs.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint()
+        )
+    per_node = labels.join(
+        deg.withColumnRenamed("src", "node"), "node"
+    )
+    dtot = deg.agg(F.sum("deg").cast("bigint").alias("dd"))
+    internal = (
+        pairs.join(
+            per_node.select(F.col("node").alias("src"), F.col("label").alias("la")),
+            "src",
+        )
+        .join(
+            per_node.select(F.col("node").alias("dst"), F.col("label").alias("lb")),
+            "dst",
+        )
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    comm = (
+        per_node.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("deg").cast("bigint").alias("degree_sum"),
+        )
+        .join(
+            internal.withColumnRenamed("label", "community"), "community", "left"
+        )
+        .select(
+            "community",
+            "n_members",
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias(
+                "internal_directed_edges"
+            ),
+            "degree_sum",
+        )
+    )
+    out = comm.crossJoin(F.broadcast(dtot)).select(
+        "community",
+        "n_members",
+        "internal_directed_edges",
+        "degree_sum",
+        (
+            F.expr(
+                "CAST((2000000 * (CAST(internal_directed_edges AS DECIMAL(38,0))"
+                " * dd - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum)"
+                " + CAST(dd AS DECIMAL(38,0)) * dd)"
+                " div (2 * CAST(dd AS DECIMAL(38,0)) * dd) AS BIGINT)"
+            ).cast("double")
+            / 1000000
+        ).alias("contribution"),
+    )
+    res = finalize_unpersist(out)
+    pairs.unpersist()
+    return res

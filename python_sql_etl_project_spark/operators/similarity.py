@@ -1582,3 +1582,170 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("positive_cos") - F.col("hard_negative_cos"), 6
         ).alias("margin"),
     )
+
+
+@query(
+    "sim_ivfpq_search",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTES},
+    probes AS (
+        SELECT vec_id, cell FROM assign WHERE cell_rank <= {N_PROBE_CELLS}
+    ),
+    psub AS (
+        SELECT vec_id, label,
+               (generate_subscripts(embedding, 1) - 1) // {PQ_SUB_D} AS m,
+               (generate_subscripts(embedding, 1) - 1) % {PQ_SUB_D} AS j,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    pcent AS (
+        SELECT label AS k, m, j, round(avg(v), 6) AS c
+        FROM psub GROUP BY 1, 2, 3
+    ),
+    pdist AS (
+        SELECT s.vec_id, s.m, pcent.k,
+               CAST(round(sum((s.v - pcent.c) * (s.v - pcent.c)) * 1000000)
+                    AS BIGINT) AS d2_micro
+        FROM psub s JOIN pcent ON pcent.m = s.m AND pcent.j = s.j
+        GROUP BY 1, 2, 3
+    ),
+    pcode AS (
+        SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2_micro, k) AS r
+            FROM pdist
+        ) t WHERE r = 1
+    ),
+    adc AS (
+        SELECT p.vec_id AS query_id, h.vec_id AS neighbor_id,
+               CAST(sum(dq.d2_micro) AS BIGINT) AS approx_d2_micro
+        FROM probes p
+        JOIN home h ON h.cell = p.cell AND h.vec_id <> p.vec_id
+        JOIN pcode c ON c.vec_id = h.vec_id
+        JOIN pdist dq ON dq.vec_id = p.vec_id AND dq.m = c.m AND dq.k = c.k
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_d2_micro, neighbor_id)
+                      AS rank
+        FROM adc
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           approx_d2_micro,
+           CAST(approx_d2_micro AS DOUBLE) / 1000000 AS approx_d2
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ asymmetric-distance search — the FAISS IVFADC production
+    layout (Jégou et al. 2011), composed from the engine's two index
+    stages: the IVF coarse quantizer restricts each query to its
+    {N_PROBE_CELLS} probe cells (`sim_ivf_topk`'s inverted lists), and
+    within them candidates are ranked by ASYMMETRIC PQ distance — the
+    exact query subvectors scored against each candidate's 8-digit PQ
+    code, i.e. Σ_m d2(q_m, codebook[code_n[m]]). The candidate's raw
+    64 floats are never touched at query time: that is the memory
+    model that lets a 100 TB corpus serve ANN from RAM (codes are 32×
+    smaller here, 256× at production K).
+
+    The ADC trick in relational form: the per-(vector, subspace,
+    centroid) distance table computed for ENCODING doubles as every
+    query's ADC lookup table, so scoring is one equi-join of the
+    candidate×subspace stream against it (8 rows per candidate pair,
+    bounded by probe-cell population — never corpus²) plus a
+    map-side-combinable sum. PQ codes ride the `sim_pq_audit`
+    codebooks (label-conditioned means; raw vectors, not residuals —
+    the simplification documented there) and all distances are integer
+    micro-units rounded before ranking, ties on (k, neighbor_id).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    # coarse stage (sim_ivf_topk's assignment, abbreviated)
+    cents = _centroids(emb)
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    dist = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", F.round(d2, 6).alias("d2")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    from pyspark import StorageLevel
+
+    assign = dist.withColumn(
+        "cell_rank", F.row_number().over(w_assign)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    probes = assign.filter(F.col("cell_rank") <= N_PROBE_CELLS).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    home = assign.filter(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    cand = probes.join(home, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # PQ stage (sim_pq_audit's codebooks + the shared distance table)
+    sub = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "v_raw"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim") / PQ_SUB_D).cast("int").alias("m"),
+        (F.col("dim") % PQ_SUB_D).alias("j"),
+        F.col("v_raw").cast("double").alias("v"),
+    )
+    pcent = sub.groupBy(F.col("label").alias("k"), "m", "j").agg(
+        F.round(F.avg("v"), 6).alias("c")
+    )
+    pdist = (
+        sub.join(F.broadcast(pcent), ["m", "j"])
+        .groupBy("vec_id", "m", "k")
+        .agg(
+            F.expr(
+                "CAST(round(sum((v - c) * (v - c)) * 1000000) AS BIGINT)"
+            ).alias("d2_micro")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d2_micro", "k")
+    pcode = (
+        pdist.withColumn("r", F.row_number().over(w_code))
+        .filter(F.col("r") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "m", "k")
+    )
+    adc = (
+        cand.join(pcode, "neighbor_id")
+        .join(
+            pdist.withColumnRenamed("vec_id", "query_id"),
+            ["query_id", "m", "k"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2_micro").cast("bigint").alias("approx_d2_micro"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        "approx_d2_micro", "neighbor_id"
+    )
+    out = (
+        adc.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            "approx_d2_micro",
+            (F.col("approx_d2_micro").cast("double") / 1000000).alias(
+                "approx_d2"
+            ),
+        )
+    )
+    from ..session import finalize_unpersist
+
+    return finalize_unpersist(out, assign, pdist)

@@ -286,6 +286,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "win_keyset_pagination",
     "pipe_dataset_card",
     "txt_compression_ratio",
+    "graph_modularity",
+    "sim_ivfpq_search",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -1166,3 +1166,35 @@ def test_compression_ratio_properties(spark):
     median = ratios[len(ratios) // 2]
     constant = len(zlib.compress(("spam " * 60).encode(), 6)) / 300
     assert constant < median
+
+
+def test_modularity_is_bounded_and_consistent(spark):
+    """Q = sum of contributions lies in [-1, 1]; internal directed
+    edges never exceed the community's degree mass; every community is
+    non-empty."""
+    rows = registry.QUERIES["graph_modularity"](spark, SF).collect()
+    assert rows
+    q = sum(r.contribution for r in rows)
+    assert -1.0 <= q <= 1.0
+    for r in rows:
+        assert r.n_members >= 1
+        assert 0 <= r.internal_directed_edges <= r.degree_sum
+
+
+def test_ivfpq_ranking_is_sound(spark):
+    """Per query: at most TOP_K rows, ranks contiguous from 1, ADC
+    distances non-negative and non-decreasing with rank."""
+    from python_sql_etl_project_spark.operators.similarity import TOP_K
+
+    rows = registry.QUERIES["sim_ivfpq_search"](spark, SF).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.approx_d2_micro >= 0
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_K
+        ds = [r.approx_d2_micro for r in rs]
+        assert ds == sorted(ds)

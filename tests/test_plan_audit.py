@@ -64,6 +64,13 @@ BNLJ_ALLOWED = {
     "jn_association_rules": (
         "1-row order-total aggregate broadcast onto the 20-row rule set"
     ),
+    "sim_ivfpq_search": (
+        "KB-scale coarse-quantizer codebook broadcast for cell "
+        "assignment (same bound as sim_ivf_topk)"
+    ),
+    "graph_modularity": (
+        "1-row degree-total aggregate broadcast onto the community census"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
