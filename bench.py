@@ -238,6 +238,8 @@ HEADLINE = [
     "txt_compression_ratio",
     "graph_modularity",
     "sim_ivfpq_search",
+    "fn_recursive_cte_chain",
+    "dq_drift_ks",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

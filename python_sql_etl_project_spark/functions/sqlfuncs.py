@@ -82,3 +82,56 @@ def fn_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+#: The SQL:1999 recursive query run VERBATIM on both engines — Spark 4's
+#: newest SQL surface (recursive CTEs, SPARK-24497) hash-checked against
+#: DuckDB executing the IDENTICAL text. UNION ALL only (Spark's current
+#: limitation), so the recursion walks an ACYCLIC structure: the
+#: lead()-derived next-order pointer chain per customer (disjoint linked
+#: lists; depth = max orders per customer ≈ 25, far under Spark's
+#: default 100-level recursion limit).
+RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE nxt AS (
+        SELECT o_custkey, o_orderkey,
+               lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)
+                   AS next_okey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ),
+    seq AS (
+        SELECT o_custkey, o_orderkey, next_okey, CAST(1 AS BIGINT) AS pos
+        FROM nxt WHERE rn = 1
+        UNION ALL
+        SELECT n.o_custkey, n.o_orderkey, n.next_okey, s.pos + 1
+        FROM seq s JOIN nxt n ON n.o_orderkey = s.next_okey
+    )
+    SELECT o_custkey, o_orderkey, pos FROM seq
+"""
+
+
+@query("fn_recursive_cte_chain", oracle=RECURSIVE_CHAIN_SQL)
+def fn_recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:1999 recursive CTE — Spark 4's newly-landed surface
+    (SPARK-24497), exercised on a real traversal: each customer's
+    orders walked as a linked list (first order → lead()-pointer →
+    ...), emitting the 1-based position along the chain. The ORACLE IS
+    THE SAME SQL TEXT run by DuckDB, so the gate proves the two
+    engines' recursive execution semantics agree on this query class —
+    the strongest possible parity statement for a brand-new engine
+    feature. (Spark currently supports UNION ALL recursion only, so
+    the walked structure must be acyclic; the pointer chain is, by
+    construction. The same position is derivable from one window —
+    that is deliberate: it makes the recursion independently
+    verifiable, and the invariant test pins seq == row_number.)
+
+    Scale shape: the pointer table is one window over the orders
+    shuffle; each recursion level is an equi-join of the frontier
+    (|customers| rows) against it, depth bounded by the longest chain.
+    """
+    from ..session import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(RECURSIVE_CHAIN_SQL)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -396,4 +396,124 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (obs_micro.cast("double") / 1000000).alias("observed_share"),
         (expected.cast("double") / 1000000).alias("benford_share"),
         (obs_micro - expected).cast("bigint").alias("deviation_micro"),
+    )
+
+
+#: KS split boundary: first vs second half of the event month.
+KS_SPLIT_DAY = 16
+
+
+@query(
+    "dq_drift_ks",
+    oracle=f"""
+    WITH vals AS (
+        SELECT event_type, value,
+               CAST(sum(CASE WHEN extract(day FROM ts) < {KS_SPLIT_DAY}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN extract(day FROM ts) >= {KS_SPLIT_DAY}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b
+        FROM events
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, value,
+               sum(a) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS ca,
+               sum(b) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS cb,
+               sum(a) OVER (PARTITION BY event_type) AS na,
+               sum(b) OVER (PARTITION BY event_type) AS nb
+        FROM vals
+    ),
+    diffs AS (
+        SELECT event_type, value, na, nb,
+               abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+                   AS diff
+        FROM cum
+    ),
+    dmax AS (
+        SELECT *, max(diff) OVER (PARTITION BY event_type) AS d_int
+        FROM diffs
+    )
+    SELECT event_type,
+           CAST(any_value(na) AS BIGINT) AS n_first_half,
+           CAST(any_value(nb) AS BIGINT) AS n_second_half,
+           min(value) AS ks_argmax_value,
+           CAST(CAST((2000000 * any_value(d_int)
+                      + CAST(any_value(na) AS HUGEINT) * any_value(nb))
+                     // (2 * CAST(any_value(na) AS HUGEINT)
+                         * any_value(nb)) AS BIGINT) AS DOUBLE) / 1000000
+               AS ks_statistic
+    FROM dmax
+    WHERE diff = d_int
+    GROUP BY event_type
+    """,
+)
+def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift test per event type:
+    the value distribution of the month's first half against its
+    second half. Complements ``dq_batch_drift_psi`` — PSI needs a
+    bucketing choice and saturates; KS is bucket-free, distribution-
+    agnostic, and THE classical two-sample test a monitoring system
+    thresholds (D > c(α)·sqrt((n1+n2)/(n1·n2))).
+
+    Exactness: D = max_v |c1(v)·n2 − c2(v)·n1| / (n1·n2) — cross-
+    multiplying makes the ECDF comparison pure integer arithmetic
+    (38-digit, since n1·n2 overflows BIGINT at 100 TB); the argmax
+    value (where the CDFs diverge most — the value to investigate) is
+    tie-broken by minimum. Both samples come from ONE conditional
+    aggregation over one scan (the split is a CASE, not two reads);
+    the ECDF windows run over distinct values per type.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    vals = ev.groupBy("event_type", "value").agg(
+        F.sum(
+            F.when(F.dayofmonth("ts") < KS_SPLIT_DAY, 1).otherwise(0)
+        ).cast("bigint").alias("a"),
+        F.sum(
+            F.when(F.dayofmonth("ts") >= KS_SPLIT_DAY, 1).otherwise(0)
+        ).cast("bigint").alias("b"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = vals.select(
+        "event_type",
+        "value",
+        F.sum("a").over(wcum).alias("ca"),
+        F.sum("b").over(wcum).alias("cb"),
+        F.sum("a").over(wall).alias("na"),
+        F.sum("b").over(wall).alias("nb"),
+    )
+    diffs = cum.select(
+        "event_type",
+        "value",
+        "na",
+        "nb",
+        F.abs(
+            F.col("ca").cast("decimal(38,0)") * F.col("nb")
+            - F.col("cb").cast("decimal(38,0)") * F.col("na")
+        ).alias("diff"),
+    )
+    dmax = diffs.withColumn("d_int", F.max("diff").over(wall))
+    return (
+        dmax.filter(F.col("diff") == F.col("d_int"))
+        .groupBy("event_type")
+        .agg(
+            F.any_value("na").cast("bigint").alias("n_first_half"),
+            F.any_value("nb").cast("bigint").alias("n_second_half"),
+            F.min("value").alias("ks_argmax_value"),
+            (
+                F.expr(
+                    "CAST((2000000 * any_value(d_int)"
+                    " + CAST(any_value(na) AS DECIMAL(38,0)) * any_value(nb))"
+                    " div (2 * CAST(any_value(na) AS DECIMAL(38,0))"
+                    "      * any_value(nb)) AS BIGINT)"
+                ).cast("double")
+                / 1000000
+            ).alias("ks_statistic"),
+        )
     )

@@ -288,6 +288,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "txt_compression_ratio",
     "graph_modularity",
     "sim_ivfpq_search",
+    "fn_recursive_cte_chain",
+    "dq_drift_ks",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -1198,3 +1198,66 @@ def test_ivfpq_ranking_is_sound(spark):
         assert len(rs) <= TOP_K
         ds = [r.approx_d2_micro for r in rs]
         assert ds == sorted(ds)
+
+
+def test_recursive_chain_equals_window_numbering(spark):
+    """The recursion's chain position must equal the one-window
+    row_number — the independent derivation that pins Spark's new
+    recursive-CTE execution; and the walk must visit every order
+    exactly once."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    got = {
+        (r.o_custkey, r.o_orderkey): r.pos
+        for r in registry.QUERIES["fn_recursive_cte_chain"](spark, SF).collect()
+    }
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    expect = {
+        (r.o_custkey, r.o_orderkey): r.pos
+        for r in orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number()
+            .over(
+                W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            )
+            .cast("bigint")
+            .alias("pos"),
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_ks_statistic_matches_scipy_free_recompute(spark):
+    """Recompute the exact KS statistic per type in plain Python from
+    the raw events and require equality to 1e-6 (the op's rounding
+    grain); D must lie in [0, 1]."""
+    from python_sql_etl_project_spark.operators.quality import KS_SPLIT_DAY
+
+    rows = {r.event_type: r for r in
+            registry.QUERIES["dq_drift_ks"](spark, SF).collect()}
+    assert rows
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", "ts", "value"
+    ).collect()
+    by_type: dict[str, tuple[list, list]] = {}
+    for e in ev:
+        first = e.ts.day < KS_SPLIT_DAY
+        by_type.setdefault(e.event_type, ([], []))[0 if first else 1].append(
+            e.value
+        )
+    for t, (a, b) in by_type.items():
+        a.sort(); b.sort()
+        vals = sorted(set(a) | set(b))
+        import bisect
+        d = max(
+            abs(bisect.bisect_right(a, v) * len(b)
+                - bisect.bisect_right(b, v) * len(a))
+            for v in vals
+        )
+        expect = d / (len(a) * len(b))
+        got = rows[t]
+        assert 0 <= got.ks_statistic <= 1
+        assert abs(got.ks_statistic - expect) <= 1e-6, (t, expect, got)
+        assert got.n_first_half == len(a) and got.n_second_half == len(b)
