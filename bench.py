@@ -240,6 +240,9 @@ HEADLINE = [
     "sim_ivfpq_search",
     "fn_recursive_cte_chain",
     "dq_drift_ks",
+    "ts_linear_interpolation",
+    "dq_sentinel_values",
+    "txt_tokenizer_fertility",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

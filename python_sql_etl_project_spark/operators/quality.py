@@ -517,3 +517,53 @@ def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_statistic"),
         )
     )
+
+
+SENTINEL_TOP_N = 10
+
+
+@query(
+    "dq_sentinel_values",
+    oracle=f"""
+    WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+    freq AS (
+        SELECT value, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM events
+        GROUP BY 1
+        ORDER BY n_occurrences DESC, value
+        LIMIT {SENTINEL_TOP_N}
+    )
+    SELECT f.value, f.n_occurrences,
+           CAST((2000000 * f.n_occurrences + t.n) // (2 * t.n) AS DOUBLE)
+               / 1000000 AS share
+    FROM freq f, tot t
+    """,
+)
+def dq_sentinel_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel / magic-value detector: the {SENTINEL_TOP_N} most
+    repeated EXACT values of the measure column with their corpus
+    share. On a continuous measure, genuine data repeats a value a
+    handful of times; a default (0.0), a sentinel (999.99), or an
+    imputation constant repeats orders of magnitude more — this census
+    is the standard first look the Benford screen
+    (``dq_benford_audit``) and drift monitors assume has been done.
+    One map-side-combinable count + a {SENTINEL_TOP_N}-row
+    TakeOrderedAndProject (ties broken by value); shares are half-up
+    integer micro-rounding against the 1-row total broadcast.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    tot = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    freq = (
+        ev.groupBy("value")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "value")
+        .limit(SENTINEL_TOP_N)
+    )
+    return freq.crossJoin(F.broadcast(tot)).select(
+        "value",
+        "n_occurrences",
+        (
+            F.expr("(2000000 * n_occurrences + n) div (2 * n)").cast("double")
+            / 1000000
+        ).alias("share"),
+    )

@@ -1674,3 +1674,65 @@ def txt_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     return docs.mapInPandas(_compression_batches, schema=COMPRESSION_SCHEMA)
+
+
+@query(
+    "txt_tokenizer_fertility",
+    oracle=f"""
+    WITH feat AS (
+        SELECT source,
+               CAST(n_chars AS BIGINT) AS nc,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+                   AS nb,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS nw
+        FROM documents
+    )
+    SELECT source,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(nw) AS BIGINT) AS n_words,
+           CAST((20000 * sum(nc) + sum(nb)) // (2 * sum(nb)) AS DOUBLE)
+               / 10000 AS chars_per_bpe_token,
+           CAST((20000 * sum(nb) + sum(nw)) // (2 * sum(nw)) AS DOUBLE)
+               / 10000 AS bpe_tokens_per_word
+    FROM feat
+    GROUP BY 1
+    """,
+)
+def txt_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source: characters per BPE-ish token and
+    BPE tokens per whitespace word — the two ratios that decide
+    whether a tokenizer (vocabulary) suits a corpus slice (fertility
+    creep on a source means its text fragments into more tokens per
+    word: wasted context budget and skewed mixture weights — the
+    practical metric behind vocabulary-size choices, computed here
+    from the same regex pre-tokenization as ``txt_bpe_token_count``).
+    One narrow projection (regexp counts, no explode) + one
+    map-side-combinable per-source aggregate; ratios are half-up
+    integer rounding.
+    """
+    t = F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), 0)
+    feat = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("nc"),
+        F.size(t).cast("bigint").alias("nb"),
+        F.size(tokens()).cast("bigint").alias("nw"),
+    )
+    return feat.groupBy("source").agg(
+        F.sum("nc").cast("bigint").alias("n_chars"),
+        F.sum("nb").cast("bigint").alias("n_bpe_tokens"),
+        F.sum("nw").cast("bigint").alias("n_words"),
+        (
+            F.expr("(20000 * sum(nc) + sum(nb)) div (2 * sum(nb))").cast(
+                "double"
+            )
+            / 10000
+        ).alias("chars_per_bpe_token"),
+        (
+            F.expr("(20000 * sum(nb) + sum(nw)) div (2 * sum(nw))").cast(
+                "double"
+            )
+            / 10000
+        ).alias("bpe_tokens_per_word"),
+    )

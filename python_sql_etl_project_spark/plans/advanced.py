@@ -3938,3 +3938,133 @@ def win_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("double").alias("total_price"),
         )
     )
+
+
+@query(
+    "ts_linear_interpolation",
+    oracle="""
+    WITH ev AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               CAST(value AS DECIMAL(18,6)) AS v
+        FROM events
+    ),
+    span AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+    hours AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    grid AS (SELECT h, event_type FROM hours CROSS JOIN types),
+    agg AS (
+        SELECT h, event_type,
+               CAST(sum(v) * 1000000 AS BIGINT) AS v_micro
+        FROM ev GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT g.h, g.event_type, a.v_micro,
+               CAST(epoch(g.h) AS BIGINT) // 3600 AS hi
+        FROM grid g
+        LEFT JOIN agg a ON a.h = g.h AND a.event_type = g.event_type
+    ),
+    ctx AS (
+        SELECT *,
+               last_value(v_micro IGNORE NULLS)
+                 OVER (PARTITION BY event_type ORDER BY hi
+                       ROWS UNBOUNDED PRECEDING) AS pv,
+               last_value(CASE WHEN v_micro IS NOT NULL THEN hi END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY event_type ORDER BY hi
+                       ROWS UNBOUNDED PRECEDING) AS ph,
+               first_value(v_micro IGNORE NULLS)
+                 OVER (PARTITION BY event_type ORDER BY hi
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nv,
+               first_value(CASE WHEN v_micro IS NOT NULL THEN hi END
+                           IGNORE NULLS)
+                 OVER (PARTITION BY event_type ORDER BY hi
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nh
+        FROM joined
+    )
+    SELECT h AS hour, event_type,
+           CAST(v_micro IS NOT NULL AS BOOLEAN) AS is_observed,
+           CAST(CASE
+                WHEN v_micro IS NOT NULL THEN v_micro
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                ELSE (2 * (pv * (nh - hi) + nv * (hi - ph)) + (nh - ph))
+                     // (2 * (nh - ph))
+           END AS DOUBLE) / 1000000 AS hourly_value
+    FROM ctx
+    """,
+)
+def ts_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the gap-filled hourly grid — the
+    imputation that replaces LOCF (``ts_locf_hourly_value``) when the
+    series is a level, not a state: silent hours take the
+    time-weighted average of the neighboring OBSERVED hourly totals.
+    Leading/trailing gaps (no anchor on one side) stay NULL on both
+    engines; the ``is_observed`` flag lets consumers distinguish
+    measured from imputed points.
+
+    Exactness: hourly totals ride DECIMAL micro-units; the
+    interpolation ``(pv*(nh-hi) + nv*(hi-ph)) / (nh-ph)`` is a single
+    half-up integer division over epoch-hour integers — no float
+    arithmetic anywhere. Same bounded |hours|x|types| grid as the
+    rollup family; the neighbor scan is two windows over grid-sized
+    (not event-sized) data.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    hours = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1")).select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    grid = hours.crossJoin(ev.select("event_type").distinct())
+    agg = ev.groupBy("h", "event_type").agg(
+        F.expr("CAST(sum(v) * 1000000 AS BIGINT)").alias("v_micro")
+    )
+    joined = grid.join(agg, ["h", "event_type"], "left").select(
+        "h",
+        "event_type",
+        "v_micro",
+        F.expr("unix_seconds(h) div 3600").alias("hi"),
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hi")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hi = F.when(F.col("v_micro").isNotNull(), F.col("hi"))
+    ctx = joined.select(
+        "h",
+        "event_type",
+        "v_micro",
+        "hi",
+        F.last("v_micro", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_hi, ignorenulls=True).over(wb).alias("ph"),
+        F.first("v_micro", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_hi, ignorenulls=True).over(wf).alias("nh"),
+    )
+    return ctx.select(
+        F.col("h").alias("hour"),
+        "event_type",
+        F.col("v_micro").isNotNull().alias("is_observed"),
+        (
+            F.expr(
+                "CAST(CASE"
+                " WHEN v_micro IS NOT NULL THEN v_micro"
+                " WHEN pv IS NULL OR nv IS NULL THEN NULL"
+                " ELSE (2 * (pv * (nh - hi) + nv * (hi - ph)) + (nh - ph))"
+                "      div (2 * (nh - ph))"
+                " END AS DOUBLE)"
+            )
+            / 1000000
+        ).alias("hourly_value"),
+    )

@@ -290,6 +290,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "sim_ivfpq_search",
     "fn_recursive_cte_chain",
     "dq_drift_ks",
+    "ts_linear_interpolation",
+    "dq_sentinel_values",
+    "txt_tokenizer_fertility",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

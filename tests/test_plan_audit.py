@@ -71,6 +71,12 @@ BNLJ_ALLOWED = {
     "graph_modularity": (
         "1-row degree-total aggregate broadcast onto the community census"
     ),
+    "ts_linear_interpolation": (
+        "same bounded hour×type grid as ts_hourly_rollup_gapfill"
+    ),
+    "dq_sentinel_values": (
+        "1-row census-total broadcast onto the top-N sentinel rows"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
