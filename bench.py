@@ -243,6 +243,8 @@ HEADLINE = [
     "ts_linear_interpolation",
     "dq_sentinel_values",
     "txt_tokenizer_fertility",
+    "asof_nearest_order_to_event",
+    "smp_greedy_set_cover",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

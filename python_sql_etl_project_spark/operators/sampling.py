@@ -1688,3 +1688,123 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("top_lang_share"),
     )
+
+
+#: Greedy set-cover budget (selection rounds).
+COVER_K = 8
+
+
+def _cover_oracle() -> str:
+    from .dedup import _SHINGLES_CTE
+
+    # FLAT generation — every gain CTE reads sh_all directly with the
+    # accumulated cover as one join and the picked ids as a NOT IN;
+    # chaining rem1→rem2→... instead makes DuckDB re-inline the whole
+    # prefix per reference and the oracle goes exponential (observed:
+    # minutes at sf0.001 for 8 rounds); every generated CTE is
+    # AS MATERIALIZED — DuckDB otherwise re-inlines multiply-referenced
+    # CTEs and the prefix recompute is exponential in rounds.
+    parts = [f"WITH {_SHINGLES_CTE}"]
+    for i in range(1, COVER_K + 1):
+        picked = " UNION ALL ".join(
+            f"SELECT doc_id FROM p{j}" for j in range(1, i)
+        )
+        not_picked = f" AND a.doc_id NOT IN ({picked})" if picked else ""
+        cov_join = (
+            f" LEFT JOIN cov{i - 1} v ON v.s = a.s WHERE v.s IS NULL"
+            if i > 1
+            else " WHERE 1 = 1"
+        )
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS c"
+            f" FROM sh_all a{cov_join}{not_picked} GROUP BY 1)"
+        )
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT doc_id, c FROM g{i}"
+            f" ORDER BY c DESC, doc_id LIMIT 1)"
+        )
+        if i < COVER_K:
+            parts.append(
+                f"cov{i} AS MATERIALIZED (SELECT DISTINCT s FROM sh_all"
+                f" WHERE doc_id IN ({picked}{' UNION ALL ' if picked else ''}"
+                f"SELECT doc_id FROM p{i}))"
+            )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS sel_rank, doc_id, c AS gain_shingles FROM p{i}"
+        for i in range(1, COVER_K + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+    , picks AS ({sel})
+    SELECT sel_rank, doc_id, gain_shingles,
+           CAST(sum(gain_shingles) OVER (ORDER BY sel_rank
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_covered
+    FROM picks
+    """
+    )
+
+
+@query("smp_greedy_set_cover", oracle=_cover_oracle())
+def smp_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage selection (the submodular facility-
+    location greedy, 1-1/e guarantee): pick {COVER_K} documents that
+    together cover the most distinct corpus 3-word shingles, each round
+    taking the document with the largest NOVEL coverage. This is the
+    diversity-selection primitive of data-pruning pipelines (choose the
+    subset that spans the corpus, not the subset that scores best
+    individually) — the lexical cousin of ``smp_coreset_kcenter``'s
+    geometric selection, and the dual of dedup: dedup removes redundant
+    mass, set-cover KEEPS spanning mass. Uncapped shingles (coverage
+    wants ubiquitous shingles counted — they're covered by the first
+    pick and never pay again).
+
+    Scale shape: the classic lazy-greedy structure — per round ONE
+    anti-join of the shrinking shingle stream against the newest pick's
+    (broadcast-small) shingle set, one map-side-combinable gain count,
+    and a top-1 TakeOrderedAndProject; the stream only shrinks. Gains
+    are exact integers; ties break on doc_id.
+    """
+    w = tokens()
+    from .dedup import SHINGLE_K
+
+    shingle_arr = F.when(
+        F.size(w) >= SHINGLE_K,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - SHINGLE_K),
+            lambda i: F.concat_ws(
+                " ", *[F.get(w, i + j) for j in range(SHINGLE_K)]
+            ),
+        ),
+    )
+    sh = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", F.explode(F.array_distinct(shingle_arr)).alias("s"))
+    )
+    remaining = sh.localCheckpoint()
+    picks: list[tuple[int, int, int, int]] = []
+    cum = 0
+    for rank in range(1, COVER_K + 1):
+        top = (
+            remaining.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), "doc_id")
+            .limit(1)
+            .first()
+        )
+        if top is None:
+            break
+        cum += top.c
+        picks.append((rank, top.doc_id, top.c, cum))
+        if rank == COVER_K:
+            break
+        cov = remaining.filter(F.col("doc_id") == top.doc_id).select("s")
+        remaining = (
+            remaining.filter(F.col("doc_id") != top.doc_id)
+            .join(F.broadcast(cov), "s", "left_anti")
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        picks,
+        "sel_rank int, doc_id bigint, gain_shingles bigint, cum_covered bigint",
+    )

@@ -4068,3 +4068,148 @@ def ts_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("hourly_value"),
     )
+
+
+@query(
+    "asof_nearest_order_to_event",
+    oracle="""
+    WITH tagged AS (
+        SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS t,
+               o_orderkey, NULL::BIGINT AS event_id, 1 AS is_order
+        FROM orders
+        UNION ALL
+        SELECT user_id, ts AS t, NULL::BIGINT AS o_orderkey,
+               event_id, 0 AS is_order
+        FROM events
+    ),
+    filled AS (
+        SELECT *,
+               last_value(CASE WHEN is_order = 1 THEN o_orderkey END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY t, is_order DESC, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS bk_key,
+               last_value(CASE WHEN is_order = 1
+                               THEN CAST(epoch_us(t) AS BIGINT) END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY t, is_order DESC, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS bk_us,
+               first_value(CASE WHEN is_order = 1 THEN o_orderkey END
+                           IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY t, is_order DESC, o_orderkey
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS fw_key,
+               first_value(CASE WHEN is_order = 1
+                                THEN CAST(epoch_us(t) AS BIGINT) END
+                           IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY t, is_order DESC, o_orderkey
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS fw_us
+        FROM tagged
+    ),
+    ev AS (
+        SELECT event_id, user_id, t,
+               CAST(epoch_us(t) AS BIGINT) AS t_us,
+               bk_key, bk_us, fw_key, fw_us
+        FROM filled WHERE is_order = 0
+    )
+    SELECT event_id, user_id, t AS ts,
+           CASE WHEN bk_key IS NULL THEN fw_key
+                WHEN fw_key IS NULL THEN bk_key
+                WHEN t_us - bk_us <= fw_us - t_us THEN bk_key
+                ELSE fw_key END AS nearest_orderkey,
+           CASE WHEN bk_key IS NULL THEN 'after'
+                WHEN fw_key IS NULL THEN 'before'
+                WHEN t_us - bk_us <= fw_us - t_us THEN 'before'
+                ELSE 'after' END AS direction,
+           CASE WHEN bk_key IS NULL THEN fw_us - t_us
+                WHEN fw_key IS NULL THEN t_us - bk_us
+                WHEN t_us - bk_us <= fw_us - t_us THEN t_us - bk_us
+                ELSE fw_us - t_us END // 1000000 AS gap_seconds
+    FROM ev
+    WHERE bk_key IS NOT NULL OR fw_key IS NOT NULL
+    """,
+)
+def asof_nearest_order_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join: each event matched to the
+    closest-in-time order of the same customer in EITHER direction
+    (ties to the earlier order) — the alignment semantics sensor
+    fusion and feature attribution need when 'most recent before'
+    (``asof_last_order_before_event``) is the wrong prior for events
+    that precede their cause. Same scalable union-merge shape — one
+    shuffle on user_id, one sort, TWO window passes (carry-back and
+    carry-forward) — still never an inequality join. Gap arithmetic
+    runs in integer microseconds (DuckDB ``epoch_us`` cast to BIGINT
+    before ``//`` — its epoch functions return DOUBLE otherwise), so
+    the direction choice and the reported gap are exact on both
+    engines.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(1).alias("is_order"),
+    )
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        "event_id",
+        F.lit(0).alias("is_order"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("t", F.desc("is_order"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t", F.desc("is_order"), "o_orderkey")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    okey = F.when(F.col("is_order") == 1, F.col("o_orderkey"))
+    ous = F.when(F.col("is_order") == 1, F.unix_micros("t"))
+    filled = (
+        o.unionByName(e)
+        .select(
+            "event_id",
+            "user_id",
+            "t",
+            "is_order",
+            F.last(okey, ignorenulls=True).over(wb).alias("bk_key"),
+            F.last(ous, ignorenulls=True).over(wb).alias("bk_us"),
+            F.first(okey, ignorenulls=True).over(wf).alias("fw_key"),
+            F.first(ous, ignorenulls=True).over(wf).alias("fw_us"),
+        )
+        .filter(F.col("is_order") == 0)
+        .withColumn("t_us", F.unix_micros("t"))
+    )
+    back_wins = (
+        F.col("fw_key").isNull()
+        | (F.col("bk_key").isNotNull()
+           & (F.col("t_us") - F.col("bk_us") <= F.col("fw_us") - F.col("t_us")))
+    )
+    return (
+        filled.filter(F.col("bk_key").isNotNull() | F.col("fw_key").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("ts"),
+            F.when(back_wins, F.col("bk_key"))
+            .otherwise(F.col("fw_key"))
+            .alias("nearest_orderkey"),
+            F.when(back_wins, F.lit("before"))
+            .otherwise(F.lit("after"))
+            .alias("direction"),
+            F.expr(
+                "CASE WHEN bk_key IS NULL THEN fw_us - t_us"
+                " WHEN fw_key IS NULL THEN t_us - bk_us"
+                " WHEN t_us - bk_us <= fw_us - t_us THEN t_us - bk_us"
+                " ELSE fw_us - t_us END div 1000000"
+            ).alias("gap_seconds"),
+        )
+    )

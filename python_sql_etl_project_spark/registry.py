@@ -293,6 +293,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "ts_linear_interpolation",
     "dq_sentinel_values",
     "txt_tokenizer_fertility",
+    "asof_nearest_order_to_event",
+    "smp_greedy_set_cover",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -1307,3 +1307,40 @@ def test_fertility_ratios_are_plausible(spark):
         assert r.n_chars > 0 and r.n_bpe_tokens > 0 and r.n_words > 0
         assert r.bpe_tokens_per_word >= 1
         assert r.chars_per_bpe_token >= 1
+
+
+def test_nearest_asof_never_beaten_by_backward_asof(spark):
+    """The nearest match is at least as close as the backward-only
+    as-of match, and gaps are non-negative."""
+    near = {r.event_id: r for r in
+            registry.QUERIES["asof_nearest_order_to_event"](spark, SF).collect()}
+    back = {r.event_id: r for r in
+            registry.QUERIES["asof_last_order_before_event"](spark, SF).collect()
+            if r.asof_orderkey is not None}
+    assert near
+    for eid, r in near.items():
+        assert r.gap_seconds >= 0
+        if eid in back:
+            b = back[eid]
+            back_gap = (r.ts - b.asof_orderdate).total_seconds()
+            assert r.gap_seconds <= back_gap + 1
+
+
+def test_set_cover_greedy_structure(spark):
+    """Submodularity in action: marginal gains never increase along the
+    selection order; picks are distinct; the cumulative column
+    telescopes the gains."""
+    from python_sql_etl_project_spark.operators.sampling import COVER_K
+
+    rows = sorted(
+        registry.QUERIES["smp_greedy_set_cover"](spark, SF).collect(),
+        key=lambda r: r.sel_rank,
+    )
+    assert 1 <= len(rows) <= COVER_K
+    assert len({r.doc_id for r in rows}) == len(rows)
+    gains = [r.gain_shingles for r in rows]
+    assert all(b <= a for a, b in zip(gains, gains[1:]))
+    cum = 0
+    for r in rows:
+        cum += r.gain_shingles
+        assert r.cum_covered == cum
