@@ -245,6 +245,10 @@ HEADLINE = [
     "txt_tokenizer_fertility",
     "asof_nearest_order_to_event",
     "smp_greedy_set_cover",
+    "date_calendar_dim",
+    "win_lifecycle_stages",
+    "smp_budget_apportionment",
+    "pipe_eval_suite_builder",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -1808,3 +1808,219 @@ def smp_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         picks,
         "sel_rank int, doc_id bigint, gain_shingles bigint, cum_covered bigint",
     )
+
+
+#: Token budget apportioned across sources (Hamilton / largest
+#: remainder — the exact-integer apportionment used for mixture
+#: targets).
+APPORTION_BUDGET = 100_000
+
+
+@query(
+    "smp_budget_apportionment",
+    oracle=f"""
+    WITH src AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                    AS BIGINT) AS w
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                   CAST(count(*) AS BIGINT) AS k FROM src),
+    quota AS (
+        SELECT s.source, s.w, t.tw, t.k,
+               ({APPORTION_BUDGET} * s.w) // t.tw AS floor_share,
+               ({APPORTION_BUDGET} * s.w) % t.tw AS remainder
+        FROM src s, tot t
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY remainder DESC, source)
+                   AS rem_rank,
+               {APPORTION_BUDGET} - sum(floor_share) OVER () AS leftover
+        FROM quota
+    )
+    SELECT source, w AS weight_tokens,
+           CAST(floor_share + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated_budget,
+           CAST(floor_share AS BIGINT) AS floor_share,
+           CAST(remainder AS BIGINT) AS remainder
+    FROM ranked
+    """,
+)
+def smp_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed token
+    budget across sources, weighted by each source's token mass — the
+    exact-integer step that turns ``smp_mixture_weights``'s real-valued
+    mixture into integer per-source budgets that sum EXACTLY to the
+    target (naive rounding of shares drifts by up to |sources|/2
+    tokens and breaks budget invariants downstream). Floor shares are
+    integer division, the leftover goes to the largest remainders
+    (ties on source name) — apportionment's standard method, fully
+    deterministic on both engines.
+
+    One token-count aggregate + window ranking over |sources| rows —
+    everything past the first aggregate is broadcast-sized.
+    """
+    w = tokens()
+    src = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "source", F.size(w).cast("bigint").alias("nt")
+    ).groupBy("source").agg(F.sum("nt").cast("bigint").alias("w"))
+    tot = src.agg(
+        F.sum("w").cast("bigint").alias("tw"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    quota = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "w",
+        F.expr(f"({APPORTION_BUDGET} * w) div tw").alias("floor_share"),
+        F.expr(f"({APPORTION_BUDGET} * w) % tw").alias("remainder"),
+    )
+    wr = Window.orderBy(F.desc("remainder"), "source")
+    wall = Window.partitionBy()
+    ranked = quota.select(
+        "source",
+        "w",
+        "floor_share",
+        "remainder",
+        F.row_number().over(wr).alias("rem_rank"),
+        (F.lit(APPORTION_BUDGET) - F.sum("floor_share").over(wall)).alias(
+            "leftover"
+        ),
+    )
+    return ranked.select(
+        "source",
+        F.col("w").alias("weight_tokens"),
+        (
+            F.col("floor_share")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("allocated_budget"),
+        F.col("floor_share").cast("bigint").alias("floor_share"),
+        F.col("remainder").cast("bigint").alias("remainder"),
+    )
+
+
+@query(
+    "pipe_eval_suite_builder",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id, source,
+               md5(text) AS h,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS nt,
+               CAST(len(list_distinct(string_split_regex(trim(text),
+                                                         '\\s+')))
+                   AS BIGINT) AS nd,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hh
+        FROM documents
+    ),
+    gates AS (
+        SELECT *,
+               CASE WHEN nt >= 20 AND 5 * nd >= nt THEN 0 ELSE 1 END
+                   AS fail_quality,
+               CASE WHEN row_number()
+                         OVER (PARTITION BY h ORDER BY doc_id) > 1
+                    THEN 1 ELSE 0 END AS fail_dup,
+               CASE WHEN hh >= '2000' THEN 1 ELSE 0 END AS fail_holdout
+        FROM feat
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(fail_quality) AS BIGINT) AS n_fail_quality,
+           CAST(sum(CASE WHEN fail_quality = 0 THEN fail_dup ELSE 0 END)
+                AS BIGINT) AS n_fail_dup,
+           CAST(sum(CASE WHEN fail_quality = 0 AND fail_dup = 0
+                         THEN fail_holdout ELSE 0 END) AS BIGINT)
+               AS n_fail_holdout,
+           CAST(sum(CASE WHEN fail_quality = 0 AND fail_dup = 0
+                          AND fail_holdout = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           CAST(sum(CASE WHEN fail_quality = 0 AND fail_dup = 0
+                          AND fail_holdout = 0 THEN nt ELSE 0 END)
+                AS BIGINT) AS selected_tokens,
+           md5(string_agg(CASE WHEN fail_quality = 0 AND fail_dup = 0
+                               AND fail_holdout = 0
+                               THEN CAST(doc_id AS VARCHAR) END, ','
+                          ORDER BY doc_id)) AS roster_hash
+    FROM gates
+    GROUP BY 1
+    """,
+)
+def pipe_eval_suite_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set builder — the gated funnel that produces a held-out
+    evaluation suite: quality gate (the ``txt_quality_score`` rule) →
+    exact-dup removal (keep-first) → deterministic holdout slice (the
+    ``smp_hash_split`` md5 discipline: only docs whose id-hash falls in
+    the holdout range survive), reported per source with ATTRIBUTED
+    rejections (each doc counted against the FIRST gate it fails —
+    the funnel view a release checklist wants) plus the selected-roster
+    content hash, so two builds of the suite can be compared by one
+    string. One corpus scan; the dup window is the only doc-level
+    shuffle; the roster hash is an ordered in-aggregate string-agg.
+    """
+    w = tokens()
+    feat = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(w).cast("bigint").alias("nt"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("nd"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("hh"),
+    )
+    dup_w = Window.partitionBy("h").orderBy("doc_id")
+    gates = feat.select(
+        "doc_id",
+        "source",
+        "nt",
+        F.when((F.col("nt") >= 20) & (5 * F.col("nd") >= F.col("nt")), 0)
+        .otherwise(1)
+        .alias("fail_quality"),
+        F.when(F.row_number().over(dup_w) > 1, 1).otherwise(0).alias(
+            "fail_dup"
+        ),
+        F.when(F.col("hh") >= "2000", 1).otherwise(0).alias("fail_holdout"),
+    )
+    sel = (
+        (F.col("fail_quality") == 0)
+        & (F.col("fail_dup") == 0)
+        & (F.col("fail_holdout") == 0)
+    )
+    return gates.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum("fail_quality").cast("bigint").alias("n_fail_quality"),
+        F.sum(
+            F.when(F.col("fail_quality") == 0, F.col("fail_dup")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_fail_dup"),
+        F.sum(
+            F.when(
+                (F.col("fail_quality") == 0) & (F.col("fail_dup") == 0),
+                F.col("fail_holdout"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_fail_holdout"),
+        F.sum(F.when(sel, 1).otherwise(0)).cast("bigint").alias("n_selected"),
+        F.sum(F.when(sel, F.col("nt")).otherwise(0))
+        .cast("bigint")
+        .alias("selected_tokens"),
+        # empty roster -> NULL (DuckDB string_agg over zero rows is
+        # NULL; md5('') would hash-mismatch it)
+        F.when(
+            F.sum(F.when(sel, 1).otherwise(0)) > 0,
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.when(sel, F.col("doc_id")))
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ),
+        ).alias("roster_hash"),
+    )

@@ -4213,3 +4213,139 @@ def asof_nearest_order_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_seconds"),
         )
     )
+
+
+@query(
+    "date_calendar_dim",
+    oracle="""
+    WITH span AS (
+        SELECT min(o_orderdate) AS d0, max(o_orderdate) AS d1 FROM orders
+    ),
+    days AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+            AS d
+        FROM span
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS date_key,
+           CAST(extract(year FROM d) AS INT) AS year,
+           CAST(extract(quarter FROM d) AS INT) AS quarter,
+           CAST(extract(month FROM d) AS INT) AS month,
+           CAST(extract(day FROM d) AS INT) AS day_of_month,
+           CAST(CASE WHEN extract(isodow FROM d) = 7 THEN 0
+                     ELSE extract(isodow FROM d) END + 1 AS INT)
+               AS day_of_week,
+           CAST(extract(isodow FROM d) IN (6, 7) AS BOOLEAN) AS is_weekend,
+           strftime(date_trunc('month', d), '%Y-%m') AS month_key,
+           CAST(extract(year FROM d) * 100 + extract(quarter FROM d)
+                AS INT) AS quarter_key
+    FROM days
+    """,
+)
+def date_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generator — the conformed date spine every
+    warehouse joins facts against (Kimball's first dimension): one row
+    per day across the fact's date span with the standard attribute
+    columns (year/quarter/month, day-of-week with Sunday=1 to match
+    Spark's ``dayofweek``, weekend flag, month and quarter keys). The
+    spine derives from a 1-row min/max aggregate + ``sequence`` —
+    |days| rows regardless of fact volume, broadcast-sized forever;
+    date keys are formatted strings (the cross-engine discipline for
+    DATE columns).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    days = o.agg(
+        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+    ).select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    return days.select(
+        F.date_format("d", "yyyy-MM-dd").alias("date_key"),
+        F.year("d").cast("int").alias("year"),
+        F.quarter("d").cast("int").alias("quarter"),
+        F.month("d").cast("int").alias("month"),
+        F.dayofmonth("d").cast("int").alias("day_of_month"),
+        F.dayofweek("d").cast("int").alias("day_of_week"),
+        F.dayofweek("d").isin(1, 7).alias("is_weekend"),
+        F.date_format("d", "yyyy-MM").alias("month_key"),
+        (F.year("d") * 100 + F.quarter("d")).cast("int").alias("quarter_key"),
+    )
+
+
+#: Lifecycle recency bands (days since last order, relative to the
+#: corpus max date so the query is deterministic).
+LIFECYCLE_BANDS = ((90, "active"), (365, "lapsed"))
+
+
+@query(
+    "win_lifecycle_stages",
+    oracle="""
+    WITH ref AS (SELECT max(o_orderdate) AS dmax FROM orders),
+    cust AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               max(o_orderdate) AS last_order,
+               min(o_orderdate) AS first_order
+        FROM orders GROUP BY 1
+    ),
+    staged AS (
+        SELECT c.o_custkey, c.n_orders,
+               date_diff('day', c.last_order, r.dmax) AS recency_days,
+               CASE
+                 WHEN c.n_orders = 1
+                  AND date_diff('day', c.last_order, r.dmax) <= 90
+                   THEN 'new'
+                 WHEN date_diff('day', c.last_order, r.dmax) <= 90
+                   THEN 'active'
+                 WHEN date_diff('day', c.last_order, r.dmax) <= 365
+                   THEN 'lapsed'
+                 ELSE 'churned'
+               END AS stage
+        FROM cust c, ref r
+    )
+    SELECT stage,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS total_orders,
+           CAST(min(recency_days) AS BIGINT) AS min_recency_days,
+           CAST(max(recency_days) AS BIGINT) AS max_recency_days
+    FROM staged
+    GROUP BY 1
+    """,
+)
+def win_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifecycle staging — the segmentation every CRM ships
+    beside RFM (``win_rfm_segments``): band customers as
+    new / active / lapsed / churned from order recency (measured
+    against the corpus max date, so the query is deterministic and
+    backfillable) with first-order awareness ('new' = single recent
+    order). One shuffle on the customer key + a stage census; all date
+    arithmetic is integer days.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("dmax"))
+    cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.max("o_orderdate").alias("last_order"),
+        F.min("o_orderdate").alias("first_order"),
+    )
+    staged = cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        "n_orders",
+        F.datediff("dmax", "last_order").cast("bigint").alias("recency_days"),
+    ).select(
+        "o_custkey",
+        "n_orders",
+        "recency_days",
+        F.when(
+            (F.col("n_orders") == 1) & (F.col("recency_days") <= 90), "new"
+        )
+        .when(F.col("recency_days") <= 90, "active")
+        .when(F.col("recency_days") <= 365, "lapsed")
+        .otherwise("churned")
+        .alias("stage"),
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("n_orders").cast("bigint").alias("total_orders"),
+        F.min("recency_days").cast("bigint").alias("min_recency_days"),
+        F.max("recency_days").cast("bigint").alias("max_recency_days"),
+    )

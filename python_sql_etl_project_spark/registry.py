@@ -295,6 +295,10 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "txt_tokenizer_fertility",
     "asof_nearest_order_to_event",
     "smp_greedy_set_cover",
+    "date_calendar_dim",
+    "win_lifecycle_stages",
+    "smp_budget_apportionment",
+    "pipe_eval_suite_builder",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -1344,3 +1344,67 @@ def test_set_cover_greedy_structure(spark):
     for r in rows:
         cum += r.gain_shingles
         assert r.cum_covered == cum
+
+
+def test_calendar_dim_is_a_dense_spine(spark):
+    """One row per day, contiguous, weekend flag consistent with
+    day_of_week (Sunday=1, Saturday=7)."""
+    import datetime as dt
+
+    rows = sorted(
+        registry.QUERIES["date_calendar_dim"](spark, SF).collect(),
+        key=lambda r: r.date_key,
+    )
+    assert rows
+    days = [dt.date.fromisoformat(r.date_key) for r in rows]
+    assert len(set(days)) == len(days)
+    assert (days[-1] - days[0]).days + 1 == len(days)
+    for r in rows:
+        assert r.is_weekend == (r.day_of_week in (1, 7))
+        assert 1 <= r.quarter <= 4 and r.quarter_key == r.year * 100 + r.quarter
+
+
+def test_lifecycle_stages_partition_customers(spark):
+    """Stages partition the customer base; recency bands don't
+    overlap across stages."""
+    rows = {r.stage: r for r in
+            registry.QUERIES["win_lifecycle_stages"](spark, SF).collect()}
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows.values()) == n_cust
+    if "active" in rows:
+        assert rows["active"].max_recency_days <= 90
+    if "lapsed" in rows:
+        assert 90 < rows["lapsed"].min_recency_days <= 365
+    if "churned" in rows:
+        assert rows["churned"].min_recency_days > 365
+
+
+def test_apportionment_sums_to_budget_exactly(spark):
+    """The Hamilton allocation must hit the budget EXACTLY and never
+    deviate from the floor share by more than 1."""
+    from python_sql_etl_project_spark.operators.sampling import (
+        APPORTION_BUDGET,
+    )
+
+    rows = registry.QUERIES["smp_budget_apportionment"](spark, SF).collect()
+    assert rows
+    assert sum(r.allocated_budget for r in rows) == APPORTION_BUDGET
+    for r in rows:
+        assert r.floor_share <= r.allocated_budget <= r.floor_share + 1
+
+
+def test_eval_suite_funnel_conserves(spark):
+    """Gate attributions telescope: candidates = fails + selected, per
+    source; roster hash present iff selections exist."""
+    rows = registry.QUERIES["pipe_eval_suite_builder"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.n_fail_quality + r.n_fail_dup + r.n_fail_holdout + r.n_selected
+            == r.n_candidates
+        )
+        assert (r.roster_hash is not None) == (r.n_selected > 0)
+        assert (r.selected_tokens > 0) == (r.n_selected > 0)

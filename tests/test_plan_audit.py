@@ -77,6 +77,11 @@ BNLJ_ALLOWED = {
     "dq_sentinel_values": (
         "1-row census-total broadcast onto the top-N sentinel rows"
     ),
+    "win_lifecycle_stages": "1-row max-date aggregate broadcast",
+    "smp_budget_apportionment": (
+        "1-row (total-weight, source-count) aggregate broadcast onto "
+        "the |sources| quota rows"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
