@@ -249,6 +249,9 @@ HEADLINE = [
     "win_lifecycle_stages",
     "smp_budget_apportionment",
     "pipe_eval_suite_builder",
+    "mm_tile_grid",
+    "agg_higher_moments",
+    "funnel_view_click_purchase",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -590,3 +590,90 @@ def mm_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(h1 ^ h2 AS BIGINT)")
         ).cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+
+
+#: VLM tiling: tile edge (px) and visual tokens per tile (a 32-px tile
+#: at 16-px patches = 4 tokens).
+TILE_EDGE = 32
+TOKENS_PER_TILE = 4
+
+
+@query(
+    "mm_tile_grid",
+    oracle=f"""
+    WITH {_ASSETS_CTE}
+    SELECT asset_id, width, height,
+           CAST((width + {TILE_EDGE} - 1) // {TILE_EDGE} AS INT) AS n_tiles_x,
+           CAST((height + {TILE_EDGE} - 1) // {TILE_EDGE} AS INT)
+               AS n_tiles_y,
+           CAST(((width + {TILE_EDGE} - 1) // {TILE_EDGE})
+                * ((height + {TILE_EDGE} - 1) // {TILE_EDGE}) + 1 AS BIGINT)
+               AS n_tiles_with_thumb,
+           CAST((((width + {TILE_EDGE} - 1) // {TILE_EDGE})
+                 * ((height + {TILE_EDGE} - 1) // {TILE_EDGE}) + 1)
+                * {TOKENS_PER_TILE} AS BIGINT) AS visual_tokens,
+           CAST((CAST(2000000 AS BIGINT) * (((width + {TILE_EDGE} - 1) // {TILE_EDGE})
+                            * {TILE_EDGE}
+                            * (((height + {TILE_EDGE} - 1) // {TILE_EDGE})
+                               * {TILE_EDGE})
+                            - width * height)
+                 + (((width + {TILE_EDGE} - 1) // {TILE_EDGE}) * {TILE_EDGE}
+                    * ((height + {TILE_EDGE} - 1) // {TILE_EDGE})
+                    * {TILE_EDGE}))
+                // (2 * ((width + {TILE_EDGE} - 1) // {TILE_EDGE})
+                    * {TILE_EDGE}
+                    * ((height + {TILE_EDGE} - 1) // {TILE_EDGE})
+                    * {TILE_EDGE}) AS DOUBLE) / 1000000 AS pad_fraction
+    FROM assets
+    WHERE mime IN ('image/png', 'image/jpeg')
+    """,
+)
+def mm_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VLM tiling plan (the LLaVA-NeXT / 'anyres' preprocessing math):
+    per image, the {TILE_EDGE}-px tile grid that covers it, plus one
+    thumbnail tile, the visual-token budget that implies
+    ({TOKENS_PER_TILE}/tile at 16-px patches), and the padding
+    fraction wasted by snapping to whole tiles — the numbers a
+    multimodal data pipeline needs to budget sequence lengths and to
+    decide resize-vs-tile per asset (pair with ``mm_resize_spec``).
+    Pure metadata arithmetic: ceil-division in integers, padding
+    half-up micro-rounded, payloads never read (column pruning keeps
+    the binary column out of the scan).
+    """
+    a = assets(spark, sf_dir)
+    w = F.col("meta.width").cast("bigint")
+    h = F.col("meta.height").cast("bigint")
+    ntx = F.expr(f"(meta.width + {TILE_EDGE} - 1) div {TILE_EDGE}")
+    nty = F.expr(f"(meta.height + {TILE_EDGE} - 1) div {TILE_EDGE}")
+    padded = ntx * TILE_EDGE * nty * TILE_EDGE
+    return (
+        a.filter(F.col("meta.mime").isin("image/png", "image/jpeg"))
+        .select(
+            "asset_id",
+            w.cast("int").alias("width"),
+            h.cast("int").alias("height"),
+            ntx.cast("int").alias("n_tiles_x"),
+            nty.cast("int").alias("n_tiles_y"),
+            (ntx * nty + 1).cast("bigint").alias("n_tiles_with_thumb"),
+            ((ntx * nty + 1) * TOKENS_PER_TILE)
+            .cast("bigint")
+            .alias("visual_tokens"),
+            (
+                F.expr(
+                    f"CAST((2000000 * (((meta.width + {TILE_EDGE} - 1)"
+                    f" div {TILE_EDGE}) * {TILE_EDGE}"
+                    f" * ((meta.height + {TILE_EDGE} - 1) div {TILE_EDGE})"
+                    f" * {TILE_EDGE} - meta.width * meta.height)"
+                    f" + ((meta.width + {TILE_EDGE} - 1) div {TILE_EDGE})"
+                    f" * {TILE_EDGE}"
+                    f" * ((meta.height + {TILE_EDGE} - 1) div {TILE_EDGE})"
+                    f" * {TILE_EDGE})"
+                    f" div (2 * ((meta.width + {TILE_EDGE} - 1)"
+                    f" div {TILE_EDGE}) * {TILE_EDGE}"
+                    f" * ((meta.height + {TILE_EDGE} - 1) div {TILE_EDGE})"
+                    f" * {TILE_EDGE}) AS BIGINT)"
+                ).cast("double")
+                / 1000000
+            ).alias("pad_fraction"),
+        )
+    )

@@ -4349,3 +4349,168 @@ def win_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("recency_days").cast("bigint").alias("min_recency_days"),
         F.max("recency_days").cast("bigint").alias("max_recency_days"),
     )
+
+
+@query(
+    "agg_higher_moments",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS xc
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(xc) AS HUGEINT) AS s1,
+               CAST(sum(CAST(xc AS HUGEINT) * xc) AS HUGEINT) AS s2,
+               CAST(sum(CAST(xc AS HUGEINT) * xc * xc) AS HUGEINT) AS s3,
+               CAST(sum(CAST(xc AS HUGEINT) * xc * xc * xc) AS HUGEINT)
+                   AS s4
+        FROM c GROUP BY 1
+    ),
+    central AS (
+        SELECT event_type, n,
+               n * s2 - s1 * s1 AS a2,
+               n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS a3,
+               n * n * n * s4 - 4 * n * n * s1 * s3
+                 + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS a4
+        FROM sums
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           round(CAST(a3 AS DOUBLE)
+                 / (CAST(a2 AS DOUBLE) * sqrt(CAST(a2 AS DOUBLE))), 6)
+               AS skewness,
+           round(CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE))
+                 - 3, 6) AS excess_kurtosis
+    FROM central
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact skewness and excess kurtosis per event type — the 3rd/4th
+    moments that distinguish 'same mean and variance' distributions
+    (heavy tails, asymmetry) and complete the moments family beside
+    ``agg_numeric_stats`` and ``agg_exact_correlation``. The 2-decimal
+    measure is EXACT in integer cents, all four power sums accumulate
+    in 38-digit integers, and the scaled central moments
+    A2 = n·S2−S1², A3 = n²·S3−3nS1S2+2S1³,
+    A4 = n³·S4−4n²S1S3+6nS1²S2−3S1⁴ satisfy skew = A3/A2^1.5 and
+    kurtosis = A4/A2² with every n-power cancelling — so the only
+    floats are two final divisions of exact integers (bit-identical
+    cross-engine; rounded at 6 dp for the gate). One
+    map-side-combinable aggregate; S1⁴ bounds the intermediate at
+    ~1e34 at sf0.1 (38-digit headroom; a 100 TB run shards the sums or
+    moves to Welford merges, noted here).
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("xc"),
+    )
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("xc").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.expr("CAST(xc AS DECIMAL(38,0)) * xc")).alias("s2"),
+        F.sum(F.expr("CAST(xc AS DECIMAL(38,0)) * xc * xc")).alias("s3"),
+        F.sum(F.expr("CAST(xc AS DECIMAL(38,0)) * xc * xc * xc")).alias("s4"),
+    )
+    central = sums.select(
+        "event_type",
+        "n",
+        F.expr("n * s2 - s1 * s1").alias("a2"),
+        F.expr("n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1").alias("a3"),
+        F.expr(
+            "n * n * n * s4 - 4 * n * n * s1 * s3"
+            " + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1"
+        ).alias("a4"),
+    )
+    return central.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(
+            F.col("a3").cast("double")
+            / (F.col("a2").cast("double") * F.sqrt(F.col("a2").cast("double"))),
+            6,
+        ).alias("skewness"),
+        F.round(
+            F.col("a4").cast("double")
+            / (F.col("a2").cast("double") * F.col("a2").cast("double"))
+            - 3,
+            6,
+        ).alias("excess_kurtosis"),
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_buy
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY 1
+    )
+    SELECT 'view' AS stage, 1 AS stage_order,
+           CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'view>click', 2, CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'view>click>purchase', 3, CAST(count(*) AS BIGINT) FROM p
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ORDERED funnel (view → click → purchase): a user
+    counts at each stage only if the steps happened in sequence —
+    first view, then a click strictly after it, then a purchase
+    strictly after that click (the product-analytics staple;
+    ``funnel_signup_to_purchase`` covers the 2-step variant). The
+    scalable shape: each stage is one per-user min-timestamp aggregate
+    joined to the previous stage's anchor — never a 3-way event
+    self-join; at 100 TB every join is user-keyed and stage frames
+    shrink monotonically.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+
+    def stage(df: DataFrame, name: str, order: int) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users")
+        ).select(
+            F.lit(name).alias("stage"),
+            F.lit(order).alias("stage_order"),
+            "n_users",
+        )
+
+    return (
+        stage(v, "view", 1)
+        .unionByName(stage(c, "view>click", 2))
+        .unionByName(stage(p, "view>click>purchase", 3))
+    )

@@ -299,6 +299,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "win_lifecycle_stages",
     "smp_budget_apportionment",
     "pipe_eval_suite_builder",
+    "mm_tile_grid",
+    "agg_higher_moments",
+    "funnel_view_click_purchase",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -1408,3 +1408,58 @@ def test_eval_suite_funnel_conserves(spark):
         )
         assert (r.roster_hash is not None) == (r.n_selected > 0)
         assert (r.selected_tokens > 0) == (r.n_selected > 0)
+
+
+def test_tile_grid_covers_image(spark):
+    """The tile grid always covers the image (padded area >= pixel
+    area), the thumbnail adds exactly one tile, and token budgets are
+    tiles x tokens-per-tile."""
+    from python_sql_etl_project_spark.operators.multimodal import (
+        TILE_EDGE,
+        TOKENS_PER_TILE,
+    )
+
+    rows = registry.QUERIES["mm_tile_grid"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tiles_x * TILE_EDGE >= r.width
+        assert r.n_tiles_y * TILE_EDGE >= r.height
+        assert (r.n_tiles_x - 1) * TILE_EDGE < r.width
+        assert r.n_tiles_with_thumb == r.n_tiles_x * r.n_tiles_y + 1
+        assert r.visual_tokens == r.n_tiles_with_thumb * TOKENS_PER_TILE
+        assert 0 <= r.pad_fraction < 1
+
+
+def test_higher_moments_match_numpy_free_recompute(spark):
+    """Recompute skewness/kurtosis in plain Python from raw cents and
+    require agreement to the rounding grain."""
+    rows = {r.event_type: r for r in
+            registry.QUERIES["agg_higher_moments"](spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", "value"
+    ).collect()
+    by_type: dict[str, list[int]] = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append(round(e.value * 100))
+    for t, xs in by_type.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        m2 = sum((x - mu) ** 2 for x in xs) / n
+        m3 = sum((x - mu) ** 3 for x in xs) / n
+        m4 = sum((x - mu) ** 4 for x in xs) / n
+        skew = m3 / m2**1.5
+        kurt = m4 / m2**2 - 3
+        got = rows[t]
+        assert abs(got.skewness - skew) <= 2e-6, (t, skew, got.skewness)
+        assert abs(got.excess_kurtosis - kurt) <= 2e-6, (t, kurt, got)
+
+
+def test_funnel_stages_shrink_monotonically(spark):
+    """Each ordered-funnel stage can only lose users."""
+    rows = sorted(
+        registry.QUERIES["funnel_view_click_purchase"](spark, SF).collect(),
+        key=lambda r: r.stage_order,
+    )
+    assert [r.stage_order for r in rows] == [1, 2, 3]
+    assert rows[0].n_users >= rows[1].n_users >= rows[2].n_users
+    assert rows[0].n_users > 0
