@@ -252,6 +252,7 @@ HEADLINE = [
     "mm_tile_grid",
     "agg_higher_moments",
     "funnel_view_click_purchase",
+    "sim_ivf_scaled_cells",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

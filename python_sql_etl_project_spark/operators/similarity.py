@@ -1749,3 +1749,146 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import finalize_unpersist
 
     return finalize_unpersist(out, assign, pdist)
+
+
+#: Corpus-scaled IVF cell count (the nlist ≈ √N rule: 22–45 for the
+#: tested 500–2000-vector tables; fixed at the upper end so cells stay
+#: SMALL as data grows through the probe's 8×).
+K_SCALED_CELLS = 32
+
+
+@query(
+    "sim_ivf_scaled_cells",
+    oracle=f"""
+    WITH expl AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cell, dim, v AS c FROM expl
+        WHERE vec_id < {K_SCALED_CELLS}
+    ),
+    {_lloyd_sql("c0", "a1", "c1")},
+    {_lloyd_sql("c1", "a2", "c2")},
+    d3 AS (
+        SELECT e.vec_id, c.cell, round(sum((e.v - c.c) ^ 2), 6) AS d2
+        FROM expl e JOIN c2 c ON c.dim = e.dim
+        GROUP BY e.vec_id, c.cell
+    ),
+    ranked AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cell) AS cell_rank
+        FROM d3
+    ),
+    probes AS (SELECT vec_id, cell FROM ranked WHERE cell_rank <= {N_PROBE_CELLS}),
+    home AS (SELECT vec_id, cell FROM ranked WHERE cell_rank = 1),
+    cand AS (
+        SELECT p.vec_id AS query_id, h.vec_id AS neighbor_id
+        FROM probes p JOIN home h ON h.cell = p.cell
+                                 AND h.vec_id <> p.vec_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id, {_COS_SQL} AS cosine
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.query_id
+        JOIN embeddings b ON b.vec_id = c.neighbor_id
+    ),
+    topk AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id)
+                      AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, cosine
+    FROM topk WHERE rank <= {TOP_K}
+    """,
+)
+def sim_ivf_scaled_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a CORPUS-SCALED cell count — the remedy to the
+    structural cliff the 8× scale probe exposed in the label-codebook
+    variants (`sim_ivf_topk`/`sim_ivfpq_search`): with cells fixed at
+    the 10 labels, per-cell population grows linearly with the corpus
+    and the probes⋈home candidate space quadratically (measured 16.5×
+    wall at 8× data). Here the coarse quantizer is a {K_SCALED_CELLS}-
+    cell Lloyd-trained codebook (the `sim_kmeans_codebook` machinery:
+    first-{K_SCALED_CELLS} seeds, two unrolled rounds, rounded
+    centroids so both engines rank identically) — nlist ≈ √N keeps
+    per-cell population, and so ADC/cosine candidate fan-out per
+    query, roughly CONSTANT as the corpus grows; at production scale
+    nlist is re-derived per snapshot, the query body unchanged.
+
+    Same candidate-and-verify shape as `sim_ivf_topk`: KB-scale
+    codebook broadcast for assignment, candidates via the cell
+    equi-join, exact cosine only on candidates, per-query top-k
+    window with neighbor-id ties.
+    """
+    from pyspark import StorageLevel
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < K_SCALED_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    cents = seeds
+    for _ in range(2):
+        assign = _lloyd_assign(emb, cents)
+        cents = _pack_centroids(_lloyd_update(emb, assign))
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    dist = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", F.round(d2, 6).alias("d2")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    ranked = dist.withColumn(
+        "cell_rank", F.row_number().over(w_assign)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    probes = ranked.filter(F.col("cell_rank") <= N_PROBE_CELLS).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    home = ranked.filter(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    cand = probes.join(home, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    normed = emb.withColumn("nrm", _norm(F.col("embedding")))
+    a = normed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    scored = (
+        cand.join(a, "query_id")
+        .join(b, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_prenorm(
+                F.col("qe"), F.col("ne"), F.col("qn"), F.col("nn")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+    from ..session import finalize_unpersist
+
+    return finalize_unpersist(out, ranked)

@@ -302,6 +302,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "mm_tile_grid",
     "agg_higher_moments",
     "funnel_view_click_purchase",
+    "sim_ivf_scaled_cells",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -1463,3 +1463,22 @@ def test_funnel_stages_shrink_monotonically(spark):
     assert [r.stage_order for r in rows] == [1, 2, 3]
     assert rows[0].n_users >= rows[1].n_users >= rows[2].n_users
     assert rows[0].n_users > 0
+
+
+def test_scaled_ivf_ranking_is_sound(spark):
+    """Per query: contiguous ranks from 1, at most TOP_K rows, cosine
+    non-increasing with rank and within [-1, 1]."""
+    from python_sql_etl_project_spark.operators.similarity import TOP_K
+
+    rows = registry.QUERIES["sim_ivf_scaled_cells"](spark, SF).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert -1.000001 <= r.cosine <= 1.000001
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_K
+        cs = [r.cosine for r in rs]
+        assert cs == sorted(cs, reverse=True)

@@ -82,6 +82,10 @@ BNLJ_ALLOWED = {
         "1-row (total-weight, source-count) aggregate broadcast onto "
         "the |sources| quota rows"
     ),
+    "sim_ivf_scaled_cells": (
+        "KB-scale trained codebook broadcast per Lloyd round and for "
+        "the final cell assignment (same bound as sim_kmeans_codebook)"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
@@ -139,6 +143,10 @@ FACT_HINT_ALLOWED = {
     "sim_kmeans_codebook": (
         "initial codebook is Filter(vec_id < K): constant K rows; later "
         "iterations' codebooks pass through the Aggregate bound"
+    ),
+    "sim_ivf_scaled_cells": (
+        "seed codebook is Filter(vec_id < 32): constant 32 rows; trained "
+        "codebooks pass through the Aggregate bound"
     ),
 }
 
