@@ -253,6 +253,9 @@ HEADLINE = [
     "agg_higher_moments",
     "funnel_view_click_purchase",
     "sim_ivf_scaled_cells",
+    "agg_winsorized_mean",
+    "smp_systematic_resample",
+    "win_retention_halflife",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -2024,3 +2024,92 @@ def pipe_eval_suite_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("roster_hash"),
     )
+
+
+#: Systematic-resampling sample size.
+SYSRES_K = 50
+
+
+@query(
+    "smp_systematic_resample",
+    oracle=f"""
+    WITH wts AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS w
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, w,
+               sum(w) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS c,
+               sum(w) OVER () AS tw
+        FROM wts
+    ),
+    counted AS (
+        SELECT doc_id, source, w,
+               (CASE WHEN 2 * {SYSRES_K} * c < tw THEN 0
+                     ELSE (2 * {SYSRES_K} * c - tw) // (2 * tw) + 1 END)
+               - (CASE WHEN 2 * {SYSRES_K} * (c - w) < tw THEN 0
+                       ELSE (2 * {SYSRES_K} * (c - w) - tw) // (2 * tw) + 1
+                  END) AS n_copies
+        FROM cum
+    )
+    SELECT doc_id, source, w AS weight_tokens,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM counted WHERE n_copies > 0
+    """,
+)
+def smp_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (equal-interval) importance resampling — the
+    low-variance resampler particle filters and data-mixing pipelines
+    use instead of multinomial draws: lay {SYSRES_K} equally spaced
+    points over the cumulative weight axis (midpoint offset) and take
+    the document covering each point; heavy documents appear with
+    multiplicity, light ones drop out, and the sample size is EXACTLY
+    {SYSRES_K} with zero RNG state (the weight layout is the only
+    input — fully reproducible, unlike multinomial resampling).
+    Completes the weighted-sampling family beside Efraimidis–Spirakis
+    (`smp_weighted_priority_sample`, distinct-draws semantics) and
+    temperature resampling.
+
+    Every selection count is the difference of two integer interval
+    formulas over cross-multiplied cumulative weights — no floats,
+    no division by the total. The global prefix sum runs over the
+    doc-weight stream (at 100 TB this is the standard two-pass
+    per-shard-offset prefix sum; the window form here is the single-
+    box expression of the same plan).
+    """
+    w = tokens()
+    wts = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "source", F.size(w).cast("bigint").alias("w")
+    )
+    wc = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = wts.select(
+        "doc_id",
+        "source",
+        "w",
+        F.sum("w").over(wc).alias("c"),
+        F.sum("w").over(Window.partitionBy()).alias("tw"),
+    )
+
+    def pts(expr: str) -> str:
+        return (
+            f"CASE WHEN 2 * {SYSRES_K} * ({expr}) < tw THEN 0"
+            f" ELSE (2 * {SYSRES_K} * ({expr}) - tw) div (2 * tw) + 1 END"
+        )
+
+    counted = cum.select(
+        "doc_id",
+        "source",
+        "w",
+        F.expr(f"({pts('c')}) - ({pts('c - w')})").alias("n_copies"),
+    )
+    return counted.filter(F.col("n_copies") > 0).select(
+        "doc_id",
+        "source",
+        F.col("w").alias("weight_tokens"),
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+    )

@@ -4514,3 +4514,251 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(c, "view>click", 2))
         .unionByName(stage(p, "view>click>purchase", 3))
     )
+
+
+#: Winsorization bounds (percent, rank-crossing on the value histogram).
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xc
+        FROM events
+    ),
+    hist AS (
+        SELECT event_type, xc, CAST(count(*) AS BIGINT) AS f
+        FROM c GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, xc, f,
+               sum(f) OVER (PARTITION BY event_type ORDER BY xc
+                            ROWS UNBOUNDED PRECEDING) AS cf,
+               sum(f) OVER (PARTITION BY event_type) AS n
+        FROM hist
+    ),
+    bounds AS (
+        SELECT event_type,
+               min(CASE WHEN 100 * cf >= {WINSOR_LO_PCT} * n THEN xc END)
+                   AS lo,
+               min(CASE WHEN 100 * cf >= {WINSOR_HI_PCT} * n THEN xc END)
+                   AS hi
+        FROM cum GROUP BY 1
+    ),
+    clamped AS (
+        SELECT c.event_type,
+               CASE WHEN c.xc < b.lo THEN b.lo
+                    WHEN c.xc > b.hi THEN b.hi
+                    ELSE c.xc END AS xw
+        FROM c JOIN bounds b ON b.event_type = c.event_type
+    )
+    SELECT cl.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(b.lo AS DOUBLE) / 100 AS lower_bound,
+           CAST(b.hi AS DOUBLE) / 100 AS upper_bound,
+           CAST((2 * sum(cl.xw) + count(*)) // (2 * count(*)) AS DOUBLE)
+               / 100 AS winsorized_mean
+    FROM clamped cl JOIN bounds b ON b.event_type = cl.event_type
+    GROUP BY 1, b.lo, b.hi
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type — the robust-location estimator
+    between the raw mean (outlier-hostage) and the median
+    (information-discarding): clamp to the exact [p{WINSOR_LO_PCT},
+    p{WINSOR_HI_PCT}] bounds, then average. Completes the robust-stats
+    family beside exact MAD and Tukey IQR. Bounds come from
+    RANK-CROSSING over the per-type value histogram (the
+    ``agg_weighted_median`` discipline — no global sort; percentile
+    ranks compared by integer cross-multiplication), the clamp is a
+    broadcast join of |types| bound rows, and the mean is a half-up
+    integer division over exact cents.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("xc")
+    )
+    hist = ev.groupBy("event_type", "xc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("xc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "xc",
+        F.sum("f").over(wcum).alias("cf"),
+        F.sum("f").over(wall).alias("n"),
+    )
+    bounds = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(100 * F.col("cf") >= WINSOR_LO_PCT * F.col("n"), F.col("xc"))
+        ).alias("lo"),
+        F.min(
+            F.when(100 * F.col("cf") >= WINSOR_HI_PCT * F.col("n"), F.col("xc"))
+        ).alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.when(F.col("xc") < F.col("lo"), F.col("lo"))
+        .when(F.col("xc") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("xc"))
+        .alias("xw"),
+    )
+    return clamped.groupBy("event_type", "lo", "hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr(
+            "CAST((2 * sum(xw) + count(*)) div (2 * count(*)) AS BIGINT)"
+        ).alias("wm_cents"),
+    ).select(
+        "event_type",
+        "n_events",
+        (F.col("lo").cast("double") / 100).alias("lower_bound"),
+        (F.col("hi").cast("double") / 100).alias("upper_bound"),
+        (F.col("wm_cents").cast("double") / 100).alias("winsorized_mean"),
+    )
+
+
+@query(
+    "win_retention_halflife",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, ts,
+               min(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events
+    ),
+    offs AS (
+        SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d')
+                   AS cohort_week,
+               CAST(floor(date_diff('day', date_trunc('week', first_ts),
+                                    date_trunc('week', ts)) / 7) AS BIGINT)
+                   AS week_offset,
+               user_id
+        FROM firsts
+    ),
+    cells AS (
+        SELECT cohort_week, week_offset,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS active
+        FROM offs GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT c.cohort_week, c.week_offset, c.active, s.cohort_size
+        FROM cells c
+        JOIN (SELECT cohort_week, active AS cohort_size FROM cells
+              WHERE week_offset = 0) s
+          ON s.cohort_week = c.cohort_week
+    ),
+    pts AS (
+        SELECT cohort_week,
+               week_offset AS x,
+               CAST(round(ln(CAST(active AS DOUBLE) / cohort_size)
+                          * 1000000) AS BIGINT) AS y6
+        FROM sized WHERE active > 0
+    ),
+    fit AS (
+        SELECT cohort_week,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y6) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y6) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        FROM pts GROUP BY 1
+    )
+    SELECT cohort_week, n_points,
+           CAST(CAST((2 * (n * sxy - sx * sy) + (n * sxx - sx * sx))
+                     // (2 * (n * sxx - sx * sx)) AS BIGINT) AS BIGINT)
+               AS slope_micro,
+           CASE WHEN (2 * (n * sxy - sx * sy) + (n * sxx - sx * sx))
+                     // (2 * (n * sxx - sx * sx)) < 0
+                THEN round(ln(2) * 1000000
+                           / -CAST((2 * (n * sxy - sx * sy)
+                                    + (n * sxx - sx * sx))
+                                   // (2 * (n * sxx - sx * sx)) AS DOUBLE),
+                           4)
+           END AS half_life_weeks
+    FROM fit
+    WHERE n_points >= 2
+    """,
+)
+def win_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life per signup cohort: fit the exponential-decay
+    model ``retention(t) = r0 · 2^(−t/h)`` to each cohort's weekly
+    retention curve (``win_cohort_retention``'s matrix) by OLS on
+    log-retention, and report the half-life h — the single number
+    growth teams track across cohorts ('is retention decaying slower
+    for newer cohorts?'). Uses the engine's standard fitting
+    discipline (``txt_zipf_slope``/``txt_heaps_law_fit``): log-ratios
+    pinned to integer micro-units, 38-digit integer moment sums, one
+    integer division for the slope (truncation-consistent for its
+    negative values across engines), and the half-life is ln2 over the
+    negated exact slope (NULL for non-decaying cohorts — both engines
+    decide on the same integer). The fit runs over the
+    |cohorts|×|offsets| retention matrix — broadcast-sized; the heavy
+    work is the one cohort aggregate underneath.
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.withColumn(
+        "first_ts", F.min("ts").over(Window.partitionBy("user_id"))
+    )
+    offs = firsts.select(
+        F.date_format(F.date_trunc("week", "first_ts"), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        F.floor(
+            F.datediff(
+                F.date_trunc("week", F.col("ts")),
+                F.date_trunc("week", F.col("first_ts")),
+            )
+            / 7
+        )
+        .cast("bigint")
+        .alias("week_offset"),
+        "user_id",
+    )
+    cells = offs.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").cast("bigint").alias("active")
+    )
+    sizes = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("active").alias("cohort_size")
+    )
+    pts = (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .filter(F.col("active") > 0)
+        .select(
+            "cohort_week",
+            F.col("week_offset").alias("x"),
+            F.expr(
+                "CAST(round(ln(CAST(active AS DOUBLE) / cohort_size)"
+                " * 1000000) AS BIGINT)"
+            ).alias("y6"),
+        )
+    )
+    fit = pts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y6").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y6")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    slope = (
+        "CAST((2 * (n * sxy - sx * sy) + (n * sxx - sx * sx))"
+        " div (2 * (n * sxx - sx * sx)) AS BIGINT)"
+    )
+    return fit.filter(F.col("n_points") >= 2).select(
+        "cohort_week",
+        "n_points",
+        F.expr(slope).alias("slope_micro"),
+        F.expr(
+            f"CASE WHEN {slope} < 0"
+            f" THEN round(ln(2) * 1000000 / -CAST({slope} AS DOUBLE), 4)"
+            f" END"
+        ).alias("half_life_weeks"),
+    )

@@ -303,6 +303,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "agg_higher_moments",
     "funnel_view_click_purchase",
     "sim_ivf_scaled_cells",
+    "agg_winsorized_mean",
+    "smp_systematic_resample",
+    "win_retention_halflife",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

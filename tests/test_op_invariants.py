@@ -1482,3 +1482,44 @@ def test_scaled_ivf_ranking_is_sound(spark):
         assert len(rs) <= TOP_K
         cs = [r.cosine for r in rs]
         assert cs == sorted(cs, reverse=True)
+
+
+def test_winsorized_mean_is_within_bounds(spark):
+    """The winsorized mean lies inside [lower, upper], and the bounds
+    bracket at least 90% of the mass by construction."""
+    rows = registry.QUERIES["agg_winsorized_mean"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.lower_bound <= r.winsorized_mean <= r.upper_bound
+        assert r.lower_bound < r.upper_bound
+
+
+def test_systematic_resample_hits_exact_k(spark):
+    """Copies sum to EXACTLY K; a doc's multiplicity never exceeds
+    ceil(its weight / stride) + 1."""
+    from python_sql_etl_project_spark.operators.sampling import SYSRES_K
+
+    rows = registry.QUERIES["smp_systematic_resample"](spark, SF).collect()
+    assert rows
+    assert sum(r.n_copies for r in rows) == SYSRES_K
+    total_w = (
+        registry.QUERIES["txt_token_stats"](spark, SF)
+        .agg({"n_tokens": "sum"})
+        .first()[0]
+    )
+    stride = total_w / SYSRES_K
+    for r in rows:
+        assert r.n_copies <= r.weight_tokens / stride + 1
+
+
+def test_retention_halflife_consistency(spark):
+    """Half-life present iff decay (negative slope); positive when
+    present; n_points at least 2."""
+    rows = registry.QUERIES["win_retention_halflife"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_points >= 2
+        if r.slope_micro < 0:
+            assert r.half_life_weeks is not None and r.half_life_weeks > 0
+        else:
+            assert r.half_life_weeks is None
