@@ -56,6 +56,32 @@ SHOWCASE = {
         "Skew salting: the join key is (orderkey, salt); the salt "
         "explode replicates only the dim side."
     ),
+    "txt_bm25_search": (
+        "BM25: broadcast semi-join restricts the token stream to the "
+        "query terms; the 1-row (N, A) total is the only BNLJ; top-k "
+        "is TakeOrderedAndProject."
+    ),
+    "sim_ivfpq_search": (
+        "IVFADC: the encoding distance table is reused as the ADC "
+        "lookup — scoring is one equi-join on (query, subspace, code) "
+        "plus a partial-aggregated sum; candidate raw vectors never "
+        "reload."
+    ),
+    "graph_kcore": (
+        "k-core peel round: two id-only semi-joins against the cached "
+        "edge list and a map-side-combinable degree count; "
+        "localCheckpoint truncates lineage per round."
+    ),
+    "smp_curriculum_phases": (
+        "Tercile banding WITHOUT a global NTILE sort: value-histogram "
+        "aggregate, small-window rank-crossing, 1-row boundary "
+        "broadcast back onto the doc stream."
+    ),
+    "asof_nearest_order_to_event": (
+        "Nearest as-of: ONE user_id shuffle + sort feeds both the "
+        "carry-back and carry-forward window passes — never an "
+        "inequality join."
+    ),
     "ld_zorder_code": (
         "Morton interleave is pure codegen'd integer bit-arithmetic — "
         "a single WholeStageCodegen over the scan, zero exchanges."
