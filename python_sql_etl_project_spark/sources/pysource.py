@@ -184,22 +184,27 @@ def strm_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally, so the hash gate proves offset-complete, duplicate-
     free delivery (count + id checksum per bucket).
     """
+    import shutil
     import tempfile
 
     spark.dataSource.register(SyntheticEventsStreamSource)
-    q = (
-        spark.readStream.format("synthetic_events_stream")
-        .load()
-        .writeStream.format("memory")
-        .queryName("strm_python_stream_source")
-        .outputMode("append")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="ck_pysrc_")
+    ck = tempfile.mkdtemp(prefix="ck_pysrc_")
+    try:
+        q = (
+            spark.readStream.format("synthetic_events_stream")
+            .load()
+            .writeStream.format("memory")
+            .queryName("strm_python_stream_source")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        # memory sink holds the rows; offsets/commits are dead after the
+        # AvailableNow run — reclaim per invocation
+        shutil.rmtree(ck, ignore_errors=True)
     from pyspark.sql import functions as F
 
     return (

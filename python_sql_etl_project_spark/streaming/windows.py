@@ -23,6 +23,7 @@ with distinct keys, not events); shuffle partitions = session setting.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from collections.abc import Iterable, Iterator
 
@@ -104,15 +105,22 @@ def _run_to_table(
     same query body.
     """
     checkpoint = tempfile.mkdtemp(prefix=f"ck_{name}_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the memory sink holds the rows driver-side; the checkpoint's
+        # offsets/commits are dead after termination — reclaim per
+        # invocation (bench/contract loops otherwise accumulate one
+        # checkpoint dir per streaming query run)
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(name)
 
 
@@ -356,14 +364,18 @@ def stream_incremental_load(
         res = warehouse.incremental_append(batch_df, table)
         inserted["n"] += max(res.inserted, 0)
 
-    q = (
-        stream_events(spark, sf_dir)
-        .writeStream.foreachBatch(load_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_incr_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ck = tempfile.mkdtemp(prefix="ck_incr_")
+    try:
+        q = (
+            stream_events(spark, sf_dir)
+            .writeStream.foreachBatch(load_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
     return inserted["n"]
 
 
@@ -539,46 +551,59 @@ def strm_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("tb"),
     )
     landing = tempfile.mkdtemp(prefix="orders_scd_stream_")
-    cuts = [("", "1994-06-01"), ("1994-06-01", "1996-06-01"), ("1996-06-01", "~")]
-    t0 = 1_000_000_000
-    for i, (lo, hi) in enumerate(cuts):
-        part = (
-            o.filter((F.col("d") >= lo) & (F.col("d") < hi))
-            if hi != "~"
-            else o.filter(F.col("d") >= lo)
-        )
-        tmp = os.path.join(landing, f"_stage{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(
-            f for f in os.listdir(tmp)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        )
-        dst = os.path.join(landing, f"batch_{i:03d}.parquet")
-        os.rename(os.path.join(tmp, src), dst)
-        # file source schedules oldest-mtime-first: make order explicit
-        os.utime(dst, (t0 + i, t0 + i))
+    ck = tempfile.mkdtemp(prefix="ck_scd2_")
+    try:
+        cuts = [
+            ("", "1994-06-01"),
+            ("1994-06-01", "1996-06-01"),
+            ("1996-06-01", "~"),
+        ]
+        t0 = 1_000_000_000
+        for i, (lo, hi) in enumerate(cuts):
+            part = (
+                o.filter((F.col("d") >= lo) & (F.col("d") < hi))
+                if hi != "~"
+                else o.filter(F.col("d") >= lo)
+            )
+            tmp = os.path.join(landing, f"_stage{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(
+                f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            dst = os.path.join(landing, f"batch_{i:03d}.parquet")
+            os.rename(os.path.join(tmp, src), dst)
+            # file source schedules oldest-mtime-first: make order explicit
+            os.utime(dst, (t0 + i, t0 + i))
 
-    schema = spark.read.parquet(os.path.join(landing, "batch_000.parquet")).schema
-    state: dict[str, DataFrame | None] = {"dim": None}
+        schema = spark.read.parquet(
+            os.path.join(landing, "batch_000.parquet")
+        ).schema
+        state: dict[str, DataFrame | None] = {"dim": None}
 
-    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        merged = scd2_merge(
-            state["dim"], batch_df, "custkey", ["status"], "d", tiebreak="tb"
+        def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            merged = scd2_merge(
+                state["dim"], batch_df, "custkey", ["status"], "d", tiebreak="tb"
+            )
+            # eager materialization = the micro-batch's table commit; also
+            # truncates lineage so state doesn't deepen per batch
+            state["dim"] = merged.localCheckpoint(eager=True)
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
         )
-        # eager materialization = the micro-batch's table commit; also
-        # truncates lineage so state doesn't deepen per batch
-        state["dim"] = merged.localCheckpoint(eager=True)
-
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(landing)
-        .writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_scd2_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        # the folded dimension is an eager localCheckpoint — independent
+        # of the staged batches; reclaim both dirs before returning
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
     assert state["dim"] is not None
     return state["dim"].select(
         "custkey", "status", "effective_from", "effective_to", "is_current"
@@ -704,48 +729,57 @@ def strm_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     landing = tempfile.mkdtemp(prefix="cdc_stream_")
-    t0 = 1_000_000_000
-    for i, b in enumerate((b0, b1, b2)):
-        tmp = os.path.join(landing, f"_stage{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(
-            f for f in os.listdir(tmp)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ck = tempfile.mkdtemp(prefix="ck_cdc_")
+    try:
+        t0 = 1_000_000_000
+        for i, b in enumerate((b0, b1, b2)):
+            tmp = os.path.join(landing, f"_stage{i}")
+            b.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(
+                f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            dst = os.path.join(landing, f"batch_{i:03d}.parquet")
+            os.rename(os.path.join(tmp, src), dst)
+            os.utime(dst, (t0 + i, t0 + i))
+
+        schema = spark.read.parquet(
+            os.path.join(landing, "batch_000.parquet")
+        ).schema
+        state: dict[str, DataFrame | None] = {"tbl": None}
+
+        def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            upserts = batch_df.filter(F.col("op") != "D").select(
+                "c_custkey", F.col("seg").alias("c_mktsegment")
+            )
+            deletes = batch_df.filter(F.col("op") == "D").select("c_custkey")
+            tbl = state["tbl"]
+            if tbl is None:
+                tbl = upserts
+            elif not upserts.isEmpty():
+                tbl = merge_upsert(
+                    tbl, upserts, "c_custkey", ["c_mktsegment"]
+                ).drop("merge_action")
+            tbl = tbl.join(deletes, "c_custkey", "left_anti")
+            # eager materialization = the batch's table commit; truncates
+            # lineage so state does not deepen per micro-batch
+            state["tbl"] = tbl.localCheckpoint(eager=True)
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
         )
-        dst = os.path.join(landing, f"batch_{i:03d}.parquet")
-        os.rename(os.path.join(tmp, src), dst)
-        os.utime(dst, (t0 + i, t0 + i))
-
-    schema = spark.read.parquet(os.path.join(landing, "batch_000.parquet")).schema
-    state: dict[str, DataFrame | None] = {"tbl": None}
-
-    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        upserts = batch_df.filter(F.col("op") != "D").select(
-            "c_custkey", F.col("seg").alias("c_mktsegment")
-        )
-        deletes = batch_df.filter(F.col("op") == "D").select("c_custkey")
-        tbl = state["tbl"]
-        if tbl is None:
-            tbl = upserts
-        elif not upserts.isEmpty():
-            tbl = merge_upsert(
-                tbl, upserts, "c_custkey", ["c_mktsegment"]
-            ).drop("merge_action")
-        tbl = tbl.join(deletes, "c_custkey", "left_anti")
-        # eager materialization = the batch's table commit; truncates
-        # lineage so state does not deepen per micro-batch
-        state["tbl"] = tbl.localCheckpoint(eager=True)
-
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(landing)
-        .writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_cdc_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        # applied table is an eager localCheckpoint — staged batches and
+        # checkpoint are dead after termination
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
     assert state["tbl"] is not None
     return state["tbl"].groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -810,32 +844,37 @@ def strm_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", "user_id", (F.col("user_id") % 3).alias("batch")
     )
     landing = tempfile.mkdtemp(prefix="late_stream_")
-    t0 = 1_000_000_000
-    for i in range(3):
-        tmp = os.path.join(landing, f"_stage{i}")
-        ev_all.filter(F.col("batch") == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        src = next(
-            f for f in os.listdir(tmp)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        )
-        dst = os.path.join(landing, f"batch_{i:03d}.parquet")
-        os.rename(os.path.join(tmp, src), dst)
-        os.utime(dst, (t0 + i, t0 + i))
+    try:
+        t0 = 1_000_000_000
+        for i in range(3):
+            tmp = os.path.join(landing, f"_stage{i}")
+            ev_all.filter(F.col("batch") == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            src = next(
+                f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            dst = os.path.join(landing, f"batch_{i:03d}.parquet")
+            os.rename(os.path.join(tmp, src), dst)
+            os.utime(dst, (t0 + i, t0 + i))
 
-    ev = stream_events(
-        spark, sf_dir, landing_dir=landing, max_files_per_trigger=1
-    )
-    agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 day"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("window.start").alias("window_start"), "n")
-    )
-    updates = _run_to_table(
-        spark, agg, "strm_watermark_late_drop", "update"
-    )
+        ev = stream_events(
+            spark, sf_dir, landing_dir=landing, max_files_per_trigger=1
+        )
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("window_start"), "n")
+        )
+        updates = _run_to_table(
+            spark, agg, "strm_watermark_late_drop", "update"
+        )
+    finally:
+        # the memory sink holds the emitted updates; the staged per-batch
+        # corpus copy is dead once the AvailableNow run terminates
+        shutil.rmtree(landing, ignore_errors=True)
     return updates.groupBy("window_start").agg(
         F.max("n").cast("bigint").alias("n_events")
     )

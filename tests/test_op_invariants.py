@@ -1523,3 +1523,53 @@ def test_retention_halflife_consistency(spark):
             assert r.half_life_weeks is not None and r.half_life_weeks > 0
         else:
             assert r.half_life_weeks is None
+
+
+def test_band_lsh_bucket_cap_pins_fanout(spark):
+    """Round-4 scale invariant: no (band, code) bucket feeds more than
+    MAX_BAND_BUCKET members into candidate generation, and the cap is
+    sized so it does NOT bind at the tested SFs (gate-scale results are
+    cap-invariant while 8x-scale fan-out stays bounded)."""
+    from pyspark.sql import functions as F
+
+    from python_sql_etl_project_spark.operators import similarity as sim
+    from python_sql_etl_project_spark.session import read_table
+
+    emb = read_table(spark, SF, "embeddings")
+    coded = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        sim._band_code(F.col("embedding"), b).alias("code"),
+                    )
+                    for b in range(sim.N_BANDS)
+                ]
+            )
+        ).alias("bc"),
+    ).select("vec_id", "bc.band", "bc.code")
+    max_pop = (
+        coded.groupBy("band", "code")
+        .agg(F.count(F.lit(1)).alias("pop"))
+        .agg(F.max("pop"))
+        .first()[0]
+    )
+    # cap must not bind at gate scale (results unchanged by the cap)...
+    assert max_pop <= sim.MAX_BAND_BUCKET, (
+        f"cap {sim.MAX_BAND_BUCKET} binds at {SF} (max pop {max_pop}): "
+        "gate results are no longer cap-invariant - re-derive the cap"
+    )
+    # ...and the candidate stage must enforce it structurally: a corpus
+    # with a degenerate hot bucket (all-equal embeddings) yields at most
+    # cap*(cap-1)/2 pairs per band, never pop^2.
+    hot = emb.limit(200).select(
+        "vec_id", F.expr("transform(embedding, x -> 0.5f)").alias("embedding")
+    )
+    n_pairs = sim._band_blocked_candidates(hot).count()
+    cap = sim.MAX_BAND_BUCKET
+    assert n_pairs <= cap * (cap - 1) // 2, (
+        f"degenerate bucket produced {n_pairs} pairs; cap bound is "
+        f"{cap * (cap - 1) // 2}"
+    )
