@@ -256,9 +256,15 @@ HEADLINE = [
     "agg_winsorized_mean",
     "smp_systematic_resample",
     "win_retention_halflife",
-    # round-4 additions: histogram-sketch approx percentile siblings
+    # round-4 additions: histogram-sketch approx percentile siblings,
+    # connected components, KMV distinct sketch, length-grouped batching,
+    # semantic decontamination
     "agg_price_quantiles_approx",
     "agg_weighted_median_approx",
+    "graph_connected_components",
+    "sk_kmv_distinct",
+    "pack_length_grouped_batches",
+    "decon_semantic_eval_overlap",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -944,3 +944,104 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = finalize_unpersist(out)
     pairs.unpersist()
     return res
+
+
+#: Hash-to-min rounds for connected components. Each round halves the
+#: distance a minimum id has left to travel, so convergence needs
+#: ~diameter rounds; the co-purchase graph's observed diameter is small
+#: (BFS_MAX_DEPTH=4 reaches the whole main component) and the invariant
+#: test proves convergence at the tested SFs by running one extra round.
+CC_ROUNDS = 5
+
+
+def _cc_round_sql(prev: str, this: str) -> str:
+    return f"""
+    {this} AS MATERIALIZED (
+        SELECT n.node, least(n.label, coalesce(m.minl, n.label)) AS label
+        FROM {prev} n LEFT JOIN (
+            SELECT p.dst AS node, min(c.label) AS minl
+            FROM pairs p JOIN {prev} c ON c.node = p.src
+            GROUP BY p.dst
+        ) m ON m.node = n.node
+    )"""
+
+
+@query(
+    "graph_connected_components",
+    oracle=f"""
+    WITH {_PR_EDGES_CTE},
+    c0 AS (SELECT src AS node, src AS label FROM deg),
+    {",".join(_cc_round_sql(f"c{i}", f"c{i + 1}") for i in range(CC_ROUNDS))}
+    SELECT label AS component,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node
+    FROM c{CC_ROUNDS}
+    GROUP BY 1
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the part co-purchase graph by HASH-TO-MIN
+    label propagation — the canonical distributed CC algorithm (each
+    node repeatedly adopts the minimum id among itself and its
+    neighbors; the surviving label IS the component's minimum node id,
+    so ``component = min_node`` doubles as a self-check). CC is the
+    graph family's partition primitive the others assume: dedup
+    clusters, community seeds, and reachability audits all start from
+    "which nodes are in the same component".
+
+    Determinism: label updates are pure min() — order-free and
+    idempotent — and both engines run EXACTLY {CC_ROUNDS} synchronous
+    rounds, so results are identical by construction even
+    mid-convergence; the invariant test proves convergence at the
+    tested SFs by checking one extra round is the identity.
+
+    Scale shape: per round ONE shuffle — the |V|-row label vector joins
+    the cached edge list, ``min`` per dst is map-side-combinable, and
+    the early exit (labels only ever DECREASE, so an unchanged-row
+    count of zero means a fixed point and every later round is the
+    identity) is exactly equivalent to running all rounds.
+    ``localCheckpoint`` per round truncates lineage — the same
+    Pregel-as-joins shape as PageRank/LPA; at 1000 executors each
+    round is a single co-partitioned shuffle on node id.
+    """
+    pairs = _copurchase_pairs(spark, sf_dir).persist()
+    labels = (
+        pairs.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_ROUNDS):
+        minl = (
+            pairs.join(
+                labels.select(F.col("node").alias("src"), "label"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("minl"))
+        )
+        nxt = (
+            labels.join(minl, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("minl", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            nxt.alias("a")
+            .join(labels.alias("b"), "node")
+            .filter(F.col("a.label") != F.col("b.label"))
+            .count()
+        )
+        labels = nxt
+        if n_changed == 0:
+            break
+    out = labels.groupBy(F.col("label").alias("component")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("node").cast("bigint").alias("min_node"),
+    )
+    res = finalize_unpersist(out)
+    pairs.unpersist()
+    return res

@@ -2113,3 +2113,90 @@ def smp_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("weight_tokens"),
         F.col("n_copies").cast("bigint").alias("n_copies"),
     )
+
+
+#: Docs per padded batch in length-grouped batching.
+BATCH_N = 16
+
+
+@query(
+    "pack_length_grouped_batches",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, n_tokens,
+               CAST(length(bin(n_tokens)) AS INT) AS len_bucket
+        FROM toks
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY len_bucket
+                                  ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM bucketed
+    )
+    SELECT len_bucket,
+           CAST((rn - 1) // {BATCH_N} AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS pad_to,
+           CAST((1000000 * sum(n_tokens)) // (max(n_tokens) * count(*))
+                AS BIGINT) AS fill_micro
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def pack_length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-GROUPED padded batching — the other half of the packing
+    family: where ``pack_token_budget`` concatenates docs into fixed
+    context windows (pretraining), fine-tuning and inference serve
+    PADDED batches, and padding cost is set by the LONGEST doc per
+    batch. Grouping by log2 length bucket and filling batches in
+    descending length order bounds within-batch length spread, so
+    ``fill = Σtokens / (pad_to × n_docs)`` stays near 1 — the standard
+    bucketed-batching trick (cf. fairseq/T5 length-grouped samplers).
+
+    Per (bucket, batch): doc count, token mass, the pad target (batch
+    max), and the fill ratio in integer micro-units (truncating
+    division — identical in both engines). Deterministic: rank order is
+    (n_tokens DESC, doc_id), bucket is the bin-string length (the
+    ``txt_length_histogram`` integer-log2 trick).
+
+    Scale shape: one shuffle on the ~30-value bucket key; the per-bucket
+    window sort spills; everything after is a map-side-combinable
+    aggregate. The whitespace tokenizer runs JVM-side (split+size) —
+    no Python in the plan.
+    """
+    docs = read_table_parallel(spark, sf_dir, "documents", "doc_id")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    bucketed = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+    ).withColumn(
+        "len_bucket", F.length(F.bin(F.col("n_tokens"))).cast("int")
+    )
+    w = Window.partitionBy("len_bucket").orderBy(
+        F.desc("n_tokens"), "doc_id"
+    )
+    ranked = bucketed.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(
+            "len_bucket",
+            F.expr(f"(rn - 1) div {BATCH_N}").cast("bigint").alias("batch_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("batch_tokens"),
+            F.max("n_tokens").cast("bigint").alias("pad_to"),
+        )
+        .withColumn(
+            "fill_micro",
+            F.expr(
+                "(1000000 * batch_tokens) div (pad_to * n_docs)"
+            ).cast("bigint"),
+        )
+    )

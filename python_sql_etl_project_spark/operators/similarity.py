@@ -1987,3 +1987,94 @@ def sim_ivf_scaled_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import finalize_unpersist
 
     return finalize_unpersist(out, ranked)
+
+
+#: Deterministic "benchmark" subset for semantic decontamination: every
+#: 17th vector plays the eval set (same spirit as decon_benchmark_ngrams'
+#: carved benchmark slice).
+DECON_EVAL_MOD = 17
+#: Contamination threshold (cosine) — calibrated like SEMDEDUP_TAU to the
+#: synthetic corpus whose max off-diagonal cosine is ~0.51.
+DECON_COS_TAU = 0.30
+
+
+@query(
+    "decon_semantic_eval_overlap",
+    oracle=f"""
+    WITH {_coded_capped_ctes()},
+    cand AS (
+        SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+        FROM coded x JOIN coded y
+          ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id
+    ),
+    scored AS (
+        SELECT c.d1, c.d2, {_COS_SQL} AS cosine
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.d1
+        JOIN embeddings b ON b.vec_id = c.d2
+    ),
+    te AS (
+        SELECT CASE WHEN d1 % {DECON_EVAL_MOD} = 0 THEN d2 ELSE d1 END
+                   AS train_id,
+               CASE WHEN d1 % {DECON_EVAL_MOD} = 0 THEN d1 ELSE d2 END
+                   AS eval_id,
+               cosine
+        FROM scored
+        WHERE (d1 % {DECON_EVAL_MOD} = 0) <> (d2 % {DECON_EVAL_MOD} = 0)
+          AND cosine >= {DECON_COS_TAU}
+    )
+    SELECT train_id,
+           CAST(count(*) AS BIGINT) AS n_eval_hits,
+           max(cosine) AS max_cosine,
+           CAST(min(CASE WHEN cosine = mc THEN eval_id END) AS BIGINT)
+               AS nearest_eval_id
+    FROM (SELECT *, max(cosine) OVER (PARTITION BY train_id) AS mc FROM te)
+    GROUP BY 1
+    """,
+)
+def decon_semantic_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space sibling of
+    ``decon_benchmark_ngrams``: n-gram overlap catches verbatim
+    leakage, but paraphrased eval material survives it; this flags
+    every TRAINING vector whose cosine to any EVAL-set vector (every
+    {DECON_EVAL_MOD}th id) reaches {DECON_COS_TAU}, with the hit count,
+    the max cosine, and the nearest eval doc (min id on ties — the
+    deterministic argmax).
+
+    Plan shape: the capped band-LSH blocking (`_band_blocked_candidates`'
+    bucket join — candidates share a sign-bit band, hot buckets capped
+    at {MAX_BAND_BUCKET}), cosine on candidates only, then filter to
+    cross-set pairs and a per-train-doc aggregate. Never eval×train
+    brute force: at 100 TB the eval set is small but the TRAINING side
+    is not, and the bucket join bounds each side's fan-out the same way
+    the dedup family's blocking does. Asymmetric-set note: with a tiny
+    curated eval set the alternative is broadcasting eval codes and
+    semi-joining — same bucket keys, no shuffle of the train side; the
+    self-join form here also serves eval sets too big to broadcast.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    scored = _band_blocked_candidates(emb)
+    is_eval_d1 = (F.col("d1") % DECON_EVAL_MOD) == 0
+    is_eval_d2 = (F.col("d2") % DECON_EVAL_MOD) == 0
+    te = (
+        scored.filter(is_eval_d1 != is_eval_d2)
+        .filter(F.col("cosine") >= DECON_COS_TAU)
+        .select(
+            F.when(is_eval_d1, F.col("d2")).otherwise(F.col("d1")).alias(
+                "train_id"
+            ),
+            F.when(is_eval_d1, F.col("d1")).otherwise(F.col("d2")).alias(
+                "eval_id"
+            ),
+            "cosine",
+        )
+    )
+    return te.groupBy("train_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_hits"),
+        F.max("cosine").alias("max_cosine"),
+        (-F.max(F.struct(F.col("cosine"), (-F.col("eval_id")).alias("ne")))[
+            "ne"
+        ])
+        .cast("bigint")
+        .alias("nearest_eval_id"),
+    )

@@ -250,3 +250,107 @@ def sk_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "token")
         .limit(20)
     )
+
+
+#: KMV sketch size (k minimum hash values). Estimate error ~ 1/sqrt(k-2)
+#: (~13% at k=64) — the audit emits estimate AND exact side by side.
+KMV_K = 64
+#: Hash-fraction denominator: the first 13 md5 hex digits as a 52-bit
+#: integer (2^52 fits (k-1)*2^52 in BIGINT for k = 64).
+KMV_DENOM = 1 << 52
+
+
+@query(
+    "sk_kmv_distinct",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    h AS (
+        SELECT event_type, user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                    AS BIGINT) AS hv
+        FROM du
+    ),
+    r AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hv, user_id) AS rn
+        FROM h
+    ),
+    sk AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_in_sketch,
+               CAST(max(hv) AS BIGINT) AS kth_hash
+        FROM r WHERE rn <= {KMV_K} GROUP BY 1
+    ),
+    ex AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+        FROM du GROUP BY 1
+    )
+    SELECT e.event_type, e.exact_distinct,
+           CAST(CASE WHEN s.n_in_sketch < {KMV_K} THEN e.exact_distinct
+                ELSE (({KMV_K} - 1) * {KMV_DENOM}) // s.kth_hash
+                END AS BIGINT) AS est_distinct
+    FROM ex e JOIN sk s USING (event_type)
+    """,
+)
+def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type, with
+    the exact count alongside — the mergeable distinct sketch whose
+    CROSS-ENGINE determinism HLL cannot give: the sketch state is the
+    {KMV_K} smallest md5 fractions of the key space, so the estimate
+    (k−1)/kth-smallest-fraction is pure integer arithmetic over the
+    repo's one portable hash, bit-identical in Spark and DuckDB (HLL's
+    register layout is engine-private, so ``approx_count_distinct`` can
+    never be hash-gated across engines).
+
+    Scale shape: the sketch is an ORDER-STATISTIC aggregate — at
+    production scale each partition keeps its local k minima (map-side
+    TakeOrdered) and the merge is min-k over k·parallelism candidates;
+    here the per-group top-k window expresses the same contract. The
+    exact side exists because this is the family's AUDIT query (the
+    ``sk_countmin_heavy_hitters`` pattern): estimate and truth in one
+    row so drift is self-evident. Union of sketches = distinct of
+    unions (min-k is a semilattice) — the property that lets 1000
+    executors sketch 100 TB independently and merge k values per group.
+    """
+    du = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    h = du.select(
+        "event_type",
+        "user_id",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("hv", "user_id")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_in_sketch"),
+            F.max("hv").cast("bigint").alias("kth_hash"),
+        )
+    )
+    ex = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+    )
+    return ex.join(sk, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        F.when(
+            F.col("n_in_sketch") < KMV_K, F.col("exact_distinct")
+        )
+        .otherwise(
+            F.expr(f"(({KMV_K} - 1) * {KMV_DENOM}) div kth_hash")
+        )
+        .cast("bigint")
+        .alias("est_distinct"),
+    )

@@ -260,6 +260,10 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     # first candidates for the round-5 rotation):
     "agg_price_quantiles_approx",
     "agg_weighted_median_approx",
+    "graph_connected_components",
+    "sk_kmv_distinct",
+    "pack_length_grouped_batches",
+    "decon_semantic_eval_overlap",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -1573,3 +1573,89 @@ def test_band_lsh_bucket_cap_pins_fanout(spark):
         f"degenerate bucket produced {n_pairs} pairs; cap bound is "
         f"{cap * (cap - 1) // 2}"
     )
+
+
+def test_connected_components_converged_and_self_labeled(spark):
+    """CC invariants: component == min_node (hash-to-min's label IS the
+    minimum member id), node counts conserve the vertex set, and one
+    EXTRA round is the identity (proves the pinned round count covers
+    the graph's diameter at this SF)."""
+    from python_sql_etl_project_spark.operators import graph as g
+    from pyspark.sql import functions as F
+
+    rows = registry.QUERIES["graph_connected_components"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.component == r.min_node
+    n_nodes_out = sum(r.n_nodes for r in rows)
+    pairs = g._copurchase_pairs(spark, SF)
+    assert n_nodes_out == pairs.select("src").distinct().count()
+    # convergence: labels after CC_ROUNDS are a fixed point
+    labels = (
+        pairs.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(g.CC_ROUNDS + 1):
+        minl = (
+            pairs.join(labels.select(F.col("node").alias("src"), "label"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("minl"))
+        )
+        labels = labels.join(minl, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("minl", F.col("label"))).alias(
+                "label"
+            ),
+        ).localCheckpoint()
+    extra = labels.groupBy("label").count().count()
+    assert extra == len(rows), "an extra round changed the partition"
+
+
+def test_kmv_estimate_brackets_exact(spark):
+    """KMV sanity: when the sketch saturates (n_in_sketch == k) the
+    estimate is within the standard ~3/sqrt(k-2) relative error of the
+    exact count at this SF; when under k it IS exact."""
+    from python_sql_etl_project_spark.operators.sketch import KMV_K
+
+    rows = registry.QUERIES["sk_kmv_distinct"](spark, SF).collect()
+    assert rows
+    tol = 3.0 / (KMV_K - 2) ** 0.5
+    for r in rows:
+        if r.exact_distinct < KMV_K:
+            assert r.est_distinct == r.exact_distinct, r
+        else:
+            rel = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
+            assert rel <= tol, (r, rel, tol)
+
+
+def test_length_grouped_batches_fill_bounds(spark):
+    """Batching invariants: every batch holds <= BATCH_N docs, fill is in
+    (0, 1], and within a bucket the pad target never exceeds the bucket's
+    upper length bound (2^bucket - 1)."""
+    from python_sql_etl_project_spark.operators.sampling import BATCH_N
+
+    rows = registry.QUERIES["pack_length_grouped_batches"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_docs <= BATCH_N
+        assert 0 < r.fill_micro <= 1_000_000
+        assert r.pad_to < (1 << r.len_bucket)
+        assert r.batch_tokens <= r.pad_to * r.n_docs
+
+
+def test_semantic_decon_flags_are_cross_set(spark):
+    """Every flagged row is a TRAIN doc (not in the eval subset), its
+    nearest eval doc IS in the eval subset, and max_cosine clears the
+    threshold."""
+    from python_sql_etl_project_spark.operators.similarity import (
+        DECON_COS_TAU,
+        DECON_EVAL_MOD,
+    )
+
+    rows = registry.QUERIES["decon_semantic_eval_overlap"](spark, SF).collect()
+    for r in rows:
+        assert r.train_id % DECON_EVAL_MOD != 0
+        assert r.nearest_eval_id % DECON_EVAL_MOD == 0
+        assert r.max_cosine >= DECON_COS_TAU
+        assert r.n_eval_hits >= 1

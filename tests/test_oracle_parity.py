@@ -20,8 +20,30 @@ registry.load_all()
 PARITY_SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 
 
+#: Queries whose oracle encodes an EMPIRICALLY PROBED Spark-internal
+#: contract (watermark commit-lag: the watermark active in batch k
+#: derives from data through batch k-2). Verified on the pinned minor
+#: below; on any other Spark the parity check XFAILS instead of failing,
+#: so an engine upgrade surfaces as an expected-to-investigate signal,
+#: not a correctness regression (ADVICE r3: version-pin the tripwire).
+WATERMARK_LAG_PINNED_MINOR = "4.1"
+VERSION_PINNED = {"strm_watermark_late_drop", "strm_signup_purchase_leftouter"}
+
+
 @pytest.mark.parametrize("name", sorted(registry.ORACLES))
 def test_query_matches_oracle(spark, name):
+    if name in VERSION_PINNED and not spark.version.startswith(
+        WATERMARK_LAG_PINNED_MINOR
+    ):
+        try:
+            assert_query_matches_oracle(spark, name, PARITY_SF_DIR)
+        except AssertionError:
+            pytest.xfail(
+                f"{name}'s oracle hard-codes Spark {WATERMARK_LAG_PINNED_MINOR}"
+                f" watermark commit-lag; running {spark.version} — re-probe"
+                " the lag model (streaming/windows.py docstrings)"
+            )
+        return
     assert_query_matches_oracle(spark, name, PARITY_SF_DIR)
 
 
