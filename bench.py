@@ -265,6 +265,8 @@ HEADLINE = [
     "sk_kmv_distinct",
     "pack_length_grouped_batches",
     "decon_semantic_eval_overlap",
+    "sim_ivfpq_residual",
+    "agg_hll_audit",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

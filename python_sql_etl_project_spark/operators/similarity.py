@@ -2078,3 +2078,215 @@ def decon_semantic_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("nearest_eval_id"),
     )
+
+
+@query(
+    "sim_ivfpq_residual",
+    oracle=f"""
+    WITH {_scaled_ivf_ctes()},
+    resq AS MATERIALIZED (
+        -- residual of every vector against EACH of its probe-cell
+        -- centroids (home = probe rank 1, so encoding residuals are the
+        -- cell = home slice), split to PQ subspaces
+        SELECT p.vec_id, p.cell, e.label,
+               CAST((x.dim - 1) // {PQ_SUB_D} AS INT) AS m,
+               CAST((x.dim - 1) % {PQ_SUB_D} AS INT) AS j,
+               x.v - c.c AS rv
+        FROM probes p
+        JOIN embeddings e ON e.vec_id = p.vec_id
+        JOIN expl x ON x.vec_id = p.vec_id
+        JOIN c2 c ON c.cell = p.cell AND c.dim = x.dim
+    ),
+    hres AS (
+        SELECT r.* FROM resq r JOIN home h
+          ON h.vec_id = r.vec_id AND h.cell = r.cell
+    ),
+    pcent AS MATERIALIZED (
+        SELECT label AS k, m, j, round(avg(rv), 6) AS c
+        FROM hres GROUP BY 1, 2, 3
+    ),
+    hdist AS (
+        SELECT s.vec_id, s.m, pcent.k,
+               CAST(round(sum((s.rv - pcent.c) * (s.rv - pcent.c)) * 1000000)
+                    AS BIGINT) AS d2_micro
+        FROM hres s JOIN pcent ON pcent.m = s.m AND pcent.j = s.j
+        GROUP BY 1, 2, 3
+    ),
+    pcode AS MATERIALIZED (
+        SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2_micro, k) AS r
+            FROM hdist
+        ) t WHERE r = 1
+    ),
+    qdist AS MATERIALIZED (
+        SELECT s.vec_id, s.cell, s.m, pcent.k,
+               CAST(round(sum((s.rv - pcent.c) * (s.rv - pcent.c)) * 1000000)
+                    AS BIGINT) AS d2_micro
+        FROM resq s JOIN pcent ON pcent.m = s.m AND pcent.j = s.j
+        GROUP BY 1, 2, 3, 4
+    ),
+    adc AS (
+        SELECT p.vec_id AS query_id, h.vec_id AS neighbor_id,
+               CAST(sum(dq.d2_micro) AS BIGINT) AS approx_d2_micro
+        FROM probes p
+        JOIN home h ON h.cell = p.cell AND h.vec_id <> p.vec_id
+        JOIN pcode c ON c.vec_id = h.vec_id
+        JOIN qdist dq ON dq.vec_id = p.vec_id AND dq.cell = p.cell
+                     AND dq.m = c.m AND dq.k = c.k
+        GROUP BY 1, 2
+    ),
+    rankedk AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_d2_micro, neighbor_id)
+                      AS rank
+        FROM adc
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           approx_d2_micro,
+           CAST(approx_d2_micro AS DOUBLE) / 1000000 AS approx_d2
+    FROM rankedk WHERE rank <= {TOP_K}
+    """,
+)
+def sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the full FAISS `IndexIVFPQ`
+    semantics (Jégou et al. 2011 §IV): where `sim_ivfpq_search` PQ-codes
+    raw vectors (its documented simplification), here each vector is
+    coded by the residual x − centroid(home cell), and a query's ADC
+    lookup table is rebuilt PER PROBED CELL from the query's residual in
+    that cell. Residuals are centered near zero, so a fixed codebook
+    budget quantizes them far better than raw vectors — the reason every
+    production IVF-PQ index encodes residuals.
+
+    Relational form: the coarse stage is the scaled-nlist assignment
+    (`_scaled_ivf_ctes`); residuals for (vector × its probe cells) are
+    one zip_with against the broadcast codebook; codewords are
+    label-conditioned means of HOME residuals (the `sim_pq_audit`
+    convention); the per-(vector, cell, subspace, codeword) distance
+    table doubles as every query's cell-local ADC table, so scoring is
+    an equi-join on (query, cell, m, k) + a map-side-combinable sum.
+    Distances in integer micro-units, rounded before ranking.
+
+    Scale shape: qdist is |V| × nprobe × M × K rows — LINEAR in the
+    corpus; candidate fan-out is bounded by cell population (nlist ≈ √N
+    at snapshot time). Neither stage ever touches corpus² rows.
+    """
+    from pyspark import StorageLevel
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = _scaled_codebook(emb)
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    dist = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", F.round(d2, 6).alias("d2")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    assign = dist.withColumn(
+        "cell_rank", F.row_number().over(w_assign)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    probes = assign.filter(F.col("cell_rank") <= N_PROBE_CELLS).select(
+        "vec_id", "cell"
+    )
+    home = assign.filter(F.col("cell_rank") == 1).select("vec_id", "cell")
+
+    # residual subspace rows for (vector x probe cells): one broadcast
+    # join to the codebook, residual via zip_with, then posexplode
+    rsub = (
+        probes.join(emb.select("vec_id", "label", "embedding"), "vec_id")
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            "label",
+            F.posexplode(
+                F.zip_with(
+                    "embedding",
+                    "centroid",
+                    lambda x, y: x.cast("double") - y,
+                )
+            ).alias("dim", "rv"),
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "label",
+            (F.col("dim") / PQ_SUB_D).cast("int").alias("m"),
+            (F.col("dim") % PQ_SUB_D).cast("int").alias("j"),
+            "rv",
+        )
+    )
+    hres = rsub.join(home, ["vec_id", "cell"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pcent = hres.groupBy(F.col("label").alias("k"), "m", "j").agg(
+        F.round(F.avg("rv"), 6).alias("c")
+    )
+    hdist = (
+        hres.join(F.broadcast(pcent), ["m", "j"])
+        .groupBy("vec_id", "m", "k")
+        .agg(
+            F.expr(
+                "CAST(round(sum((rv - c) * (rv - c)) * 1000000) AS BIGINT)"
+            ).alias("d2_micro")
+        )
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d2_micro", "k")
+    pcode = (
+        hdist.withColumn("r", F.row_number().over(w_code))
+        .filter(F.col("r") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "m", "k")
+    )
+    qdist = (
+        rsub.join(F.broadcast(pcent), ["m", "j"])
+        .groupBy("vec_id", "cell", "m", "k")
+        .agg(
+            F.expr(
+                "CAST(round(sum((rv - c) * (rv - c)) * 1000000) AS BIGINT)"
+            ).alias("d2_micro")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = (
+        probes.select(F.col("vec_id").alias("query_id"), "cell")
+        .join(
+            home.select(F.col("vec_id").alias("neighbor_id"), "cell"),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    adc = (
+        cand.join(pcode, "neighbor_id")
+        .join(
+            qdist.withColumnRenamed("vec_id", "query_id"),
+            ["query_id", "cell", "m", "k"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2_micro").cast("bigint").alias("approx_d2_micro"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        "approx_d2_micro", "neighbor_id"
+    )
+    out = (
+        adc.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            "approx_d2_micro",
+            (F.col("approx_d2_micro").cast("double") / 1000000).alias(
+                "approx_d2"
+            ),
+        )
+    )
+    from ..session import finalize_unpersist
+
+    return finalize_unpersist(out, assign, hres, qdist)

@@ -264,6 +264,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "sk_kmv_distinct",
     "pack_length_grouped_batches",
     "decon_semantic_eval_overlap",
+    "sim_ivfpq_residual",
+    "agg_hll_audit",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

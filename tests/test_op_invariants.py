@@ -1659,3 +1659,84 @@ def test_semantic_decon_flags_are_cross_set(spark):
         assert r.nearest_eval_id % DECON_EVAL_MOD == 0
         assert r.max_cosine >= DECON_COS_TAU
         assert r.n_eval_hits >= 1
+
+
+def test_residual_ivfpq_sound_and_lower_distortion(spark):
+    """Residual-IVFPQ invariants: (a) ranking soundness (contiguous
+    ranks, non-negative non-decreasing ADC distances); (b) the property
+    residual encoding actually guarantees — RECONSTRUCTION distortion
+    Σ||x − x̂||² is lower when codewords quantize residuals than when
+    they quantize raw vectors (residuals are centered, so the same
+    codebook budget fits them tighter). Note the guarantee is about
+    reconstruction, NOT about per-pair ADC distance error, whose cross
+    terms can cancel either way."""
+    from pyspark.sql import functions as F
+    from python_sql_etl_project_spark.operators.similarity import TOP_K
+    from python_sql_etl_project_spark.session import read_table
+
+    rows = registry.QUERIES["sim_ivfpq_residual"](spark, SF).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        assert r.approx_d2_micro >= 0
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_K
+        ds = [r.approx_d2_micro for r in rs]
+        assert ds == sorted(ds)
+
+    # (b) distortion comparison, computed engine-side over all vectors:
+    # per subspace, label-conditioned codewords over residual vs raw
+    # subvectors; distortion = mean min-k squared distance to codeword.
+    import numpy as np
+
+    emb = read_table(spark, SF, "embeddings").toPandas()
+    X = np.stack(emb["embedding"].values).astype(np.float64)
+    labels = emb["label"].values
+    from python_sql_etl_project_spark.operators import similarity as sim
+
+    cents = {
+        r["cell"]: np.array(r["centroid"])
+        for r in sim._scaled_codebook(
+            read_table(spark, SF, "embeddings")
+        ).collect()
+    }
+    C = np.stack([cents[k] for k in sorted(cents)])
+    home = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).round(6).argmin(1)
+    R = X - C[home]
+
+    def distortion(P):
+        tot = 0.0
+        for m in range(8):
+            sub = P[:, m * 8 : (m + 1) * 8]
+            cw = np.stack(
+                [sub[labels == k].mean(0).round(6) for k in np.unique(labels)]
+            )
+            d = ((sub[:, None, :] - cw[None, :, :]) ** 2).sum(-1)
+            tot += d.min(1).sum()
+        return tot / len(P)
+
+    assert distortion(R) < distortion(X), (distortion(R), distortion(X))
+
+
+def test_hll_audit_is_green_and_exact_matches(spark):
+    """The audit's boolean must hold at the tested SF, and the exact
+    side must equal a direct distinct count."""
+    rows = registry.QUERIES["agg_hll_audit"](spark, SF).collect()
+    assert rows
+    from python_sql_etl_project_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    truth = {
+        r.event_type: r.n
+        for r in read_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.within_3pct is True, r
+        assert r.exact_distinct == truth[r.event_type]

@@ -86,6 +86,10 @@ BNLJ_ALLOWED = {
         "KB-scale trained codebook broadcast per Lloyd round and for "
         "the final cell assignment (same bound as sim_kmeans_codebook)"
     ),
+    "sim_ivfpq_residual": (
+        "KB-scale trained codebook broadcast per Lloyd round and for "
+        "the final cell assignment (same bound as sim_ivf_scaled_cells)"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
@@ -147,6 +151,15 @@ FACT_HINT_ALLOWED = {
     "sim_ivf_scaled_cells": (
         "seed codebook is Filter(vec_id < 32): constant 32 rows; trained "
         "codebooks pass through the Aggregate bound"
+    ),
+    "sim_ivfpq_search": (
+        "seed codebook is Filter(vec_id < 32): constant 32 rows; trained "
+        "codebooks and PQ codeword tables pass through the Aggregate bound"
+    ),
+    "sim_ivfpq_residual": (
+        "seed codebook is Filter(vec_id < 32): constant 32 rows; trained "
+        "codebooks and residual codeword tables pass through the "
+        "Aggregate bound"
     ),
 }
 
