@@ -267,6 +267,7 @@ HEADLINE = [
     "decon_semantic_eval_overlap",
     "sim_ivfpq_residual",
     "agg_hll_audit",
+    "txt_bpe_merge_census",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.
@@ -318,6 +319,7 @@ def main() -> None:
     # rows never see the flag — the driver gate runs the cold pipeline.
     share = os.environ.get("SPARK_GRAFT_BENCH_SHARED", "1") == "1"
     shared_stage_sec = None
+    shared_edges_sec = None
     if share:
         os.environ["SPARK_GRAFT_SHARED_SHINGLES"] = "1"
         # modularity reuses the LPA label stage the LPA query computes
@@ -325,6 +327,17 @@ def main() -> None:
         # labels are computed once per graph snapshot and scored — the
         # correctness gate still runs both cold
         os.environ["SPARK_GRAFT_SHARED_LPA"] = "1"
+        # all graph queries read one materialized edge snapshot (built
+        # once here, timed separately; localCheckpoint survives the
+        # per-query clearCache/GC isolation)
+        os.environ["SPARK_GRAFT_SHARED_EDGES"] = "1"
+        from python_sql_etl_project_spark.operators import graph
+
+        t0 = time.perf_counter()
+        graph._copurchase_pairs(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        shared_edges_sec = round(time.perf_counter() - t0, 3)
         names = [n for n in names if not n.startswith("dd_")] + [
             n for n in names if n.startswith("dd_")
         ]
@@ -376,7 +389,12 @@ def main() -> None:
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
-    total = round(sum(timings.values()) + (shared_stage_sec or 0), 3)
+    total = round(
+        sum(timings.values())
+        + (shared_stage_sec or 0)
+        + (shared_edges_sec or 0),
+        3,
+    )
 
     # Full per-query mins + raw spreads go to a COMMITTED artifact file —
     # round-3's single stdout line (~240 queries × min+spread) overflowed
@@ -397,6 +415,7 @@ def main() -> None:
                 "repeats": repeats,
                 "spread": spread,
                 "shared_shingle_stage_sec": shared_stage_sec,
+                "shared_edges_stage_sec": shared_edges_sec,
                 "sf": sf,
             },
             f,
@@ -434,6 +453,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "repeats": repeats,
                 "shared_shingle_stage_sec": shared_stage_sec,
+                "shared_edges_stage_sec": shared_edges_sec,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             },

@@ -1736,3 +1736,73 @@ def txt_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("bpe_tokens_per_word"),
     )
+
+
+#: Top merge candidates reported by the BPE census.
+BPE_TOP_PAIRS = 30
+
+
+@query(
+    "txt_bpe_merge_census",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wc
+        FROM words WHERE len(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(v.w, CAST(i AS INT), 2) AS pair, v.wc
+        FROM vocab v, unnest(range(1, len(v.w))) AS t(i)
+    )
+    SELECT pair,
+           CAST(sum(wc) AS BIGINT) AS pair_count,
+           CAST(count(*) AS BIGINT) AS n_vocab_words
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+)
+def txt_bpe_merge_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer TRAINING, distributed: census of
+    adjacent symbol pairs weighted by word frequency — the top pair is
+    the merge rule BPE would learn next (Sennrich et al. 2016). The
+    existing ``txt_bpe_token_count`` APPLIES a tokenizer; this is the
+    corpus-side statistic you train one from.
+
+    The plan embodies the trick that makes BPE training tractable on
+    100 TB: aggregate the corpus to its WORD VOCABULARY first (one
+    map-side-combinable count — corpus-sized scan, vocab-sized result),
+    then enumerate character pairs over the vocab only, so the
+    pair-expansion work scales with |vocab| × avg word length, not with
+    corpus tokens. Per merge candidate: total weighted frequency and
+    how many distinct vocab words contain it. Top-{BPE_TOP_PAIRS} with
+    the pair string as tiebreak (TakeOrderedAndProject — no global
+    sort).
+    """
+    words = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select(F.explode(tokens()).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    vocab = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wc")
+    )
+    pairs = vocab.select(
+        F.posexplode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("_i", "pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wc").cast("bigint").alias("pair_count"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vocab_words"),
+        )
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )

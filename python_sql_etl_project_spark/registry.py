@@ -266,6 +266,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "decon_semantic_eval_overlap",
     "sim_ivfpq_residual",
     "agg_hll_audit",
+    "txt_bpe_merge_census",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -1740,3 +1740,19 @@ def test_hll_audit_is_green_and_exact_matches(spark):
     for r in rows:
         assert r.within_3pct is True, r
         assert r.exact_distinct == truth[r.event_type]
+
+
+def test_bpe_merge_census_ranks_and_shapes(spark):
+    """Merge candidates are 2-char strings, ordered by weighted count
+    (pair tiebreak), and the top pair's count upper-bounds the rest;
+    each pair occurs in at least one vocab word."""
+    from python_sql_etl_project_spark.operators.text import BPE_TOP_PAIRS
+
+    rows = registry.QUERIES["txt_bpe_merge_census"](spark, SF).collect()
+    assert 0 < len(rows) <= BPE_TOP_PAIRS
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert len(r.pair) == 2
+        assert r.n_vocab_words >= 1
+        assert r.pair_count >= r.n_vocab_words
