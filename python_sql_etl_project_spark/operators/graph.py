@@ -756,9 +756,20 @@ LPA_ROUNDS = 3
 _LPA_MEMO: dict = {}
 
 
-def _lpa_labels(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFrame:
+def _lpa_labels(
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame,
+    reuse: bool = True,
+) -> DataFrame:
     """The shared synchronous-LPA round loop (one definition for the
     LPA and modularity queries, so round semantics cannot drift).
+
+    ``reuse=False`` (the LPA query itself) always COMPUTES — its bench
+    timing must price the label rounds, which are its own work — while
+    still refreshing the memo for downstream consumers; modularity
+    passes ``reuse=True`` and reads the snapshot (bench only; the gate
+    never sets the flag, so both compute cold there).
 
     argmax via max(struct(count, -label)) instead of a row_number
     window: a hash aggregate with map-side partial combine replaces a
@@ -769,7 +780,7 @@ def _lpa_labels(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFrame
 
     shared = _os.environ.get("SPARK_GRAFT_SHARED_LPA") == "1"
     memo_key = (id(spark), sf_dir)
-    if shared and memo_key in _LPA_MEMO:
+    if shared and reuse and memo_key in _LPA_MEMO:
         return _LPA_MEMO[memo_key]
     labels = pairs.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -843,7 +854,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank.
     """
     pairs = _copurchase_pairs(spark, sf_dir).persist()
-    labels = _lpa_labels(spark, sf_dir, pairs)
+    labels = _lpa_labels(spark, sf_dir, pairs, reuse=False)
     out = labels.select(
         F.col("node").alias("part_key"), F.col("label").alias("community")
     )

@@ -2223,26 +2223,9 @@ def sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rv",
         )
     )
-    hres = rsub.join(home, ["vec_id", "cell"]).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    hres = rsub.join(home, ["vec_id", "cell"])
     pcent = hres.groupBy(F.col("label").alias("k"), "m", "j").agg(
         F.round(F.avg("rv"), 6).alias("c")
-    )
-    hdist = (
-        hres.join(F.broadcast(pcent), ["m", "j"])
-        .groupBy("vec_id", "m", "k")
-        .agg(
-            F.expr(
-                "CAST(round(sum((rv - c) * (rv - c)) * 1000000) AS BIGINT)"
-            ).alias("d2_micro")
-        )
-    )
-    w_code = Window.partitionBy("vec_id", "m").orderBy("d2_micro", "k")
-    pcode = (
-        hdist.withColumn("r", F.row_number().over(w_code))
-        .filter(F.col("r") == 1)
-        .select(F.col("vec_id").alias("neighbor_id"), "m", "k")
     )
     qdist = (
         rsub.join(F.broadcast(pcent), ["m", "j"])
@@ -2253,6 +2236,17 @@ def sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d2_micro")
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # the home-cell slice of qdist IS the encoding distance table —
+    # derived, not recomputed (halves the (rv-c)^2 aggregation work)
+    hdist = qdist.join(home, ["vec_id", "cell"]).select(
+        "vec_id", "m", "k", "d2_micro"
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d2_micro", "k")
+    pcode = (
+        hdist.withColumn("r", F.row_number().over(w_code))
+        .filter(F.col("r") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "m", "k")
     )
     cand = (
         probes.select(F.col("vec_id").alias("query_id"), "cell")
@@ -2289,4 +2283,4 @@ def sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..session import finalize_unpersist
 
-    return finalize_unpersist(out, assign, hres, qdist)
+    return finalize_unpersist(out, assign, qdist)
