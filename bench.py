@@ -268,6 +268,7 @@ HEADLINE = [
     "sim_ivfpq_residual",
     "agg_hll_audit",
     "txt_bpe_merge_census",
+    "mm_scene_cut_detect",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -677,3 +677,116 @@ def mm_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_fraction"),
         )
     )
+
+
+#: Scene-cut threshold: successive-frame fingerprint distance (bits of a
+#: 32-bit signature) at or above this is a cut. Random signatures differ
+#: in ~16 bits, so 22 flags only far-above-chance changes.
+SCENE_CUT_BITS = 22
+
+
+@query(
+    "mm_scene_cut_detect",
+    oracle=f"""
+    WITH {_ASSETS_CTE},
+    frames AS (
+        SELECT asset_id, n_frames, CAST(f AS INT) AS frame_idx,
+               CAST(('0x' || substr(md5(CAST(asset_id AS VARCHAR) || ':' ||
+                                        CAST(f AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS fp
+        FROM assets, unnest(range(0, n_frames)) AS t(f)
+        WHERE mime = 'video/mp4'
+    ),
+    diffs AS (
+        SELECT asset_id, n_frames, frame_idx, fp,
+               lag(fp) OVER (PARTITION BY asset_id ORDER BY frame_idx)
+                   AS prev_fp
+        FROM frames
+    ),
+    scored AS (
+        SELECT asset_id, n_frames, frame_idx,
+               CAST(bit_count(xor(fp, prev_fp)) AS INT) AS diff_bits
+        FROM diffs WHERE prev_fp IS NOT NULL
+    )
+    SELECT asset_id,
+           CAST(max(n_frames) AS INT) AS n_frames,
+           CAST(count(CASE WHEN diff_bits >= {SCENE_CUT_BITS} THEN 1 END)
+                AS BIGINT) AS n_cuts,
+           CAST(count(CASE WHEN diff_bits >= {SCENE_CUT_BITS} THEN 1 END) + 1
+                AS BIGINT) AS n_segments,
+           CAST(max(diff_bits) AS INT) AS max_diff_bits,
+           CAST(min(CASE WHEN diff_bits >= {SCENE_CUT_BITS}
+                         THEN frame_idx END) AS INT) AS first_cut_idx
+    FROM scored
+    GROUP BY asset_id
+    """,
+)
+def mm_scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over video assets — the temporal-analysis
+    shape the mm_ family lacked (frame_sample slices frames; this
+    compares SUCCESSIVE frames): per video, a per-frame visual
+    fingerprint, a lag-window distance between consecutive fingerprints,
+    and a cut wherever the distance clears {SCENE_CUT_BITS} of 32 bits.
+    Emits the per-video cut census (cuts, segments = cuts+1, max
+    inter-frame distance, first cut).
+
+    The fingerprint is the engine's deterministic stand-in (md5 of
+    (asset, frame) — this container ships no video codec; the decode
+    boundary is documented at `decode_image`): what is REAL and tested
+    is the Spark-side plumbing production scene detection needs — the
+    frame explosion bounded by per-asset n_frames, the per-asset
+    ordered lag window (shuffles on asset_id, sorts only each video's
+    own frames), bit-level distance in the JVM (`bit_count(a ^ b)`,
+    no UDF), and the map-side-combinable census. Swapping the md5 for
+    a real pHash-per-frame UDF changes one column expression, not the
+    plan.
+    """
+    a = assets(spark, sf_dir)
+    frames = (
+        a.filter(F.col("meta.mime") == "video/mp4")
+        .select(
+            "asset_id",
+            F.col("meta.n_frames").alias("n_frames"),
+            F.explode(
+                F.sequence(F.lit(0), F.col("meta.n_frames") - 1)
+            ).alias("frame_idx"),
+        )
+        .withColumn(
+            "fp",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("asset_id").cast("string"),
+                            F.col("frame_idx").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    scored = (
+        frames.withColumn("prev_fp", F.lag("fp").over(w))
+        .filter(F.col("prev_fp").isNotNull())
+        .withColumn(
+            "diff_bits", F.expr("CAST(bit_count(fp ^ prev_fp) AS INT)")
+        )
+    )
+    is_cut = F.when(F.col("diff_bits") >= SCENE_CUT_BITS, 1)
+    return scored.groupBy("asset_id").agg(
+        F.max("n_frames").cast("int").alias("n_frames"),
+        F.count(is_cut).cast("bigint").alias("n_cuts"),
+        (F.count(is_cut) + 1).cast("bigint").alias("n_segments"),
+        F.max("diff_bits").cast("int").alias("max_diff_bits"),
+        F.min(F.when(F.col("diff_bits") >= SCENE_CUT_BITS, F.col("frame_idx")))
+        .cast("int")
+        .alias("first_cut_idx"),
+    )

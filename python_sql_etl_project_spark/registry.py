@@ -267,6 +267,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "sim_ivfpq_residual",
     "agg_hll_audit",
     "txt_bpe_merge_census",
+    "mm_scene_cut_detect",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -1756,3 +1756,15 @@ def test_bpe_merge_census_ranks_and_shapes(spark):
         assert len(r.pair) == 2
         assert r.n_vocab_words >= 1
         assert r.pair_count >= r.n_vocab_words
+
+
+def test_scene_cuts_census_consistent(spark):
+    """Per video: segments == cuts + 1, cuts <= n_frames - 1, max diff
+    within 32 bits, first_cut present iff any cut."""
+    rows = registry.QUERIES["mm_scene_cut_detect"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_segments == r.n_cuts + 1
+        assert 0 <= r.n_cuts <= r.n_frames - 1
+        assert 0 <= r.max_diff_bits <= 32
+        assert (r.first_cut_idx is not None) == (r.n_cuts > 0)
