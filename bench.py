@@ -269,6 +269,8 @@ HEADLINE = [
     "agg_hll_audit",
     "txt_bpe_merge_census",
     "mm_scene_cut_detect",
+    "agg_variance_decomposition",
+    "dq_join_cardinality_estimate",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

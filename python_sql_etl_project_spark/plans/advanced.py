@@ -4906,3 +4906,167 @@ def win_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" END"
         ).alias("half_life_weeks"),
     )
+
+
+@query(
+    "agg_variance_decomposition",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM lineitem
+    ),
+    g AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS HUGEINT) AS n_g,
+               CAST(sum(cents) AS HUGEINT) AS s_g,
+               CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q_g
+        FROM c GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_g) AS HUGEINT) AS n,
+               CAST(sum(s_g) AS HUGEINT) AS s,
+               CAST(sum(q_g) AS HUGEINT) AS q,
+               CAST(sum(s_g * s_g // n_g) AS HUGEINT) AS sum_sg2_over_ng,
+               CAST(count(*) AS BIGINT) AS k_groups
+        FROM g
+    )
+    SELECT k_groups,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(q - s * s // n AS BIGINT) AS ss_total_c2,
+           CAST(sum_sg2_over_ng - s * s // n AS BIGINT) AS ss_between_c2,
+           CAST(q - sum_sg2_over_ng AS BIGINT) AS ss_within_c2,
+           CAST((1000000 * (sum_sg2_over_ng - s * s // n))
+                // (q - s * s // n) AS BIGINT) AS eta2_micro
+    FROM tot
+    """,
+)
+def agg_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA variance decomposition of price by return flag:
+    SS_total = SS_between + SS_within via the computational identities
+    SS_total = Q − S²/N and SS_between = Σ_g S_g²/n_g − S²/N over
+    integer cents (S = Σx, Q = Σx²), with η² = SS_between/SS_total in
+    micro-units — the first question of any segmentation analysis
+    ("does the grouping explain anything?"; here η² ≈ 0 on TPC-H's
+    random flags IS the honest answer the operator exists to reveal).
+
+    Exact-arithmetic discipline: every term is integer cents / cents²
+    in 38-digit decimals (Q at 100 TB dwarfs BIGINT), divisions are
+    floor (`div` ↔ `//`, identical on non-negatives), applied
+    per-group so the only quantization is ≤1 cents² per group —
+    deterministic on both engines by construction, the
+    `graph_modularity` pattern.
+
+    Scale shape: one map-side-combinable pass to the |groups|-row
+    (n, S, Q) census, then pure scalar arithmetic — the textbook
+    "sufficient statistics, never the rows twice" aggregate.
+    """
+    c = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    g = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_g"),
+        F.sum("cents").cast("decimal(38,0)").alias("s_g"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("q_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum(
+            F.expr("CAST((s_g * s_g) div n_g AS DECIMAL(38,0))")
+        ).alias("sum_sg2_over_ng"),
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+    )
+    return tot.select(
+        "k_groups",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr("CAST(q - (s * s) div n AS BIGINT)").alias("ss_total_c2"),
+        F.expr(
+            "CAST(sum_sg2_over_ng - (s * s) div n AS BIGINT)"
+        ).alias("ss_between_c2"),
+        F.expr("CAST(q - sum_sg2_over_ng AS BIGINT)").alias("ss_within_c2"),
+        # eta2 in DECIMAL(38,0) end to end: 1e6 x SS_between overflows
+        # BIGINT already at cents^2 scale (observed at sf0.001), and
+        # Spark's `div` on BIGINT would wrap silently under non-ANSI
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (sum_sg2_over_ng - (s * s) div n))"
+            " div (q - (s * s) div n) AS BIGINT)"
+        ).alias("eta2_micro"),
+    )
+
+
+@query(
+    "dq_join_cardinality_estimate",
+    oracle="""
+    WITH sel AS (
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(count(*)) OVER () AS BIGINT) AS total_orders
+        FROM orders GROUP BY 1
+    ),
+    act AS (
+        SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS actual_rows
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
+    ),
+    nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lineitem FROM lineitem)
+    SELECT s.o_orderstatus,
+           CAST((nl.n_lineitem * s.n_orders) // s.total_orders AS BIGINT)
+               AS est_rows,
+           a.actual_rows,
+           CAST((1000000 * a.actual_rows)
+                // ((nl.n_lineitem * s.n_orders) // s.total_orders)
+                AS BIGINT) AS actual_over_est_micro
+    FROM sel s JOIN act a USING (o_orderstatus), nl
+    """,
+)
+def dq_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit — the query optimizer's core
+    guess, made explicit and scored: for each order-status slice,
+    estimate |lineitem ⋈ σ_status(orders)| under the textbook
+    uniform-FK assumption (|fact| × selectivity) and join the ACTUAL
+    count alongside, with actual/estimate in micro-units. The ratio is
+    the number a CBO's cost model lives or dies by; skew in lines-per-
+    order by status shows up directly as a ratio away from 1e6, telling
+    the planner (and the engineer choosing a join strategy by hand)
+    exactly where the uniformity assumption lies.
+
+    Scale shape: the estimate side touches only the tiny status census
+    and one fact count; the actual side is the FK equi-join priced at
+    one shuffle. Integer floor division both sides.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    sel = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    ).withColumn(
+        "total_orders",
+        F.sum("n_orders").over(Window.partitionBy()).cast("bigint"),
+    )
+    act = (
+        li.join(o.select("o_orderkey", "o_orderstatus"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+    )
+    nl = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitem"))
+    return (
+        sel.join(act, "o_orderstatus")
+        .crossJoin(F.broadcast(nl))
+        .select(
+            "o_orderstatus",
+            F.expr(
+                "CAST((n_lineitem * n_orders) div total_orders AS BIGINT)"
+            ).alias("est_rows"),
+            "actual_rows",
+            F.expr(
+                "CAST((1000000 * actual_rows) div "
+                "((n_lineitem * n_orders) div total_orders) AS BIGINT)"
+            ).alias("actual_over_est_micro"),
+        )
+    )

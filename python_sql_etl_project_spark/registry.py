@@ -268,6 +268,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "agg_hll_audit",
     "txt_bpe_merge_census",
     "mm_scene_cut_detect",
+    "agg_variance_decomposition",
+    "dq_join_cardinality_estimate",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

@@ -1768,3 +1768,27 @@ def test_scene_cuts_census_consistent(spark):
         assert 0 <= r.n_cuts <= r.n_frames - 1
         assert 0 <= r.max_diff_bits <= 32
         assert (r.first_cut_idx is not None) == (r.n_cuts > 0)
+
+
+def test_variance_decomposition_identity(spark):
+    """SS_total == SS_between + SS_within (within per-group floor-div
+    quantization: k_groups cents^2), all terms non-negative, eta2 in
+    [0, 1e6]."""
+    r = registry.QUERIES["agg_variance_decomposition"](spark, SF).first()
+    assert r.ss_total_c2 >= 0 and r.ss_between_c2 >= 0 and r.ss_within_c2 >= 0
+    assert abs(r.ss_total_c2 - (r.ss_between_c2 + r.ss_within_c2)) <= r.k_groups
+    assert 0 <= r.eta2_micro <= 1_000_000
+
+
+def test_join_cardinality_estimate_consistency(spark):
+    """Estimates sum to ~|lineitem| (floor-div slack <= #statuses) and
+    the actuals sum to exactly |lineitem| (every line has an order)."""
+    from python_sql_etl_project_spark.session import read_table
+
+    rows = registry.QUERIES["dq_join_cardinality_estimate"](spark, SF).collect()
+    assert rows
+    n_li = read_table(spark, SF, "lineitem").count()
+    assert sum(r.actual_rows for r in rows) == n_li
+    assert 0 <= n_li - sum(r.est_rows for r in rows) <= len(rows)
+    for r in rows:
+        assert r.actual_over_est_micro > 0

@@ -90,6 +90,9 @@ BNLJ_ALLOWED = {
         "KB-scale trained codebook broadcast per Lloyd round and for "
         "the final cell assignment (same bound as sim_ivf_scaled_cells)"
     ),
+    "dq_join_cardinality_estimate": (
+        "1-row fact-count aggregate broadcast onto the |statuses| census"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
