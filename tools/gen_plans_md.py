@@ -134,6 +134,39 @@ SHOWCASE = {
         "(user, time) replaces the as-of self-join; one user_id "
         "shuffle, then a channel-census reduce."
     ),
+    # -- round 4 ----------------------------------------------------------
+    "sim_ann_band_lsh": (
+        "Capped band-LSH: one explode to (band, code) structs, the "
+        "md5-ranked hot-bucket cap as a window on the SAME (band, code) "
+        "key the candidate self-join shuffles on (no extra exchange), "
+        "cosine on candidates only."
+    ),
+    "sim_ivfpq_residual": (
+        "Residual IVFADC: broadcast Lloyd codebook for assignment, "
+        "residuals via zip_with (no exploded dim join), the per-cell "
+        "ADC table from one broadcast codeword join + hash aggregate, "
+        "candidate scoring as an equi-join on (query, cell, m, k)."
+    ),
+    "graph_connected_components": (
+        "Hash-to-min CC round: label vector joins the checkpointed "
+        "edge list on src, min-per-dst is a map-side-combinable hash "
+        "aggregate; no window, no sort."
+    ),
+    "txt_bpe_merge_census": (
+        "BPE pair census: corpus collapses to the word vocabulary "
+        "FIRST (hash aggregate), pair expansion runs over vocab rows "
+        "only; top-N is TakeOrderedAndProject, not a global sort."
+    ),
+    "sk_kmv_distinct": (
+        "KMV sketch: distinct (event_type, user_id) reduce, then a "
+        "per-group top-k window over hash order statistics — "
+        "partition-local min-k merge at scale."
+    ),
+    "agg_variance_decomposition": (
+        "ANOVA from sufficient statistics: one map-side-combinable "
+        "pass to a |groups|-row (n, S, Q) census, scalar decimal "
+        "arithmetic after; the fact is scanned exactly once."
+    ),
 }
 
 
