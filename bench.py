@@ -271,6 +271,8 @@ HEADLINE = [
     "mm_scene_cut_detect",
     "agg_variance_decomposition",
     "dq_join_cardinality_estimate",
+    "smp_temperature_sampling",
+    "mm_aspect_bucket_batches",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

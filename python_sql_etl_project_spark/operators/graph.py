@@ -33,14 +33,14 @@ PR_TELEPORT_MICRO = 150_000
 N_PR_ITERS = 3
 
 _PR_EDGES_CTE = """
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         FROM lineitem a
         JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
     ),
-    deg AS (SELECT src, count(*) AS deg FROM pairs GROUP BY src),
-    e AS (SELECT p.src, p.dst, d.deg FROM pairs p JOIN deg d USING (src))
+    deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM pairs GROUP BY src),
+    e AS MATERIALIZED (SELECT p.src, p.dst, d.deg FROM pairs p JOIN deg d USING (src))
 """
 
 
@@ -88,7 +88,7 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pr_iter_sql(prev: str, this: str) -> str:
     return f"""
-    {this} AS (
+    {this} AS MATERIALIZED (
         SELECT e.dst AS node,
                CAST({PR_TELEPORT_MICRO}
                     + (85 * sum({prev}.pr // e.deg)) // 100 AS BIGINT) AS pr
@@ -627,7 +627,7 @@ KCORE_ROUNDS = 6
 
 def _kcore_round_sql(prev: str, this: str) -> str:
     return f"""
-    {this} AS (
+    {this} AS MATERIALIZED (
         SELECT p.src AS node
         FROM pairs p
         JOIN {prev} s ON s.node = p.src
@@ -806,7 +806,7 @@ def _lpa_labels(
 
 def _lpa_round_sql(prev: str, this: str) -> str:
     return f"""
-    {this} AS (
+    {this} AS MATERIALIZED (
         SELECT src AS node, label FROM (
             SELECT p.src, l.label,
                    row_number() OVER (PARTITION BY p.src
@@ -870,7 +870,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     l0 AS (SELECT src AS node, src AS label FROM deg),
     {",".join(_lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(LPA_ROUNDS))},
     dtot AS (SELECT CAST(sum(deg) AS BIGINT) AS dd FROM deg),
-    per_node AS (
+    per_node AS MATERIALIZED (
         SELECT l.node, l.label, d.deg
         FROM l{LPA_ROUNDS} l JOIN deg d ON d.src = l.node
     ),

@@ -21,7 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -789,4 +789,135 @@ def mm_scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("diff_bits") >= SCENE_CUT_BITS, F.col("frame_idx")))
         .cast("int")
         .alias("first_cut_idx"),
+    )
+
+
+#: Aspect-ratio bucket ladder (w:h), SDXL-style anyres buckets.
+ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (1, 2), (3, 4), (1, 1), (4, 3), (2, 1)
+)
+#: Images per padded batch within an aspect bucket.
+ASPECT_BATCH_N = 8
+
+
+def _aspect_bucket_sql() -> str:
+    """DuckDB VALUES list for the ladder: (bucket_idx, a, b)."""
+    return ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(ASPECT_BUCKETS)
+    )
+
+
+@query(
+    "mm_aspect_bucket_batches",
+    oracle=f"""
+    WITH {_ASSETS_CTE},
+    ladder(bucket_idx, a, b) AS (VALUES {_aspect_bucket_sql()}),
+    imgs AS (
+        SELECT asset_id, width, height
+        FROM assets WHERE mime LIKE 'image/%'
+    ),
+    scored AS (
+        SELECT i.asset_id, i.width, i.height, l.bucket_idx, l.a, l.b,
+               round(abs(ln((i.width * l.b) * 1.0 / (i.height * l.a))), 6)
+                   AS dist,
+               row_number() OVER (
+                   PARTITION BY i.asset_id
+                   ORDER BY round(abs(ln((i.width * l.b) * 1.0
+                                         / (i.height * l.a))), 6),
+                            l.bucket_idx) AS rn
+        FROM imgs i CROSS JOIN ladder l
+    ),
+    assigned AS (
+        SELECT asset_id, width, height, bucket_idx, a, b,
+               CAST(round(1000000.0 * width / height) AS BIGINT)
+                   AS aspect_micro
+        FROM scored WHERE rn = 1
+    ),
+    batched AS (
+        SELECT *,
+               CAST((row_number() OVER (PARTITION BY bucket_idx
+                                        ORDER BY asset_id) - 1)
+                    // {ASPECT_BATCH_N} AS BIGINT) AS batch_id
+        FROM assigned
+    )
+    SELECT bucket_idx,
+           CAST(max(a) AS INT) AS ratio_w,
+           CAST(max(b) AS INT) AS ratio_h,
+           batch_id,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(aspect_micro) AS BIGINT) AS min_aspect_micro,
+           CAST(max(aspect_micro) AS BIGINT) AS max_aspect_micro,
+           CAST((1000000 * max(aspect_micro)) // min(aspect_micro)
+                - 1000000 AS BIGINT) AS spread_micro
+    FROM batched
+    GROUP BY bucket_idx, batch_id
+    """,
+)
+def mm_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio BUCKETED batching for vision training — the image
+    counterpart of ``pack_length_grouped_batches`` (and the SDXL/anyres
+    preprocessing convention): every image snaps to the nearest rung of
+    a fixed w:h ladder {ASPECT_BUCKETS} (nearest in log-aspect space —
+    scale-free, so 2:1 vs 1:1 misfit weighs the same as 1:1 vs 1:2;
+    ties to the smaller rung), then batches of {ASPECT_BATCH_N} fill
+    per bucket in asset order. Per (bucket, batch): the census plus the
+    within-batch aspect SPREAD (max/min − 1, micro-units) — the number
+    that tells you how much cropping/padding the bucket ladder saved.
+
+    Plan shape: the ladder is a {len(ASPECT_BUCKETS)}-row literal
+    broadcast against image METADATA only (payload column pruned —
+    never read); the argmin is a per-asset window over
+    {len(ASPECT_BUCKETS)} rows; batching is one shuffle on the bucket
+    key. ln-double rounded at 6 dp per the repo's transcendental rule.
+    """
+    a = assets(spark, sf_dir)
+    ladder = spark.createDataFrame(
+        [(i, ab[0], ab[1]) for i, ab in enumerate(ASPECT_BUCKETS)],
+        "bucket_idx int, a int, b int",
+    )
+    imgs = a.filter(F.col("meta.mime").startswith("image/")).select(
+        "asset_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    dist = F.round(
+        F.abs(
+            F.log(
+                (F.col("width") * F.col("b"))
+                / (F.col("height") * F.col("a")).cast("double")
+            )
+        ),
+        6,
+    )
+    scored = imgs.crossJoin(F.broadcast(ladder)).withColumn("dist", dist)
+    w_pick = Window.partitionBy("asset_id").orderBy("dist", "bucket_idx")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .withColumn(
+            "aspect_micro",
+            F.round(1000000.0 * F.col("width") / F.col("height"))
+            .cast("bigint"),
+        )
+    )
+    batched = assigned.withColumn(
+        "batch_id",
+        F.expr(
+            f"(row_number() OVER (PARTITION BY bucket_idx ORDER BY asset_id)"
+            f" - 1) div {ASPECT_BATCH_N}"
+        ).cast("bigint"),
+    )
+    return batched.groupBy("bucket_idx", "batch_id").agg(
+        F.max("a").cast("int").alias("ratio_w"),
+        F.max("b").cast("int").alias("ratio_h"),
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.min("aspect_micro").cast("bigint").alias("min_aspect_micro"),
+        F.max("aspect_micro").cast("bigint").alias("max_aspect_micro"),
+        F.expr(
+            "CAST((1000000 * max(aspect_micro)) div min(aspect_micro)"
+            " - 1000000 AS BIGINT)"
+        ).alias("spread_micro"),
+    ).select(
+        "bucket_idx", "ratio_w", "ratio_h", "batch_id", "n_images",
+        "min_aspect_micro", "max_aspect_micro", "spread_micro",
     )

@@ -2200,3 +2200,108 @@ def pack_length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         )
     )
+
+
+#: Temperature for mixture re-weighting (the XLM-R / mT5 value).
+MIX_TAU = 0.7
+#: Docs apportioned by the temperature-scaled quotas.
+MIX_QUOTA = 1000
+
+
+@query(
+    "smp_temperature_sampling",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    t AS (
+        SELECT source, n_docs,
+               CAST(sum(n_docs) OVER () AS BIGINT) AS total
+        FROM s
+    ),
+    w AS (
+        SELECT source, n_docs, total,
+               round(pow(n_docs * 1.0 / total, {MIX_TAU}), 6) AS wr
+        FROM t
+    ),
+    nrm AS (
+        SELECT source, n_docs, total,
+               CAST(round(1000000 * wr / sum(wr) OVER ()) AS BIGINT)
+                   AS w_tau_micro
+        FROM w
+    ),
+    q AS (
+        SELECT *,
+               CAST(({MIX_QUOTA} * w_tau_micro) // 1000000 AS BIGINT) AS base,
+               CAST(({MIX_QUOTA} * w_tau_micro) % 1000000 AS BIGINT) AS rem
+        FROM nrm
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (ORDER BY rem DESC, source) AS rr,
+               CAST(sum(base) OVER () AS BIGINT) AS base_sum
+        FROM q
+    )
+    SELECT source, n_docs,
+           CAST(round(1000000.0 * n_docs / total) AS BIGINT) AS p_micro,
+           w_tau_micro,
+           CAST(base + CASE WHEN rr <= {MIX_QUOTA} - base_sum
+                            THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM r
+    """,
+)
+def smp_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled corpus mixture — the multilingual up-sampling
+    rule (p_i^τ renormalized, τ={MIX_TAU}: XLM-R/mT5's knob) that
+    `smp_mixture_weights`' plain proportions feed into: raising rare
+    sources and damping dominant ones without inverting the order.
+    Emits per source the raw share, the temperature weight
+    (micro-units), and an EXACT integer apportionment of {MIX_QUOTA}
+    sample slots via largest-remainder rounding (floor quotas + the
+    biggest fractional remainders get the leftover slots; remainder
+    ties break on source id) — quotas sum to {MIX_QUOTA} exactly, the
+    invariant test pins it.
+
+    Determinism: pow/ln doubles are rounded at 6 dp (the
+    `txt_unigram_lm_score` precedent); everything after the micro cast
+    is integer arithmetic. Scale: the census is one
+    map-side-combinable count; all windows run over the |sources|-row
+    frame.
+    """
+    s = read_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    every = Window.partitionBy()
+    t = s.withColumn("total", F.sum("n_docs").over(every).cast("bigint"))
+    w = t.withColumn(
+        "wr",
+        F.round(F.pow(F.col("n_docs") / F.col("total"), F.lit(MIX_TAU)), 6),
+    )
+    nrm = w.withColumn(
+        "w_tau_micro",
+        F.round(1000000 * F.col("wr") / F.sum("wr").over(every))
+        .cast("bigint"),
+    )
+    q = nrm.withColumn(
+        "base", F.expr(f"({MIX_QUOTA} * w_tau_micro) div 1000000").cast("bigint")
+    ).withColumn(
+        "rem", F.expr(f"({MIX_QUOTA} * w_tau_micro) % 1000000").cast("bigint")
+    )
+    r = q.withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+    ).withColumn("base_sum", F.sum("base").over(every).cast("bigint"))
+    return r.select(
+        "source",
+        "n_docs",
+        F.round(1000000.0 * F.col("n_docs") / F.col("total"))
+        .cast("bigint")
+        .alias("p_micro"),
+        "w_tau_micro",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= MIX_QUOTA - F.col("base_sum"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )

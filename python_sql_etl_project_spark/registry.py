@@ -270,6 +270,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "mm_scene_cut_detect",
     "agg_variance_decomposition",
     "dq_join_cardinality_estimate",
+    "smp_temperature_sampling",
+    "mm_aspect_bucket_batches",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

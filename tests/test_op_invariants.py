@@ -1792,3 +1792,50 @@ def test_join_cardinality_estimate_consistency(spark):
     assert 0 <= n_li - sum(r.est_rows for r in rows) <= len(rows)
     for r in rows:
         assert r.actual_over_est_micro > 0
+
+
+def test_temperature_quotas_sum_exactly(spark):
+    """Largest-remainder apportionment: quotas sum to MIX_QUOTA exactly;
+    temperature compresses shares toward uniform WITHOUT reordering
+    (bigger source => bigger weight, but weight ratios shrink)."""
+    from python_sql_etl_project_spark.operators.sampling import MIX_QUOTA
+
+    rows = registry.QUERIES["smp_temperature_sampling"](spark, SF).collect()
+    assert rows
+    assert sum(r.quota for r in rows) == MIX_QUOTA
+    by_n = sorted(rows, key=lambda r: r.n_docs)
+    for a, b in zip(by_n, by_n[1:]):
+        if a.n_docs < b.n_docs:
+            assert a.w_tau_micro <= b.w_tau_micro
+            # compression: weight ratio <= share ratio
+            assert a.w_tau_micro * a.p_micro <= b.w_tau_micro * b.p_micro or (
+                a.p_micro == b.p_micro
+            )
+
+
+def test_aspect_buckets_partition_and_bound_spread(spark):
+    """Every image lands in exactly one bucket-batch; batches hold <=
+    ASPECT_BATCH_N; per-row aspect bounds bracket the bucket's ratio
+    neighborhood (spread non-negative)."""
+    from python_sql_etl_project_spark.operators.multimodal import (
+        ASPECT_BATCH_N,
+        ASPECT_BUCKETS,
+    )
+
+    rows = registry.QUERIES["mm_aspect_bucket_batches"](spark, SF).collect()
+    assert rows
+    n_total = sum(r.n_images for r in rows)
+    from python_sql_etl_project_spark.operators.multimodal import assets
+
+    n_imgs = (
+        assets(spark, SF)
+        .filter("meta.mime LIKE 'image/%'")
+        .count()
+    )
+    assert n_total == n_imgs
+    for r in rows:
+        assert 0 < r.n_images <= ASPECT_BATCH_N
+        assert 0 <= r.bucket_idx < len(ASPECT_BUCKETS)
+        assert (r.ratio_w, r.ratio_h) == ASPECT_BUCKETS[r.bucket_idx]
+        assert r.min_aspect_micro <= r.max_aspect_micro
+        assert r.spread_micro >= 0

@@ -93,6 +93,9 @@ BNLJ_ALLOWED = {
     "dq_join_cardinality_estimate": (
         "1-row fact-count aggregate broadcast onto the |statuses| census"
     ),
+    "mm_aspect_bucket_batches": (
+        "5-row aspect-ladder literal broadcast against image metadata"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
