@@ -273,6 +273,7 @@ HEADLINE = [
     "dq_join_cardinality_estimate",
     "smp_temperature_sampling",
     "mm_aspect_bucket_batches",
+    "strm_replay_idempotent_load",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

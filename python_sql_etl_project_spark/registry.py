@@ -272,6 +272,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "dq_join_cardinality_estimate",
     "smp_temperature_sampling",
     "mm_aspect_bucket_batches",
+    "strm_replay_idempotent_load",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

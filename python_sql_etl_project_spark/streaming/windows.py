@@ -1084,3 +1084,80 @@ def transform_with_state_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _W.partitionBy("user_id").orderBy(F.desc("n_events"))
     )
     return raw.withColumn("rn", w).filter(F.col("rn") == 1).drop("rn")
+
+
+@query(
+    "strm_replay_idempotent_load",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def strm_replay_idempotent_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE at the WAREHOUSE under at-least-once delivery — the
+    sink-side mechanism, complementing ``strm_dedup_events``' state-side
+    one (``dropDuplicatesWithinWatermark`` evicts by event time and
+    forgets; the PK anti-join against the sink never forgets, which is
+    what a REPLAYED pipeline needs after its watermark state is gone):
+    the landing directory carries the whole corpus TWICE (a redelivered
+    batch), each micro-batch runs the reference's incremental
+    anti-join append (`Warehouse.incremental_append` inside
+    ``foreachBatch`` — the lakehouse foreachBatch+MERGE pattern), and
+    the second delivery inserts zero rows. The oracle aggregates the
+    single-copy events table: the hash gate proves the replay left no
+    trace.
+
+    Scale shape: per batch one key-only column-pruned scan of the sink
+    plus a distributed left-anti join on the PK — state lives in the
+    warehouse, not in stream memory; the census collect is
+    |event types| rows, and the staged dirs are reclaimed before
+    returning (the no-temp-leak rule).
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..load.incremental import PK_MAP, Warehouse
+
+    table = "events_replay_wh"
+    PK_MAP.setdefault(table, "event_id")
+    base = _tempfile.mkdtemp(prefix="replay_wh_")
+    ck = _tempfile.mkdtemp(prefix="ck_replay_")
+    try:
+        wh = Warehouse(spark, base)
+        dup_dir = _events_dup_stream_dir(sf_dir)
+
+        def load_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            wh.incremental_append(batch_df, table)
+
+        q = (
+            stream_events(
+                spark, sf_dir, landing_dir=dup_dir, max_files_per_trigger=1
+            )
+            .writeStream.foreachBatch(load_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            wh.read(table)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .collect()
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+        _shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_events bigint, id_checksum bigint,"
+        " total_value double",
+    )
