@@ -30,6 +30,22 @@ from pyspark.sql.datasource import (
 
 from ..registry import query
 
+# Ship this module's classes BY VALUE when pickled: the streaming
+# source's planner runs in a FRESH driver-side Python process spawned by
+# the JVM (python_streaming_source_runner) whose import path is fixed at
+# JVM launch — if the harness's working directory isn't the repo root,
+# a by-reference pickle fails to re-import this module there (observed:
+# drive_contract launched from /tmp). By-value pickling makes the
+# source self-contained; neither addPyFile nor call-time PYTHONPATH
+# reaches that process.
+try:  # pragma: no cover - availability guard
+    from pyspark import cloudpickle as _cp
+    import sys as _sys
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001 - best-effort; repo-cwd runs never need it
+    pass
+
 N_ROWS = 1000
 N_PARTS = 8
 
