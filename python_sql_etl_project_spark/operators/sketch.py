@@ -85,8 +85,15 @@ def bloom_build(keys: DataFrame, key: str, spark: SparkSession) -> DataFrame:
         SELECT CAST({_pos_sql('k', 1, 'VARCHAR')} AS BIGINT) AS pos FROM keys
     ),
     words AS (
+        -- bit 63: DuckDB raises on CAST(1 AS BIGINT) << 63 where Spark's
+        -- shiftleft wraps to Long.MIN_VALUE (found by the sf0.1 sweep —
+        -- no build key happened to hash to bit 63 at smaller SFs);
+        -- special-case it to the same two's-complement value
         SELECT CAST(floor(pos / 64) AS INT) AS idx,
-               bit_or(CAST(1 AS BIGINT) << CAST(pos % 64 AS INT)) AS w
+               bit_or(CASE WHEN pos % 64 = 63
+                           THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                           ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INT)
+                      END) AS w
         FROM kp GROUP BY 1
     ),
     grid AS (

@@ -757,7 +757,14 @@ def gsets_nation_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     types AS (SELECT DISTINCT event_type FROM ev),
     grid AS (SELECT h, event_type FROM hours CROSS JOIN types),
     agg AS (
-        SELECT h, event_type, round(avg(value), 4) AS av
+        -- 4-dp HALF-UP average in integer cents: round(avg(value), 4)
+        -- on doubles diverges on exact .5 ties (half-up vs half-even —
+        -- observed at sf0.1: 51.51125 -> 51.5113 vs 51.5112); values
+        -- are exact 2-dp so the integer form is tie-free and portable
+        SELECT h, event_type,
+               CAST((20000 * sum(CAST(round(value * 100) AS BIGINT))
+                     + 100 * count(*))
+                    // (200 * count(*)) AS DOUBLE) / 10000 AS av
         FROM ev GROUP BY 1, 2
     )
     SELECT g.h AS hour, g.event_type,
@@ -789,8 +796,16 @@ def ts_locf_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     grid = hours.crossJoin(ev.select("event_type").distinct())
+    # integer half-up 4-dp average (see oracle comment): decimal inner
+    # product so 20000 x Σcents survives 100 TB row counts; the final
+    # quotient is avg x 1e4 — always LONG-safe
     agg = ev.groupBy("h", "event_type").agg(
-        F.round(F.avg("value"), 4).alias("av")
+        F.expr(
+            "CAST((CAST(20000 AS DECIMAL(38,0))"
+            " * sum(CAST(round(value * 100) AS BIGINT))"
+            " + 100 * count(*)) div (200 * count(*)) AS DOUBLE)"
+            " / 10000"
+        ).alias("av")
     )
     w = (
         Window.partitionBy("event_type")
@@ -4973,30 +4988,46 @@ def agg_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("decimal(38,0)").alias("s_g"),
         F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("q_g"),
     )
+    # floor(x^2 / m) via the exact split identity
+    #   floor(x^2/m) = (x div m)*x + floor((x mod m)*x / m)
+    # because Spark's `div` (IntegralDivide) ALWAYS returns LONG even on
+    # decimal operands: the naive (s*s) div n wraps once the quotient
+    # passes 2^63 (observed at sf0.1: 1.68e19 -> negative; the BIGINT
+    # output columns still matched the oracle because +/-/x are exact
+    # mod 2^64, but the DECIMAL eta2 path exposed the wrap). Every
+    # sub-quotient here is bounded by x (fits LONG for any realistic
+    # cents sum); the products stay DECIMAL(38,0).
+    def _sq_div(x: str, m: str) -> str:
+        return (
+            f"(CAST(({x} div {m}) AS DECIMAL(38,0)) * {x}"
+            f" + (({x} % {m}) * {x}) div {m})"
+        )
+
     tot = g.agg(
         F.sum("n_g").alias("n"),
         F.sum("s_g").alias("s"),
         F.sum("q_g").alias("q"),
         F.sum(
-            F.expr("CAST((s_g * s_g) div n_g AS DECIMAL(38,0))")
+            F.expr(f"CAST({_sq_div('s_g', 'n_g')} AS DECIMAL(38,0))")
         ).alias("sum_sg2_over_ng"),
         F.count(F.lit(1)).cast("bigint").alias("k_groups"),
     )
+    s2n = _sq_div("s", "n")
     return tot.select(
         "k_groups",
         F.col("n").cast("bigint").alias("n_rows"),
-        F.expr("CAST(q - (s * s) div n AS BIGINT)").alias("ss_total_c2"),
+        F.expr(f"CAST(q - {s2n} AS BIGINT)").alias("ss_total_c2"),
         F.expr(
-            "CAST(sum_sg2_over_ng - (s * s) div n AS BIGINT)"
+            f"CAST(sum_sg2_over_ng - {s2n} AS BIGINT)"
         ).alias("ss_between_c2"),
         F.expr("CAST(q - sum_sg2_over_ng AS BIGINT)").alias("ss_within_c2"),
-        # eta2 in DECIMAL(38,0) end to end: 1e6 x SS_between overflows
-        # BIGINT already at cents^2 scale (observed at sf0.001), and
-        # Spark's `div` on BIGINT would wrap silently under non-ANSI
+        # eta2 stays DECIMAL(38,0) end to end (1e6 x SS_between exceeds
+        # BIGINT already at cents^2 scale); the final quotient is <= 1e6
+        # so ITS LongType result is safe
         F.expr(
             "CAST((CAST(1000000 AS DECIMAL(38,0))"
-            " * (sum_sg2_over_ng - (s * s) div n))"
-            " div (q - (s * s) div n) AS BIGINT)"
+            f" * (sum_sg2_over_ng - {s2n}))"
+            f" div (q - {s2n}) AS BIGINT)"
         ).alias("eta2_micro"),
     )
 

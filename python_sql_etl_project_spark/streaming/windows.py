@@ -170,7 +170,9 @@ def strm_tumbling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start,
            CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 4) AS total_value,
-           round(avg(value), 4) AS avg_value
+           CAST((20000 * sum(CAST(round(value * 100) AS BIGINT))
+                 + 100 * count(*))
+                // (200 * count(*)) AS DOUBLE) / 10000 AS avg_value
     FROM expanded
     GROUP BY 1
     """,
@@ -188,7 +190,15 @@ def strm_sliding_2d_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # integer half-up 4-dp average — round(avg, 4) on doubles
+            # diverges on exact .5 ties across engines (the
+            # ts_locf_hourly_value fix, applied to the same ratio here)
+            F.expr(
+                "CAST((CAST(20000 AS DECIMAL(38,0))"
+                " * sum(CAST(round(value * 100) AS BIGINT))"
+                " + 100 * count(*)) div (200 * count(*)) AS DOUBLE)"
+                " / 10000"
+            ).alias("avg_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
