@@ -274,6 +274,7 @@ HEADLINE = [
     "smp_temperature_sampling",
     "mm_aspect_bucket_batches",
     "strm_replay_idempotent_load",
+    "ld_incremental_agg_maintenance",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

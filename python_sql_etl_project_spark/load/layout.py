@@ -1228,3 +1228,103 @@ def ld_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "change_type string, n_rows bigint, revenue_delta double"
     )
+
+
+#: Date splitting history from the maintenance delta batch.
+IVM_CUTOFF = "1997-01-01"
+
+
+@query(
+    "ld_incremental_agg_maintenance",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def ld_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE of a materialized aggregate — the
+    warehouse primitive that keeps a dashboard rollup current without
+    re-scanning history: the monthly revenue aggregate is materialized
+    from orders BEFORE {IVM_CUTOFF} (the already-loaded history), then a
+    delta batch (orders on/after the cutoff) arrives and maintenance
+    merges ``agg(delta)`` into the SNAPSHOT with one full-outer join on
+    the group key — additive measures (count, decimal sum) merge
+    exactly; the base fact is never read again. The oracle recomputes
+    the aggregate from scratch over all orders: the hash gate IS the
+    maintenance-equals-recompute theorem, the property that makes IVM
+    safe to run forever.
+
+    At 100 TB this is the difference between touching a months-sized
+    snapshot + a day-sized delta and re-scanning years of history per
+    refresh; non-additive measures (distinct, percentiles) need sketch
+    state instead (`sk_kmv_distinct` merges the same way). Sums stay
+    DECIMAL until the final round-then-double so the merge is exact and
+    order-free; the snapshot dir is reclaimed before returning (the
+    no-temp-leak rule — the merged result is collected first,
+    |months| rows).
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        ),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+        (F.col("o_orderdate") < IVM_CUTOFF).alias("is_base"),
+    )
+    snap_dir = tempfile.mkdtemp(prefix="ivm_snap_")
+    try:
+        base_agg = (
+            o.filter("is_base")
+            .groupBy("month")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("price").cast("decimal(18,2)").alias("revenue"),
+            )
+        )
+        base_agg.write.mode("overwrite").parquet(snap_dir)
+        snapshot = spark.read.parquet(snap_dir)
+        delta_agg = (
+            o.filter(~F.col("is_base"))
+            .groupBy("month")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("price").cast("decimal(18,2)").alias("revenue"),
+            )
+        )
+        s = snapshot.select(
+            "month",
+            F.col("n_orders").alias("n_b"),
+            F.col("revenue").alias("r_b"),
+        )
+        d = delta_agg.select(
+            "month",
+            F.col("n_orders").alias("n_d"),
+            F.col("revenue").alias("r_d"),
+        )
+        merged = (
+            s.join(d, "month", "full_outer")
+            .select(
+                "month",
+                (
+                    F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))
+                )
+                .cast("bigint")
+                .alias("n_orders"),
+                F.round(
+                    F.coalesce(F.col("r_b"), F.lit(0).cast("decimal(18,2)"))
+                    + F.coalesce(F.col("r_d"), F.lit(0).cast("decimal(18,2)")),
+                    2,
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        rows = merged.collect()
+    finally:
+        shutil.rmtree(snap_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "month string, n_orders bigint, revenue double"
+    )

@@ -273,6 +273,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "smp_temperature_sampling",
     "mm_aspect_bucket_batches",
     "strm_replay_idempotent_load",
+    "ld_incremental_agg_maintenance",
 )
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

