@@ -94,7 +94,8 @@ def load_all() -> None:
 #:   recursive CTE, IVF-PQ (with the round-4 scaled-nlist quantizer),
 #:   CDC apply, merge-upsert, the full ``src_`` ingest family, and the
 #:   wave-8 agg_/smp_/win_ additions. After this round union driver
-#:   coverage reaches ≥158/252 (QUERIES.md tracks the ledger).
+#:   coverage reaches ≥157/268 distinct names (QUERIES.md tracks the
+#:   ledger; the denominator grew 252 → 268 with this round's waves).
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- tier 0: reference parity (pinned) --------------------------------
     "ref_daily_cumulative_metrics",
