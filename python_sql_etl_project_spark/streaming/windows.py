@@ -49,17 +49,33 @@ SESSION_GAP = "30 minutes"
 _STREAM_DIRS: dict[str, str] = {}
 
 
+def _link_parquet(src: str, dst_dir: str, tag: str) -> None:
+    """Symlink a parquet TABLE into a landing dir, file by file.
+
+    ``src`` may be a single .parquet file (the driver-generated
+    testdata) or a Spark-written DIRECTORY of part files (the scale
+    probe's 8x replicas) — the file stream source lists plain files
+    only, so a directory must be staged as links to its data files.
+    """
+    if os.path.isdir(src):
+        for i, f in enumerate(sorted(os.listdir(src))):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                os.symlink(
+                    os.path.join(src, f),
+                    os.path.join(dst_dir, f"{tag}_{i:04d}.parquet"),
+                )
+    else:
+        os.symlink(src, os.path.join(dst_dir, f"{tag}.parquet"))
+
+
 def _events_stream_dir(sf_dir: str) -> str:
     """Stage events.parquet behind a directory (the file stream source
     requires a directory to monitor — in production this IS the landing
     directory new files arrive into; testdata is a single static file, so
-    a symlink in a temp dir stands in for it)."""
+    symlinks in a temp dir stand in for it)."""
     if sf_dir not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(d, "events.parquet"),
-        )
+        _link_parquet(os.path.join(sf_dir, "events.parquet"), d, "events")
         _STREAM_DIRS[sf_dir] = d
     return _STREAM_DIRS[sf_dir]
 
@@ -459,8 +475,8 @@ def _events_dup_stream_dir(sf_dir: str) -> str:
     if sf_dir not in _DUP_STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="events_dup_stream_")
         src = os.path.join(sf_dir, "events.parquet")
-        os.symlink(src, os.path.join(d, "events_a.parquet"))
-        os.symlink(src, os.path.join(d, "events_b.parquet"))
+        _link_parquet(src, d, "events_a")
+        _link_parquet(src, d, "events_b")
         _DUP_STREAM_DIRS[sf_dir] = d
     return _DUP_STREAM_DIRS[sf_dir]
 
