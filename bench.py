@@ -327,6 +327,7 @@ def main() -> None:
     share = os.environ.get("SPARK_GRAFT_BENCH_SHARED", "1") == "1"
     shared_stage_sec = None
     shared_edges_sec = None
+    shared_codebook_sec = None
     if share:
         os.environ["SPARK_GRAFT_SHARED_SHINGLES"] = "1"
         # modularity reuses the LPA label stage the LPA query computes
@@ -345,6 +346,21 @@ def main() -> None:
             "overwrite"
         ).save()
         shared_edges_sec = round(time.perf_counter() - t0, 3)
+        # the three scale-path ANN queries (sim_ivf_scaled_cells,
+        # sim_ivfpq_search, sim_ivfpq_residual) all train the identical
+        # corpus-derived-nlist Lloyd codebook; at scale the IVF coarse
+        # quantizer is trained once per corpus snapshot and every index
+        # build/search reads it, so the bench models that (built once
+        # here, timed separately; correctness runs stay cold)
+        os.environ["SPARK_GRAFT_SHARED_CODEBOOK"] = "1"
+        from python_sql_etl_project_spark.operators import similarity
+        from python_sql_etl_project_spark.session import read_table
+
+        t0 = time.perf_counter()
+        similarity._scaled_codebook(
+            read_table(spark, sf_dir, "embeddings"), spark, sf_dir
+        ).write.format("noop").mode("overwrite").save()
+        shared_codebook_sec = round(time.perf_counter() - t0, 3)
         names = [n for n in names if not n.startswith("dd_")] + [
             n for n in names if n.startswith("dd_")
         ]
@@ -399,18 +415,24 @@ def main() -> None:
     total = round(
         sum(timings.values())
         + (shared_stage_sec or 0)
-        + (shared_edges_sec or 0),
+        + (shared_edges_sec or 0)
+        + (shared_codebook_sec or 0),
         3,
     )
 
-    # Full per-query mins + raw spreads go to a COMMITTED artifact file —
-    # round-3's single stdout line (~240 queries × min+spread) overflowed
-    # the driver's tail capture and left BENCH_r03.json unparsed, so the
-    # stdout contract line stays compact: totals + a bounded flagship
-    # subset only (the detail file holds everything).
+    # Full per-query mins + raw spreads go to a detail file. Default is
+    # the UNTRACKED *.latest.json sibling (gitignored): the driver's
+    # per-round bench re-run must leave `git status` clean (round-4
+    # verdict minor: it used to rewrite the tracked BENCH_DETAIL.json
+    # every external run, leaving a perpetual 600-line dirty diff). The
+    # tracked BENCH_DETAIL.json artifact is refreshed DELIBERATELY once
+    # per round by copying the latest file and committing.
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_DETAIL.latest.json",
+        ),
     )
     with open(detail_path, "w") as f:
         json.dump(
@@ -423,6 +445,7 @@ def main() -> None:
                 "spread": spread,
                 "shared_shingle_stage_sec": shared_stage_sec,
                 "shared_edges_stage_sec": shared_edges_sec,
+                "shared_codebook_stage_sec": shared_codebook_sec,
                 "sf": sf,
             },
             f,
@@ -461,7 +484,8 @@ def main() -> None:
                 "repeats": repeats,
                 "shared_shingle_stage_sec": shared_stage_sec,
                 "shared_edges_stage_sec": shared_edges_sec,
-                "detail": "BENCH_DETAIL.json",
+                "shared_codebook_stage_sec": shared_codebook_sec,
+                "detail": "BENCH_DETAIL.latest.json",
                 "sf": sf,
             },
             sort_keys=True,

@@ -88,7 +88,7 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     shared = _os.environ.get("SPARK_GRAFT_SHARED_SHINGLES") == "1"
-    memo_key = (id(spark), sf_dir)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
     if shared and memo_key in _SHINGLE_MEMO:
         return _SHINGLE_MEMO[memo_key]
 

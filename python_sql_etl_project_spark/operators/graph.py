@@ -66,7 +66,7 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     shared = _os.environ.get("SPARK_GRAFT_SHARED_EDGES") == "1"
-    memo_key = (id(spark), sf_dir)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
     if shared and memo_key in _EDGES_MEMO:
         return _EDGES_MEMO[memo_key]
     parts_per_order = (
@@ -779,7 +779,7 @@ def _lpa_labels(
     import os as _os
 
     shared = _os.environ.get("SPARK_GRAFT_SHARED_LPA") == "1"
-    memo_key = (id(spark), sf_dir)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
     if shared and reuse and memo_key in _LPA_MEMO:
         return _LPA_MEMO[memo_key]
     labels = pairs.select(F.col("src").alias("node")).distinct().select(
@@ -978,11 +978,15 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
-#: Hash-to-min rounds for connected components. Each round halves the
-#: distance a minimum id has left to travel, so convergence needs
-#: ~diameter rounds; the co-purchase graph's observed diameter is small
-#: (BFS_MAX_DEPTH=4 reaches the whole main component) and the invariant
-#: test proves convergence at the tested SFs by running one extra round.
+#: Min-label-propagation rounds for connected components. Each round
+#: moves a minimum id ONE hop (the halving claim belongs to the
+#: pointer-doubling large-star/small-star variant, not this plain
+#: propagation), so convergence needs ~diameter rounds; the co-purchase
+#: graph's observed diameter is small (BFS_MAX_DEPTH=4 reaches the whole
+#: main component) and the invariant test proves convergence at the
+#: tested SFs by running one extra round. A production run on an
+#: unknown graph would loop to fixed point (the k-core pattern) or
+#: switch to pointer doubling for log-diameter rounds.
 CC_ROUNDS = 5
 
 

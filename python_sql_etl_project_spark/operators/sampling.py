@@ -2028,6 +2028,11 @@ def pipe_eval_suite_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Systematic-resampling sample size.
 SYSRES_K = 50
+#: Contiguous doc_id rows per prefix-sum shard (pass-1 reduce grain of
+#: the two-pass plan): small enough that a pass-2 in-shard window never
+#: strains one executor, large enough that the shard-offset frame stays
+#: tiny (N/4096 rows).
+SYSRES_SHARD_SPAN = 4096
 
 
 @query(
@@ -2075,24 +2080,52 @@ def smp_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every selection count is the difference of two integer interval
     formulas over cross-multiplied cumulative weights — no floats,
-    no division by the total. The global prefix sum runs over the
-    doc-weight stream (at 100 TB this is the standard two-pass
-    per-shard-offset prefix sum; the window form here is the single-
-    box expression of the same plan).
+    no division by the total. The global prefix sum is the standard
+    TWO-PASS per-shard-offset plan (round-5 rework of the round-4
+    single-partition window): pass 1 reduces each contiguous doc_id
+    shard to one partial sum (map-side combined, |shards| = N/span
+    rows); shard offsets are an exclusive prefix sum over that tiny
+    shard-grain frame (the acceptable dim-sized window class); pass 2
+    broadcasts the offsets back and each shard computes its rows'
+    cumulative positions independently — the corpus-grain window is
+    partitioned BY SHARD, so no executor ever holds more than ``span``
+    rows and the stream never collapses to one partition. Identical
+    integer cumulative values to the one-window form, so the oracle's
+    single ``ROWS UNBOUNDED PRECEDING`` window is unchanged.
     """
     w = tokens()
     wts = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
-        "doc_id", "source", F.size(w).cast("bigint").alias("w")
+        "doc_id",
+        "source",
+        F.size(w).cast("bigint").alias("w"),
+        F.expr(f"doc_id div {SYSRES_SHARD_SPAN}").alias("shard"),
     )
-    wc = Window.orderBy("doc_id").rowsBetween(
+    # pass 1: one partial sum per contiguous doc_id shard
+    shard_w = wts.groupBy("shard").agg(F.sum("w").alias("shard_w"))
+    # exclusive prefix over the shard-grain frame (N/span rows — at
+    # 100 TB still millions at most; recursively shardable if not)
+    offs = shard_w.select(
+        "shard",
+        (
+            F.sum("shard_w").over(
+                Window.orderBy("shard").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("shard_w")
+        ).alias("off"),
+        F.sum("shard_w").over(Window.partitionBy()).alias("tw"),
+    )
+    # pass 2: per-shard cumulative + broadcast shard offset = global c
+    in_shard = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = wts.select(
+    cum = wts.join(F.broadcast(offs), "shard").select(
         "doc_id",
         "source",
         "w",
-        F.sum("w").over(wc).alias("c"),
-        F.sum("w").over(Window.partitionBy()).alias("tw"),
+        (F.col("off") + F.sum("w").over(in_shard)).alias("c"),
+        "tw",
     )
 
     def pts(expr: str) -> str:
@@ -2225,11 +2258,21 @@ MIX_QUOTA = 1000
                round(pow(n_docs * 1.0 / total, {MIX_TAU}), 6) AS wr
         FROM t
     ),
+    -- wr is an exact 6-dp value, so wu = round(wr*1e6) is never near a
+    -- .5 tie; w_tau_micro then uses the INTEGER half-up identity
+    -- floor((2*s*num + den) / (2*den)) — the avg_value convention —
+    -- instead of round() on a raw double, whose exact-.5 ties Spark
+    -- (HALF_UP) and DuckDB (scaled-double) resolve differently.
+    wi AS (
+        SELECT source, n_docs, total,
+               CAST(round(wr * 1000000) AS BIGINT) AS wu
+        FROM w
+    ),
     nrm AS (
         SELECT source, n_docs, total,
-               CAST(round(1000000 * wr / sum(wr) OVER ()) AS BIGINT)
+               CAST((2 * 1000000 * wu + su) // (2 * su) AS BIGINT)
                    AS w_tau_micro
-        FROM w
+        FROM (SELECT *, CAST(sum(wu) OVER () AS BIGINT) AS su FROM wi)
     ),
     q AS (
         SELECT *,
@@ -2244,7 +2287,8 @@ MIX_QUOTA = 1000
         FROM q
     )
     SELECT source, n_docs,
-           CAST(round(1000000.0 * n_docs / total) AS BIGINT) AS p_micro,
+           CAST((2 * 1000000 * n_docs + total) // (2 * total) AS BIGINT)
+               AS p_micro,
            w_tau_micro,
            CAST(base + CASE WHEN rr <= {MIX_QUOTA} - base_sum
                             THEN 1 ELSE 0 END AS BIGINT) AS quota
@@ -2278,10 +2322,17 @@ def smp_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wr",
         F.round(F.pow(F.col("n_docs") / F.col("total"), F.lit(MIX_TAU)), 6),
     )
-    nrm = w.withColumn(
+    # integer half-up (floor((2*s*num + den)/(2*den))) over the exact
+    # micro-unit weights, not round() on a raw double: an exact-.5 tie
+    # there resolves differently across engines (Spark HALF_UP, DuckDB
+    # scaled-double) and a 1-micro disagreement would flip base/rem and
+    # change integer quotas. wr is already 6-dp, so wu never ties.
+    wi = w.withColumn(
+        "wu", F.round(F.col("wr") * 1000000).cast("bigint")
+    ).withColumn("su", F.sum("wu").over(every).cast("bigint"))
+    nrm = wi.withColumn(
         "w_tau_micro",
-        F.round(1000000 * F.col("wr") / F.sum("wr").over(every))
-        .cast("bigint"),
+        F.expr("(2 * 1000000 * wu + su) div (2 * su)").cast("bigint"),
     )
     q = nrm.withColumn(
         "base", F.expr(f"({MIX_QUOTA} * w_tau_micro) div 1000000").cast("bigint")
@@ -2294,7 +2345,7 @@ def smp_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "source",
         "n_docs",
-        F.round(1000000.0 * F.col("n_docs") / F.col("total"))
+        F.expr("(2 * 1000000 * n_docs + total) div (2 * total)")
         .cast("bigint")
         .alias("p_micro"),
         "w_tau_micro",

@@ -418,31 +418,77 @@ def date_order_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_sketches")  # no oracle: sketch internals are engine-specific
+@query(
+    "agg_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS hll_within_6pct,
+           TRUE AS median_rank_within_1pct
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the ACTUAL 100 TB answer to distinct
     counts and quantiles (HyperLogLog++ and an approximate-percentile
     sketch: bounded memory, one pass, mergeable partials — what the
     streaming sliding-window query and exact-quantile query point to as
-    their scale path).
+    their scale path), gated by the ACCURACY-CONTRACT pattern
+    (`agg_hll_audit`'s round-4 fix, applied here in round 5 to erase
+    the registry's only oracle-less entry): sketch register layouts are
+    engine-private so the ESTIMATES can never cross-engine hash-match,
+    but the error bounds they advertise are portable facts the oracle
+    can assert as constants.
 
-    No SQL oracle: sketch estimates are engine-specific by construction
-    (the driver records a rows-only check); `tests/test_approx.py` bounds
-    the estimates against exact values instead.
+    Gated columns: the exact distinct-order count, the group size, and
+    two booleans — the HLL++ estimate (rsd=2%) lands within 6% (3σ) of
+    exact, and the approx median's true RANK lands within 1% of n/2
+    (``percentile_approx`` accuracy=10000 guarantees rank error
+    ≤ n/10000 — 100× headroom, and the rank contract holds under ANY
+    partial-merge order, so the boolean is stable even though the
+    sketch value itself may wobble with partitioning). A Spark upgrade
+    that degrades either sketch flips a boolean and the hash gate
+    names the group.
+
+    Scale shape: one map-side-combinable sketch pass; the exact
+    distinct count and the rank-check join-back exist only in this
+    audit — production consumers read the estimates alone.
     """
     li = read_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("hll_est"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("apx_med"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    # rank of the approx median within its group: one broadcast of the
+    # |groups|-row medians back over the fact
+    rank = (
+        li.join(F.broadcast(g.select("l_returnflag", "apx_med")), "l_returnflag")
+        .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
-                "approx_orders"
-            ),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
-                "approx_median_price"
-            ),
-            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("apx_med"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rank_le")
         )
-        .orderBy("l_returnflag")
+    )
+    return g.join(rank, "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
+        "n",
+        (
+            F.abs(F.col("hll_est") - F.col("exact_orders")) * 100
+            <= F.col("exact_orders") * 6
+        ).alias("hll_within_6pct"),
+        # |rank_le - n/2| <= n/100 + 1, in integers:
+        (
+            F.abs(2 * F.col("rank_le") - F.col("n"))
+            <= F.expr("2 * (n div 100) + 2")
+        ).alias("median_rank_within_1pct"),
     )
 
 
@@ -5052,7 +5098,7 @@ def agg_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS est_rows,
            a.actual_rows,
            CAST((1000000 * a.actual_rows)
-                // ((nl.n_lineitem * s.n_orders) // s.total_orders)
+                // greatest((nl.n_lineitem * s.n_orders) // s.total_orders, 1)
                 AS BIGINT) AS actual_over_est_micro
     FROM sel s JOIN act a USING (o_orderstatus), nl
     """,
@@ -5095,9 +5141,13 @@ def dq_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST((n_lineitem * n_orders) div total_orders AS BIGINT)"
             ).alias("est_rows"),
             "actual_rows",
+            # greatest(est, 1): a slice selective enough to floor the
+            # estimate to 0 must not divide by zero (Spark's non-ANSI
+            # div NULLs, DuckDB errors — a data-dependent parity break)
             F.expr(
                 "CAST((1000000 * actual_rows) div "
-                "((n_lineitem * n_orders) div total_orders) AS BIGINT)"
+                "greatest((n_lineitem * n_orders) div total_orders, 1)"
+                " AS BIGINT)"
             ).alias("actual_over_est_micro"),
         )
     )
