@@ -499,10 +499,11 @@ def _phash_col_spark(hexcol: str):
     return acc
 
 
-@query(
-    "mm_phash_neardup_pairs",
-    oracle=f"""
-    WITH assets AS (
+#: Shared oracle CTEs for the phash near-dup pair stage: one definition
+#: feeds BOTH the pairs query and the clusters query so candidate and
+#: threshold semantics cannot drift between them.
+_PHASH_PAIRS_CTES = f"""
+    assets AS (
         SELECT doc_id AS asset_id, md5(text) AS payload_hex
         FROM documents
     ),
@@ -524,6 +525,13 @@ def _phash_col_spark(hexcol: str):
          AND a.nibble_val = b.nibble_val
          AND a.asset_id < b.asset_id
     )
+"""
+
+
+@query(
+    "mm_phash_neardup_pairs",
+    oracle=f"""
+    WITH {_PHASH_PAIRS_CTES}
     SELECT a1, a2,
            CAST(bit_count(CAST(xor(h1, h2) AS BIGINT)) AS INT) AS hamming
     FROM cand
@@ -921,3 +929,120 @@ def mm_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_idx", "ratio_w", "ratio_h", "batch_id", "n_images",
         "min_aspect_micro", "max_aspect_micro", "spread_micro",
     )
+
+
+#: Hash-to-min rounds for phash dup clusters: near-dup clusters are
+#: shallow (pair chains, not long paths), but rounds are pinned with
+#: headroom and the invariant test proves one extra round is the
+#: identity at the tested SFs.
+MM_CC_ROUNDS = 4
+
+
+def _mm_cc_round_sql(prev: str, this: str) -> str:
+    return f"""
+    {this} AS MATERIALIZED (
+        SELECT n.node, least(n.label, coalesce(m.minl, n.label)) AS label
+        FROM {prev} n LEFT JOIN (
+            SELECT e.dst AS node, min(c.label) AS minl
+            FROM medges e JOIN {prev} c ON c.node = e.src
+            GROUP BY e.dst
+        ) m ON m.node = n.node
+    )"""
+
+
+@query(
+    "mm_phash_dup_clusters",
+    oracle=f"""
+    WITH {_PHASH_PAIRS_CTES},
+    prs AS MATERIALIZED (
+        SELECT a1, a2 FROM cand
+        WHERE bit_count(CAST(xor(h1, h2) AS BIGINT)) <= {PHASH_MAX_HAMMING}
+    ),
+    medges AS MATERIALIZED (
+        SELECT a1 AS src, a2 AS dst FROM prs
+        UNION ALL
+        SELECT a2 AS src, a1 AS dst FROM prs
+    ),
+    m0 AS (SELECT DISTINCT src AS node, src AS label FROM medges),
+    {",".join(_mm_cc_round_sql(f"m{i}", f"m{i + 1}") for i in range(MM_CC_ROUNDS))}
+    SELECT label AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(min(node) AS BIGINT) AS min_asset
+    FROM m{MM_CC_ROUNDS}
+    GROUP BY 1
+    """,
+)
+def mm_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash duplicate CLUSTERS — the step after
+    `mm_phash_neardup_pairs` that an asset-dedup pipeline actually
+    consumes (the `dd_duplicate_clusters` endgame applied to the
+    multimodal catalog): pairwise near-dups are closed into connected
+    components by hash-to-min label propagation, so transitive chains
+    (A≈B≈C with A,C beyond the Hamming threshold) land in ONE cluster
+    and keep-best selection can run per cluster. Only assets appearing
+    in some pair are clustered — singletons need no dedup decision.
+
+    Determinism: the pair stage is the registered pairs query verbatim
+    (one shared definition both engines); label updates are pure min
+    over exactly {MM_CC_ROUNDS} synchronous rounds (converged with
+    headroom at the tested SFs — the invariant test runs one extra
+    round and asserts identity).
+
+    Scale shape: pair generation stays nibble-blocked (never corpus²);
+    the CC rounds are |cluster-members|-sized label vectors joining a
+    pair list that near-dup sparsity keeps tiny relative to the corpus
+    — the same Pregel-as-joins shape as `graph_connected_components`,
+    on a far smaller graph.
+    """
+    from pyspark import StorageLevel
+
+    prs = mm_phash_neardup_pairs(spark, sf_dir).select("a1", "a2")
+    edges = (
+        prs.select(F.col("a1").alias("src"), F.col("a2").alias("dst"))
+        .unionByName(
+            prs.select(F.col("a2").alias("src"), F.col("a1").alias("dst"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(MM_CC_ROUNDS):
+        minl = (
+            edges.join(
+                labels.select(F.col("node").alias("src"), "label"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("minl"))
+        )
+        nxt = (
+            labels.join(minl, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("minl", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            nxt.alias("a")
+            .join(labels.alias("b"), "node")
+            .filter(F.col("a.label") != F.col("b.label"))
+            .count()
+        )
+        labels = nxt
+        if n_changed == 0:
+            break
+    out = labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.min("node").cast("bigint").alias("min_asset"),
+    )
+    from ..session import finalize_unpersist
+
+    res = finalize_unpersist(out)
+    edges.unpersist()
+    return res

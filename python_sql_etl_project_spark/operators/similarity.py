@@ -2326,3 +2326,138 @@ def sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import finalize_unpersist
 
     return finalize_unpersist(out, assign, qdist)
+
+
+@query(
+    "sim_nndescent_round",
+    oracle=f"""
+    WITH {_coded_capped_ctes()},
+    prs AS MATERIALIZED (
+        SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+        FROM coded x JOIN coded y ON y.band = x.band AND y.code = x.code
+                                 AND y.vec_id <> x.vec_id
+    ),
+    s0 AS MATERIALIZED (
+        SELECT c.query_id, c.neighbor_id, {_COS_SQL} AS cosine
+        FROM prs c
+        JOIN embeddings a ON a.vec_id = c.query_id
+        JOIN embeddings b ON b.vec_id = c.neighbor_id
+    ),
+    b0 AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id)
+                          AS r
+            FROM s0
+        ) t WHERE r <= {TOP_K}
+    ),
+    cand1 AS (
+        SELECT query_id, neighbor_id FROM b0
+        UNION
+        SELECT x.query_id, y.neighbor_id
+        FROM b0 x JOIN b0 y ON y.query_id = x.neighbor_id
+        WHERE y.neighbor_id <> x.query_id
+    ),
+    s1 AS (
+        SELECT c.query_id, c.neighbor_id, {_COS_SQL} AS cosine
+        FROM cand1 c
+        JOIN embeddings a ON a.vec_id = c.query_id
+        JOIN embeddings b ON b.vec_id = c.neighbor_id
+    ),
+    rankedn AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id)
+                      AS rank
+        FROM s1
+    )
+    SELECT query_id, rank, neighbor_id, cosine
+    FROM rankedn WHERE rank <= {TOP_K}
+    """,
+)
+def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-DESCENT refinement round (Dong et al. 2011) — the
+    k-NN-GRAPH construction algorithm behind HNSW/NGT-style indexes, in
+    relational form, seeded the way production graph builds are: the
+    initial neighbor lists come from the CHEAP band-LSH candidate stage
+    (`sim_ann_band_lsh`'s bucket-capped collisions — sparse, imperfect
+    recall), then one round exploits "a neighbor of my neighbor is
+    probably my neighbor": each vector's candidate set is its current
+    top-{TOP_K} list UNION its neighbors' top-{TOP_K} lists, scored
+    exactly, re-ranked, top-k kept — recovering true neighbors the LSH
+    buckets missed. The round is pure equi-joins — the
+    neighbor-of-neighbor expansion is b0 ⋈ b0 on the shared endpoint
+    (|V|·k² rows, LINEAR in the corpus for fixed k) — so the full
+    NN-descent loop at 100 TB is this round iterated to convergence,
+    shuffling only |V|·k-sized neighbor lists. The invariant test pins
+    the monotone-improvement contract (round-1 lists are never worse
+    than the seed lists, and some strictly improve).
+
+    Determinism: the sequential-fold cosine, 6-dp round before ranking,
+    ties on neighbor_id — the module's proven float rules; candidate
+    dedup via UNION-distinct both sides.
+    """
+    from pyspark import StorageLevel
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    prs = _band_blocked_candidates(emb).select("d1", "d2", "cosine")
+    s0 = prs.select(
+        F.col("d1").alias("query_id"),
+        F.col("d2").alias("neighbor_id"),
+        "cosine",
+    ).unionByName(
+        prs.select(
+            F.col("d2").alias("query_id"),
+            F.col("d1").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    b0 = (
+        s0.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= TOP_K)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    non = (
+        b0.select(F.col("neighbor_id").alias("mid"), "query_id")
+        .join(
+            b0.select(
+                F.col("query_id").alias("mid"),
+                F.col("neighbor_id").alias("nn_id"),
+            ),
+            "mid",
+        )
+        .filter(F.col("nn_id") != F.col("query_id"))
+        .select("query_id", F.col("nn_id").alias("neighbor_id"))
+    )
+    cand1 = b0.select("query_id", "neighbor_id").unionByName(non).distinct()
+    normed = emb.withColumn("nrm", _norm(F.col("embedding")))
+    a = normed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    scored = (
+        cand1.join(a, "query_id")
+        .join(b, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_prenorm(
+                F.col("qe"), F.col("ne"), F.col("qn"), F.col("nn")
+            ).alias("cosine"),
+        )
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+    from ..session import finalize_unpersist
+
+    return finalize_unpersist(out, b0)

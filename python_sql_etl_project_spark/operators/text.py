@@ -1806,3 +1806,222 @@ def txt_bpe_merge_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+#: MATTR window length (tokens). 25 is the Covington & McFall default
+#: scaled to the synthetic corpus' ~30-160-token documents.
+MATTR_W = 25
+
+
+@query(
+    "txt_mattr_diversity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CASE WHEN len(w) >= {MATTR_W} THEN
+                   CAST(list_sum(list_transform(
+                        range(1, len(w) - {MATTR_W} + 2),
+                        i -> len(list_distinct(w[i:i+{MATTR_W}-1]))))
+                        AS BIGINT)
+               ELSE CAST(len(list_distinct(w)) AS BIGINT) END AS num,
+               CASE WHEN len(w) >= {MATTR_W}
+                    THEN CAST({MATTR_W} * (len(w) - {MATTR_W} + 1) AS BIGINT)
+                    ELSE CAST(len(w) AS BIGINT) END AS den
+        FROM tok
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((2 * 1000000 * num + den) // (2 * den) AS BIGINT)
+               AS mattr_micro
+    FROM scored
+    """,
+)
+def txt_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR lexical diversity (moving-average type-token ratio,
+    Covington & McFall 2010) — the length-robust replacement for the
+    plain TTR `txt_quality_score` carries: TTR over every sliding
+    {MATTR_W}-token window, averaged, so a 30-token note and a
+    160-token article are scored on the same scale (plain TTR decays
+    mechanically with length — Heaps' law, measured by
+    `txt_heaps_law_fit`). Documents shorter than the window fall back
+    to plain TTR. A corpus-quality gate uses this exactly like the
+    Gopher rules: low MATTR = repetitive/templated text.
+
+    Pure integer arithmetic end to end: per-window distinct counts are
+    exact integers, the mean is one integer half-up division — nothing
+    transcendental, nothing floating. Per-document array expressions
+    (transform over slice + array_distinct) are embarrassingly parallel
+    — no shuffle at all after the repartitioned scan; cost is
+    O(n_tokens × {MATTR_W}) per document, flat per row at any corpus
+    size.
+    """
+    w = tokens()
+    n = F.size("w")
+    win_sum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n - MATTR_W + 1),
+            lambda i: F.size(F.array_distinct(F.slice(F.col("w"), i, MATTR_W))),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    num = F.when(n >= MATTR_W, win_sum).otherwise(
+        F.size(F.array_distinct("w")).cast("bigint")
+    )
+    den = F.when(
+        n >= MATTR_W, (MATTR_W * (n - MATTR_W + 1)).cast("bigint")
+    ).otherwise(n.cast("bigint"))
+    return (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", "source", w.alias("w"))
+        .select(
+            "doc_id",
+            "source",
+            n.cast("bigint").alias("n_tokens"),
+            num.alias("num"),
+            den.alias("den"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr("(2 * 1000000 * num + den) div (2 * den)")
+            .cast("bigint")
+            .alias("mattr_micro"),
+        )
+    )
+
+
+#: CDC rolling-context length (tokens) and boundary mask: a chunk
+#: boundary falls after token i when md5 of the k-gram ending at i
+#: starts with hex 0 or 1 — acceptance 2/16, so chunks average ~8
+#: tokens on random text.
+CDC_K = 3
+CDC_MASK = ("0", "1")
+
+
+@query(
+    "txt_cdc_chunks",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+               CASE WHEN len(w) > {CDC_K} THEN
+                   list_filter(range({CDC_K}, len(w)),
+                       i -> substr(md5(array_to_string(
+                                w[i-{CDC_K}+1:i], ' ')), 1, 1)
+                            IN ('{CDC_MASK[0]}', '{CDC_MASK[1]}'))
+               ELSE CAST([] AS BIGINT[]) END AS bpos
+        FROM tok
+    ),
+    chunks AS (
+        SELECT doc_id, w, n,
+               list_concat([CAST(1 AS BIGINT)],
+                           list_transform(bpos, p -> p + 1)) AS starts,
+               list_concat(bpos, [n]) AS ends
+        FROM base
+    ),
+    hashes AS (
+        SELECT doc_id, n, CAST(len(starts) AS BIGINT) AS n_chunks,
+               list_transform(range(1, len(starts) + 1),
+                   j -> md5(array_to_string(w[starts[j]:ends[j]], ' ')))
+                   AS hs
+        FROM chunks
+    ),
+    expl AS (SELECT doc_id, unnest(hs) AS h FROM hashes),
+    freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM expl GROUP BY h),
+    shared AS (
+        SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM expl e JOIN freq USING (h) WHERE nd >= 2
+        GROUP BY e.doc_id
+    )
+    SELECT h.doc_id, h.n AS n_tokens, h.n_chunks,
+           CAST((2 * 1000000 * h.n + h.n_chunks) // (2 * h.n_chunks)
+                AS BIGINT) AS avg_chunk_tokens_micro,
+           CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared_chunks
+    FROM hashes h LEFT JOIN shared s USING (doc_id)
+    """,
+)
+def txt_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync family, token
+    grain) — the dedup primitive `dd_span_dedup_retention`'s fixed
+    spans approximate: a chunk boundary falls wherever the rolling
+    {CDC_K}-gram hash lands in the boundary mask, so chunk edges are
+    determined by CONTENT, not position — an insertion early in a
+    document shifts every fixed-window span but leaves all later CDC
+    chunks (and so their dedup hashes) intact. Emits per document the
+    chunk census plus how many of its chunk instances also occur in
+    some OTHER document — the cross-document shared-content signal a
+    storage dedup or a near-dup triage reads.
+
+    Determinism: md5 on identical strings, integer positions, integer
+    half-up mean — nothing floating anywhere.
+
+    Scale shape: chunking is a per-row array pipeline (filter/
+    transform/zip_with over the token array — no shuffle, no UDF); the
+    sharing census is one groupBy on chunk hash (map-side combinable)
+    plus one join back — the same two-shuffle shape as the exact-dedup
+    operator, with fan-out bounded by tokens/chunk ≈ 8.
+    """
+    bpos = (
+        f"CASE WHEN size(w) > {CDC_K} THEN"
+        f" filter(sequence({CDC_K}, size(w) - 1),"
+        f" i -> substring(md5(concat_ws(' ', slice(w, i - {CDC_K} + 1,"
+        f" {CDC_K}))), 1, 1) IN ('{CDC_MASK[0]}', '{CDC_MASK[1]}'))"
+        f" ELSE CAST(array() AS array<int>) END"
+    )
+    doc = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", tokens().alias("w"))
+        .select("doc_id", "w", F.size("w").alias("n"), F.expr(bpos).alias("bpos"))
+        .select(
+            "doc_id",
+            "w",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.expr("concat(array(1), transform(bpos, p -> p + 1))").alias(
+                "starts"
+            ),
+            F.expr("concat(bpos, array(n))").alias("ends"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("CAST(size(starts) AS BIGINT)").alias("n_chunks"),
+            F.expr(
+                "zip_with(starts, ends,"
+                " (s, e) -> md5(concat_ws(' ', slice(w, s, e - s + 1))))"
+            ).alias("hs"),
+        )
+    )
+    expl = doc.select("doc_id", F.explode("hs").alias("h"))
+    freq = expl.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    shared = (
+        expl.join(freq, "h")
+        .filter(F.col("nd") >= 2)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        doc.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chunks",
+            F.expr("(2 * 1000000 * n_tokens + n_chunks) div (2 * n_chunks)")
+            .cast("bigint")
+            .alias("avg_chunk_tokens_micro"),
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias(
+                "n_shared_chunks"
+            ),
+        )
+    )

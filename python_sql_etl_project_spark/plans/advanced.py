@@ -5151,3 +5151,406 @@ def dq_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("actual_over_est_micro"),
         )
     )
+
+
+#: Customer table columns audited by the completeness matrix (name →
+#: whether a blank-string check applies). One pass computes every cell.
+COMPLETENESS_COLS = (
+    ("c_name", True),
+    ("c_nationkey", False),
+    ("c_acctbal", False),
+    ("c_mktsegment", True),
+)
+
+
+@query(
+    "dq_completeness_matrix",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM customer)
+    SELECT col_name, n.n_rows, n_null, n_blank,
+           CAST((1000000 * (n.n_rows - n_null - n_blank)) // n.n_rows
+                AS BIGINT) AS completeness_micro
+    FROM (
+        SELECT 'c_name' AS col_name,
+               CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(sum(CASE WHEN trim(coalesce(c_name, 'x')) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank
+        FROM customer
+        UNION ALL
+        SELECT 'c_nationkey' AS col_name,
+               CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(0 AS BIGINT) AS n_blank
+        FROM customer
+        UNION ALL
+        SELECT 'c_acctbal' AS col_name,
+               CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(0 AS BIGINT) AS n_blank
+        FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment' AS col_name,
+               CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(sum(CASE WHEN trim(coalesce(c_mktsegment, 'x')) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank
+        FROM customer
+    ) cells, n
+    """,
+)
+def dq_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-completeness matrix — the first page of every data-quality
+    dashboard (Deequ's ``Completeness`` analyzer, profilers' null
+    census): for each audited customer column, the null count, the
+    blank-after-trim count (strings only), and the completeness ratio
+    in micro-units. Emitted LONG (one row per column) so a dashboard or
+    a drift monitor can diff matrices across snapshots without schema
+    churn when the audited column set grows.
+
+    Scale shape: ONE aggregation pass computes every (column × metric)
+    cell as a conditional sum — map-side combined, no shuffle per
+    column, no second scan; the wide→long unpivot happens on the
+    1-row aggregate via ``stack``. Integer floor division for the
+    ratio (both engines).
+    """
+    c = read_table(spark, sf_dir, "customer")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for col, is_str in COMPLETENESS_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"null_{col}")
+        )
+        blank = (
+            F.when(F.trim(F.coalesce(F.col(col), F.lit("x"))) == "", 1)
+            .otherwise(0)
+            if is_str
+            else F.lit(0)
+        )
+        aggs.append(F.sum(blank).cast("bigint").alias(f"blank_{col}"))
+    wide = c.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', null_{col}, blank_{col}" for col, _ in COMPLETENESS_COLS
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(COMPLETENESS_COLS)}, {stack_args})"
+            " AS (col_name, n_null, n_blank)"
+        ),
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        "n_blank",
+        F.expr("(1000000 * (n_rows - n_null - n_blank)) div n_rows")
+        .cast("bigint")
+        .alias("completeness_micro"),
+    )
+
+
+#: The warehouse's FK graph, audited in one sweep: child table, FK
+#: column, parent table, PK column.
+FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@query(
+    "dq_referential_integrity_sweep",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{child}.{fk}' AS fk_name,
+           CAST(count(*) AS BIGINT) AS n_child_rows,
+           CAST(sum(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_keys,
+           CAST(sum(CASE WHEN {fk} IS NOT NULL AND NOT EXISTS (
+                    SELECT 1 FROM {parent} p WHERE p.{pk} = {child}.{fk})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM {child}"""
+        for child, fk, parent, pk in FK_EDGES
+    ),
+)
+def dq_referential_integrity_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep over the WHOLE warehouse FK graph in
+    one report — the generalization of `ref_orphan_repair`'s single-FK
+    check (and the audit a lakehouse without enforced constraints runs
+    nightly): for each declared FK edge, the child row count, null-key
+    count, and the count of non-null keys with no parent row. All-zero
+    orphan rows are emitted too — the report's value is the ASSERTION,
+    not just the violations.
+
+    Scale shape: per edge one LEFT ANTI join against the parent's
+    projected PK column (broadcast where the dim is small, shuffled
+    hash join for fact-fact; Catalyst picks per AQE stats) reduced to a
+    single count — never a row-level materialization of matches; the
+    per-edge 1-row summaries union into the report. The whole sweep is
+    |edges| independent jobs with no cross-edge shuffle.
+    """
+    rows = None
+    for child, fk, parent, pk in FK_EDGES:
+        ch = read_table(spark, sf_dir, child)
+        pa = read_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("__pk")
+        )
+        orphans = (
+            ch.filter(F.col(fk).isNotNull())
+            .select(F.col(fk).alias("__pk"))
+            .join(pa, "__pk", "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        base = ch.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_keys"),
+        )
+        edge = (
+            base.crossJoin(orphans)
+            .select(
+                F.lit(f"{child}.{fk}").alias("fk_name"),
+                "n_child_rows",
+                "n_null_keys",
+                "n_orphans",
+            )
+        )
+        rows = edge if rows is None else rows.unionByName(edge)
+    return rows
+
+
+@query(
+    "agg_theil_index",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    x AS (
+        SELECT c.c_nationkey AS nation_key, r.cents
+        FROM rev r JOIN customer c ON c.c_custkey = r.o_custkey
+    ),
+    g AS (
+        SELECT nation_key, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS xg
+        FROM x GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_customers) AS BIGINT) AS n,
+               CAST(sum(xg) AS BIGINT) AS xt
+        FROM g
+    ),
+    terms AS (
+        SELECT x.nation_key,
+               CAST(round((CAST(x.cents AS DOUBLE) / CAST(g.xg AS DOUBLE))
+                    * ln(CAST(x.cents * g.n_customers AS DOUBLE)
+                         / CAST(g.xg AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+        FROM x JOIN g USING (nation_key)
+    ),
+    tw AS (
+        SELECT nation_key, CAST(round(sum(term), 6) AS DOUBLE) AS theil_within
+        FROM terms GROUP BY 1
+    )
+    SELECT g.nation_key, g.n_customers, g.xg AS revenue_cents,
+           CAST((2 * 1000000 * g.xg + t.xt) // (2 * t.xt) AS BIGINT)
+               AS share_micro,
+           tw.theil_within,
+           CAST(round((CAST(g.xg AS DOUBLE) / CAST(t.xt AS DOUBLE))
+                * ln((CAST(g.xg AS DOUBLE) * CAST(t.n AS DOUBLE))
+                     / (CAST(g.n_customers AS DOUBLE)
+                        * CAST(t.xt AS DOUBLE))), 6)
+                AS DOUBLE) AS between_term
+    FROM g JOIN tw USING (nation_key), tot t
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer revenue, DECOMPOSED by
+    nation — the economist's complement to ``agg_gini_concentration``:
+    unlike Gini, Theil splits exactly into a within-group and a
+    between-group part (T = Σ_g s_g·T_g + Σ_g s_g·ln(mean_g/mean)), so
+    the report answers 'is revenue inequality driven by spread INSIDE
+    markets or BETWEEN them' — per nation: the revenue share
+    (micro-units, integer half-up), the within-nation Theil, and the
+    nation's between-group term.
+
+    Determinism: revenues are exact integer cents; every ln argument is
+    a ratio of exact BIGINT products cast to double (identical IEEE
+    values both engines), ln is the accepted 6-dp transcendental
+    boundary, and per-customer terms are summed as DECIMAL(18,6) —
+    exact, order-free — before the final 6-dp round (the
+    `smp_dsir_importance` convention).
+
+    Scale shape: one shuffle to customer grain, a broadcast of the
+    |nations|-row group aggregate back over it, and a
+    map-side-combinable decimal sum per nation — no window, no sort,
+    no corpus² anywhere.
+    """
+    rev = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nation_key")
+    )
+    x = rev.join(cust, rev.o_custkey == cust.c_custkey).select(
+        "nation_key", "cents"
+    )
+    g = x.groupBy("nation_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("xg"),
+    )
+    tot = g.agg(
+        F.sum("n_customers").cast("bigint").alias("n"),
+        F.sum("xg").cast("bigint").alias("xt"),
+    )
+    term = F.expr(
+        "CAST(round((CAST(cents AS DOUBLE) / CAST(xg AS DOUBLE))"
+        " * ln(CAST(cents * n_customers AS DOUBLE)"
+        "      / CAST(xg AS DOUBLE)), 6) AS DECIMAL(18,6))"
+    )
+    tw = (
+        x.join(F.broadcast(g), "nation_key")
+        .select("nation_key", term.alias("term"))
+        .groupBy("nation_key")
+        .agg(F.round(F.sum("term"), 6).cast("double").alias("theil_within"))
+    )
+    return (
+        g.join(tw, "nation_key")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation_key",
+            "n_customers",
+            F.col("xg").alias("revenue_cents"),
+            F.expr("CAST((2 * 1000000 * xg + xt) div (2 * xt) AS BIGINT)")
+            .alias("share_micro"),
+            "theil_within",
+            F.expr(
+                "CAST(round((CAST(xg AS DOUBLE) / CAST(xt AS DOUBLE))"
+                " * ln((CAST(xg AS DOUBLE) * CAST(n AS DOUBLE))"
+                "      / (CAST(n_customers AS DOUBLE)"
+                "         * CAST(xt AS DOUBLE))), 6) AS DOUBLE)"
+            ).alias("between_term"),
+        )
+    )
+
+
+#: As-of match staleness tolerance (days): an order older than this is
+#: no longer a valid attribution anchor for the event.
+ASOF_TOL_DAYS = 30
+
+
+@query(
+    "asof_tolerance_join",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT o_custkey AS user_id, o_orderdate AS t, o_orderkey,
+               NULL::BIGINT AS event_id, 1 AS is_order
+        FROM orders
+        UNION ALL
+        SELECT user_id, ts AS t, NULL::BIGINT AS o_orderkey,
+               event_id, 0 AS is_order
+        FROM events
+    ),
+    filled AS (
+        SELECT *,
+               last_value(CASE WHEN is_order = 1 THEN o_orderkey END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY t, is_order DESC, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS asof_orderkey,
+               last_value(CASE WHEN is_order = 1 THEN t END IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY t, is_order DESC, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS asof_orderdate
+        FROM tagged
+    ),
+    aged AS (
+        SELECT *,
+               date_diff('day', CAST(asof_orderdate AS DATE),
+                         CAST(t AS DATE)) AS age
+        FROM filled WHERE is_order = 0
+    )
+    SELECT event_id, user_id, t AS ts,
+           CASE WHEN asof_orderkey IS NOT NULL
+                 AND age <= {ASOF_TOL_DAYS}
+                THEN asof_orderkey END AS asof_orderkey_tol,
+           CASE WHEN asof_orderkey IS NOT NULL
+                 AND age <= {ASOF_TOL_DAYS}
+                THEN CAST(age AS BIGINT) END AS age_days,
+           (asof_orderkey IS NOT NULL AND age <= {ASOF_TOL_DAYS})
+               AS matched
+    FROM aged
+    """,
+)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH A STALENESS TOLERANCE — pandas
+    ``merge_asof(tolerance=...)`` semantics, the variant feature stores
+    and attribution pipelines actually deploy: each event takes the
+    customer's most recent order at-or-before it ONLY if that order is
+    at most {ASOF_TOL_DAYS} days old; a staler match is reported as no
+    match (a 9-month-old order must not anchor today's session). Emits
+    the match key, the match age in days, and an explicit boolean so
+    downstream aggregation can count coverage directly.
+
+    Same scalable union-merge shape as `asof_last_order_before_event`
+    (one shuffle on user_id + one per-user sort carrying the last order
+    forward — never an inequality join); the tolerance is a post-window
+    projection, so the plan cost is identical to the untolerated as-of.
+    Age is a calendar-day diff on DATE-cast values, computed identically
+    in both engines.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(1).alias("is_order"),
+    )
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        "event_id",
+        F.lit(0).alias("is_order"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", F.desc("is_order"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    order_key = F.when(F.col("is_order") == 1, F.col("o_orderkey"))
+    order_t = F.when(F.col("is_order") == 1, F.col("t"))
+    aged = (
+        o.unionByName(e)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("ts"),
+            "is_order",
+            F.last(order_key, ignorenulls=True).over(w).alias("asof_orderkey"),
+            F.last(order_t, ignorenulls=True).over(w).alias("asof_orderdate"),
+        )
+        .filter(F.col("is_order") == 0)
+        .withColumn(
+            "age", F.datediff(F.to_date("ts"), F.to_date("asof_orderdate"))
+        )
+    )
+    ok = F.col("asof_orderkey").isNotNull() & (
+        F.col("age") <= ASOF_TOL_DAYS
+    )
+    return aged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(ok, F.col("asof_orderkey")).alias("asof_orderkey_tol"),
+        F.when(ok, F.col("age").cast("bigint")).alias("age_days"),
+        ok.alias("matched"),
+    )

@@ -243,128 +243,19 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "win_lifecycle_stages",
     "win_new_vs_returning",
     "win_skyline_price_recency",
+    # round-5 additions after the window froze (locally oracle-gated;
+    # first candidates for the round-6 rotation):
+    "graph_cc_pointer_doubling",
+    "dq_completeness_matrix",
+    "dq_referential_integrity_sweep",
+    "agg_theil_index",
+    "txt_mattr_diversity",
+    "txt_cdc_chunks",
+    "mm_phash_dup_clusters",
+    "asof_tolerance_join",
+    "sim_nndescent_round",
 )
 
-#: Queries added AFTER this round's driver window froze. They are fully
-#: oracle-gated locally (tests/test_oracle_parity.py + tools/driver_sim.py
-#: at sf0.01) but cannot displace the window mid-round without
-#: invalidating the deliberate budget above; they are the FIRST
-#: candidates for the next round's window rotation. The union-coverage
-#: test allows exactly these names to lack a historical driver row.
-PENDING_EXTERNAL: tuple[str, ...] = (
-    "txt_bigram_lm_score",
-    "win_cumulative_distinct_users",
-    "ts_anomaly_zscore",
-    "ld_column_stats",
-    "pipe_incremental_curation",
-    "jn_bucketed_colocated_revenue",
-    "sim_ivf_recall_audit",
-    "txt_shingle_novelty",
-    "sim_semdedup_prune",
-    "smp_deterministic_shuffle",
-    "win_activity_islands",
-    "dd_minhash_estimate_audit",
-    "win_ntile_customer_quartiles",
-    "dq_batch_drift_psi",
-    "mm_payload_integrity",
-    "rng_session_concurrency",
-    "sk_countmin_heavy_hitters",
-    "jn_basket_brand_pairs",
-    "ts_seasonality_index",
-    "ld_partition_skew",
-    "fn_grouped_means_udaf",
-    "strm_static_dim_enrich",
-    "smp_weighted_priority_sample",
-    "win_rfm_segments",
-    "ts_ewma_hourly_value",
-    "sim_matryoshka_audit",
-    "smp_dsir_importance",
-    "graph_link_prediction",
-    "dq_iqr_outliers",
-    "txt_zipf_slope",
-    "dq_benford_audit",
-    "win_top_session_paths",
-    "sim_pq_audit",
-    "ts_changepoint_cusum",
-    "agg_gini_concentration",
-    "ts_autocorrelation",
-    "agg_hhi_concentration",
-    "win_mom_growth",
-    "graph_degree_distribution",
-    "smp_kfold_assignment",
-    "pack_order_fragmentation",
-    "txt_burstiness",
-    "agg_pareto_8020",
-    "win_second_purchase_latency",
-    "txt_js_divergence",
-    "smp_dedup_aware_split",
-    "graph_assortativity",
-    "scd2_interval_integrity",
-    "smp_balanced_upsample",
-    "mm_byte_uniformity",
-    "ld_column_histogram",
-    "pipe_training_mix_manifest",
-    "win_new_vs_returning",
-    "win_dau_mau_stickiness",
-    "win_attribution_last_touch",
-    "txt_gopher_rules",
-    "dq_order_total_reconciliation",
-    "fn_sql_scalar_udf",
-    "txt_oov_rate",
-    "dq_join_key_skew",
-    "ts_interval_union_coverage",
-    "agg_median_abs_deviation",
-    "ts_rolling_regression_slope",
-    "win_revenue_bridge",
-    "dq_inflight_observation",
-    "win_skyline_price_recency",
-    "strm_python_stream_source",
-    "sim_embedding_collapse_audit",
-    "txt_novelty_decay_curve",
-    "sim_hard_negatives",
-    "txt_heaps_law_fit",
-    "ts_m4_downsample",
-    "smp_curriculum_phases",
-    "jn_association_rules",
-    "txt_kwic_snippets",
-    "pack_padding_efficiency",
-    "ts_backtest_seasonal_naive",
-    "ld_snapshot_diff",
-    "agg_cohort_ltv",
-    "smp_coreset_kcenter",
-    "win_keyset_pagination",
-    "pipe_dataset_card",
-    "txt_compression_ratio",
-    "dq_drift_ks",
-    "ts_linear_interpolation",
-    "dq_sentinel_values",
-    "txt_tokenizer_fertility",
-    "date_calendar_dim",
-    "win_lifecycle_stages",
-    "smp_budget_apportionment",
-    "pipe_eval_suite_builder",
-    "mm_tile_grid",
-    "agg_higher_moments",
-    "funnel_view_click_purchase",
-    # round-4 additions after the window froze (locally oracle-gated;
-    # first candidates for the round-5 rotation):
-    "agg_price_quantiles_approx",
-    "agg_weighted_median_approx",
-    "graph_connected_components",
-    "sk_kmv_distinct",
-    "pack_length_grouped_batches",
-    "decon_semantic_eval_overlap",
-    "sim_ivfpq_residual",
-    "agg_hll_audit",
-    "txt_bpe_merge_census",
-    "mm_scene_cut_detect",
-    "agg_variance_decomposition",
-    "dq_join_cardinality_estimate",
-    "smp_temperature_sampling",
-    "mm_aspect_bucket_batches",
-    "strm_replay_idempotent_load",
-    "ld_incremental_agg_maintenance",
-)
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
 #: safety net if the window ever shrinks): (0) reference-parity rows;

@@ -1612,6 +1612,70 @@ def test_connected_components_converged_and_self_labeled(spark):
     assert extra == len(rows), "an extra round changed the partition"
 
 
+def test_pointer_doubling_cc_matches_hash_to_min(spark):
+    """The pointer-doubling CC must (a) self-label components by their
+    minimum member id, (b) produce EXACTLY the partition the hash-to-min
+    variant produces (two independent algorithms agreeing is the
+    algebraic cross-check), and (c) be a fixed point — one extra
+    combined round changes nothing (the pinned CC_PD_ROUNDS covers
+    log2(diameter) at this SF)."""
+    rows = sorted(
+        registry.QUERIES["graph_cc_pointer_doubling"](spark, SF).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.component == r.min_node
+    htm = sorted(
+        registry.QUERIES["graph_connected_components"](spark, SF).collect()
+    )
+    assert rows == htm, "pointer doubling and hash-to-min disagree"
+
+
+def test_nndescent_round_never_degrades(spark):
+    """NN-descent monotone-improvement contract: after one
+    neighbor-of-neighbor round, every query's k-th best cosine is >=
+    its round-0 (home-cell-only) k-th best — the candidate set only
+    ever GROWS, so the re-ranked top-k cannot get worse."""
+    from python_sql_etl_project_spark.operators import similarity as sim
+    from python_sql_etl_project_spark.session import read_table
+    from pyspark.sql import functions as F, Window
+
+    out = registry.QUERIES["sim_nndescent_round"](spark, SF)
+    r1 = {
+        (r.query_id, r.rank): r.cosine for r in out.collect()
+    }
+    assert r1
+    # round-0 baseline: the band-LSH seed lists, scored identically
+    emb = read_table(spark, SF, "embeddings")
+    prs = sim._band_blocked_candidates(emb).select("d1", "d2", "cosine")
+    s0 = prs.select(
+        F.col("d1").alias("query_id"),
+        F.col("d2").alias("neighbor_id"),
+        "cosine",
+    ).unionByName(
+        prs.select(
+            F.col("d2").alias("query_id"),
+            F.col("d1").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    r0 = {
+        (r.query_id, r.rank): r.cosine
+        for r in s0.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= sim.TOP_K)
+        .collect()
+    }
+    improved = 0
+    for key, c0 in r0.items():
+        c1 = r1.get(key)
+        assert c1 is not None and c1 >= c0, (key, c0, c1)
+        improved += c1 > c0
+    # the seed lists are deliberately imperfect (LSH bucket recall), so
+    # at least SOME list must strictly improve or the round is vacuous
+    assert improved > 0
+
+
 def test_kmv_estimate_brackets_exact(spark):
     """KMV sanity: when the sketch saturates (n_in_sketch == k) the
     estimate is within the standard ~3/sqrt(k-2) relative error of the

@@ -26,6 +26,19 @@ PARITY_SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 #: below; on any other Spark the parity check XFAILS instead of failing,
 #: so an engine upgrade surfaces as an expected-to-investigate signal,
 #: not a correctness regression (ADVICE r3: version-pin the tripwire).
+#:
+#: RE-VALIDATION RECIPE on a Spark bump (one step):
+#:
+#:   PARITY_SF_DIR=/root/testdata/sf0.01 python -m pytest \
+#:     tests/test_oracle_parity.py -k \
+#:     "strm_watermark_late_drop or strm_signup_purchase_leftouter" -q
+#:
+#: * both PASS on the new version → the lag model still holds: bump
+#:   WATERMARK_LAG_PINNED_MINOR to the new minor and commit;
+#: * either XFAILS → the commit-lag changed: re-derive the model per
+#:   the empirical-probe notes in ``streaming/windows.py`` (the
+#:   ``strm_watermark_late_drop`` docstring names the probe), update
+#:   the two oracles' lag constant, then bump the pin.
 WATERMARK_LAG_PINNED_MINOR = "4.1"
 VERSION_PINNED = {"strm_watermark_late_drop", "strm_signup_purchase_leftouter"}
 

@@ -49,6 +49,11 @@ BNLJ_ALLOWED = {
     "smp_balanced_upsample": "1-row max-count aggregate broadcast",
     "ld_column_histogram": "1-row (min, max) bounds broadcast",
     "graph_triangle_count": "two 1-row aggregates (census ⨯ triangle total)",
+    "agg_theil_index": "1-row grand-total (n, Σx) aggregate broadcast",
+    "dq_referential_integrity_sweep": (
+        "per-FK-edge pairing of two 1-row aggregates (base census ⨯ "
+        "orphan count)"
+    ),
     "ts_hourly_rollup_gapfill": (
         "dense hour×type grid from a 1-row span and the tiny type dim — "
         "bounded at |hours|×|types|, independent of event volume"
