@@ -1328,3 +1328,66 @@ def ld_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(
         rows, "month string, n_orders bigint, revenue double"
     )
+
+
+@query(
+    "src_xml_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS total_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_orderkey
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink proof — Spark 4 folded the spark-xml connector
+    into the core distribution, completing the built-in format matrix
+    (parquet, ORC, JSON, CSV, text, binary, Excel, JDBC, Python data
+    source, XML): write the orders table as an XML document stream
+    (``rowTag`` per order — the B2B/EDI landing-zone shape), read it
+    back with an EXPLICIT schema (inference is a second full scan and
+    type-unstable at 100 TB — the module's documented anti-pattern),
+    and aggregate. The oracle aggregates the ORIGINAL parquet, so a
+    hash match proves the XML round-trip is value-preserving for
+    bigint/string/double — the contract an ingestion migration needs.
+    Same eager-materialize-then-reclaim pattern as the ORC/CSV proofs —
+    no temp leak per invocation.
+    """
+    target = tempfile.mkdtemp(prefix="xml_roundtrip_")
+    try:
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        orders.write.mode("overwrite").format("xml").option(
+            "rootTag", "orders"
+        ).option("rowTag", "order").save(target)
+        back = (
+            spark.read.format("xml")
+            .schema(
+                "o_orderkey bigint, o_orderpriority string,"
+                " o_totalprice double"
+            )
+            .option("rowTag", "order")
+            .load(target)
+        )
+        rows = (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+                .cast("double")
+                .alias("total_price"),
+                F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderpriority string, n_orders bigint, total_price double, "
+        "min_orderkey bigint",
+    )

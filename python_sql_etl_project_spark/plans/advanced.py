@@ -5554,3 +5554,76 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("age").cast("bigint")).alias("age_days"),
         ok.alias("matched"),
     )
+
+
+@query(
+    "agg_entropy_mix",
+    oracle="""
+    WITH strata AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_source
+        FROM strata GROUP BY 1
+    ),
+    terms AS (
+        SELECT s.source, s.lang, s.n_docs, t.n_source,
+               CAST(round(-(CAST(s.n_docs AS DOUBLE)
+                            / CAST(t.n_source AS DOUBLE))
+                    * ln(CAST(s.n_docs AS DOUBLE)
+                         / CAST(t.n_source AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS term
+        FROM strata s JOIN tot t USING (source)
+    )
+    SELECT source,
+           CAST(max(n_source) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           CAST(round(sum(term), 6) AS DOUBLE) AS lang_entropy_nats
+    FROM terms
+    GROUP BY source
+    """,
+)
+def agg_entropy_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's LANGUAGE MIX — the diversity
+    number a training-mix report quotes next to the raw proportions
+    (`smp_mixture_weights` gives the knobs, this gives the one-line
+    summary of how balanced each source already is): H = −Σ p·ln p in
+    nats over the (source, lang) document census, with the stratum
+    count alongside (H = ln(n_langs) means perfectly uniform, 0 means
+    monolingual). Temperature sampling (`smp_temperature_sampling`)
+    moves exactly this number up toward the uniform bound.
+
+    Determinism: the census is exact integers; each −p·ln p term is the
+    accepted 6-dp transcendental boundary summed as DECIMAL (exact,
+    order-free) — the `agg_theil_index` convention.
+
+    Scale shape: one map-side-combinable census shuffle, a
+    |sources|-row broadcast back, and a tiny-group decimal sum —
+    nothing corpus-grain after the first aggregate.
+    """
+    strata = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    tot = strata.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_source")
+    )
+    term = F.expr(
+        "CAST(round(-(CAST(n_docs AS DOUBLE) / CAST(n_source AS DOUBLE))"
+        " * ln(CAST(n_docs AS DOUBLE) / CAST(n_source AS DOUBLE)), 6)"
+        " AS DECIMAL(18,6))"
+    )
+    return (
+        strata.join(F.broadcast(tot), "source")
+        .select("source", "n_source", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.max("n_source").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.round(F.sum("term"), 6).cast("double").alias(
+                "lang_entropy_nats"
+            ),
+        )
+    )

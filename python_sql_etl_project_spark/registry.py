@@ -254,6 +254,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "mm_phash_dup_clusters",
     "asof_tolerance_join",
     "sim_nndescent_round",
+    "agg_entropy_mix",
+    "src_xml_roundtrip",
 )
 
 
