@@ -1646,3 +1646,101 @@ def dd_span_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("retained_rate"),
     )
+
+
+#: Directed containment threshold and the minimum source shingle count
+#: (a 1–2-shingle doc is 'contained' everywhere; profile noise).
+CONTAINMENT_THRESHOLD = 0.9
+MIN_SRC_SHINGLES = 5
+
+
+@query(
+    "dd_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT p.d1, p.d2, p.shared, n1.n AS na, n2.n AS nb
+        FROM pairs p
+        JOIN sh_n n1 ON n1.doc_id = p.d1
+        JOIN sh_n n2 ON n2.doc_id = p.d2
+    ),
+    directed AS (
+        SELECT d1 AS src_doc, d2 AS dst_doc, shared,
+               na AS n_src, round(CAST(shared AS DOUBLE) / na, 4) AS containment
+        FROM sized
+        UNION ALL
+        SELECT d2, d1, shared, nb, round(CAST(shared AS DOUBLE) / nb, 4)
+        FROM sized
+    )
+    SELECT src_doc, dst_doc, CAST(shared AS BIGINT) AS shared,
+           CAST(n_src AS BIGINT) AS n_src, containment
+    FROM directed
+    WHERE containment >= {CONTAINMENT_THRESHOLD}
+      AND n_src >= {MIN_SRC_SHINGLES}
+    """,
+)
+def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED shingle containment C(A→B) = |A∩B| / |A| — the dedup
+    measure Jaccard misses: a short document wholly embedded in a longer
+    one (a quote, a boilerplate wrapper, a near-subset crawl revision)
+    scores low Jaccard (the union is large) but containment ≈ 1 in the
+    short→long direction. LLM-corpus span dedup prunes exactly these
+    (Broder's 1997 resemblance-vs-containment distinction). Emits both
+    directions of each candidate pair that clear C ≥
+    {CONTAINMENT_THRESHOLD} with at least {MIN_SRC_SHINGLES} source
+    shingles.
+
+    Plan: the SAME blocked shingle-equality self-join + per-pair overlap
+    count as `dd_shingle_jaccard_pairs` (hot shingles capped, so the
+    self-join is skew-free), one extra projection per direction — the
+    asymmetric score costs nothing over the symmetric one. The shared
+    overlap count is computed ONCE per undirected pair; direction is a
+    union of two projections of the same aggregated frame.
+    """
+    sh = shingles(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sized = (
+        pairs.join(n.select(F.col("doc_id").alias("d1"), F.col("n").alias("na")), "d1")
+        .join(n.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")), "d2")
+    )
+    fwd = sized.select(
+        F.col("d1").alias("src_doc"),
+        F.col("d2").alias("dst_doc"),
+        "shared",
+        F.col("na").alias("n_src"),
+        F.round(F.col("shared") / F.col("na"), 4).alias("containment"),
+    )
+    rev = sized.select(
+        F.col("d2").alias("src_doc"),
+        F.col("d1").alias("dst_doc"),
+        "shared",
+        F.col("nb").alias("n_src"),
+        F.round(F.col("shared") / F.col("nb"), 4).alias("containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(
+            (F.col("containment") >= CONTAINMENT_THRESHOLD)
+            & (F.col("n_src") >= MIN_SRC_SHINGLES)
+        )
+        .select(
+            "src_doc",
+            "dst_doc",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.col("n_src").cast("bigint").alias("n_src"),
+            "containment",
+        )
+    )

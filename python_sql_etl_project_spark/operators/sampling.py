@@ -2356,3 +2356,104 @@ def smp_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("quota"),
     )
+
+
+#: Poisson bootstrap: number of replicates, and the Poisson(1) inverse
+#: CDF as integer thresholds over the 12-hex-digit md5 space [0, 16^12).
+#: Computed ONCE here in Python and embedded as the same integer
+#: literals in both the Spark expression and the DuckDB oracle, so the
+#: two engines share bit-identical cut points (no runtime exp() in
+#: either engine).
+BOOT_REPLICATES = 32
+_BOOT_DEN = 16**12
+_BOOT_THRESHOLDS: tuple[int, ...] = tuple(
+    int(c * _BOOT_DEN)
+    for c in __import__("itertools").accumulate(
+        __import__("math").exp(-1.0) / __import__("math").factorial(k)
+        for k in range(7)
+    )
+)
+
+
+def _boot_weight_case(u_expr: str) -> str:
+    """CASE expression mapping a uniform integer to a Poisson(1) draw
+    (identical SQL in Spark and DuckDB)."""
+    arms = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}"
+        for k, t in enumerate(_BOOT_THRESHOLDS)
+    )
+    return f"CASE {arms} ELSE {len(_BOOT_THRESHOLDS)} END"
+
+
+@query(
+    "smp_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, {BOOT_REPLICATES})) AS replicate),
+    drawn AS (
+        SELECT r.replicate,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               {_boot_weight_case(
+                   "('0x' || substr(md5('boot:' || r.replicate || ':' "
+                   "|| o.o_orderkey), 1, 12))::BIGINT"
+               )} AS w
+        FROM orders o CROSS JOIN reps r
+    )
+    SELECT replicate,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+           CAST((2 * 10000 * sum(w * cents) + sum(w))
+                // (2 * sum(w)) AS BIGINT) AS boot_mean_micro
+    FROM drawn GROUP BY 1
+    """,
+)
+def smp_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of mean order value — the distributed-systems
+    formulation of the bootstrap (Chamandy et al., 'Estimating
+    uncertainty for massive data streams', Google 2012): instead of
+    resampling n rows WITH replacement (which needs global coordination),
+    every row draws an independent Poisson(1) replication weight per
+    replicate, giving each replicate the same distribution as a classic
+    bootstrap resample as n grows. The {BOOT_REPLICATES} per-replicate
+    means form the sampling distribution a report turns into a
+    confidence interval for the mean.
+
+    Determinism: the uniform is 12 md5 hex digits of (replicate,
+    orderkey) — exact integer in [0, 16^12) in both engines — and the
+    Poisson inverse CDF is the module-level integer threshold table,
+    embedded identically in both engines; prices are exact cents and the
+    replicate mean uses the half-up integer identity (micro-precision).
+    No engine ever evaluates a transcendental.
+
+    Scale shape: a narrow {BOOT_REPLICATES}× row explosion (no shuffle —
+    generated map-side) followed by ONE map-side-combinable aggregate to
+    replicate grain ({BOOT_REPLICATES} groups): the shuffle moves only
+    |partitions|×{BOOT_REPLICATES} partial rows no matter the fact
+    volume. This is the textbook reason the Poisson bootstrap exists —
+    per-row independence keeps the plan embarrassingly parallel.
+    """
+    u_sql = (
+        "CAST(conv(substring(md5(concat('boot:', CAST(replicate AS STRING),"
+        " ':', CAST(o_orderkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+    )
+    drawn = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .withColumn(
+            "replicate",
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICATES - 1))),
+        )
+        .withColumn("w", F.expr(_boot_weight_case(u_sql)))
+    )
+    return drawn.groupBy("replicate").agg(
+        F.sum("w").cast("bigint").alias("n_eff"),
+        F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("sum_cents"),
+        F.expr(
+            "CAST((2 * 10000 * sum(w * cents) + sum(w))"
+            " div (2 * sum(w)) AS BIGINT)"
+        ).alias("boot_mean_micro"),
+    )

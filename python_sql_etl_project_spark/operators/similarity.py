@@ -2461,3 +2461,193 @@ def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import finalize_unpersist
 
     return finalize_unpersist(out, b0)
+
+
+#: Signed-random-projection (hyperplane) LSH: 16 hyperplanes in 2 bands
+#: of 8 sign bits (Charikar 2002 SimHash-for-cosine). Each hyperplane
+#: is a SPARSE ±1 vector over 8 md5-chosen dimensions — the spec is
+#: derived ONCE here from public md5 and embedded identically in the
+#: Spark expressions and the DuckDB oracle, so both engines hash with
+#: bit-identical hyperplanes. Coordinates are quantized to exact
+#: integer micro-units BEFORE the signed sum, so the sign of every
+#: projection is an integer comparison — no float-summation-order risk
+#: in the blocking key (same discipline as the band-LSH sign bits).
+SRP_N_PLANES = 16
+SRP_BAND_BITS = 8
+SRP_TAU = 0.3
+
+
+def _srp_planes() -> tuple[tuple[tuple[int, int], ...], ...]:
+    import hashlib
+
+    planes = []
+    for h in range(SRP_N_PLANES):
+        dg = hashlib.md5(f"srp:{h}".encode()).digest()
+        planes.append(
+            tuple(
+                (dg[2 * j] % 64, 1 if dg[2 * j + 1] % 2 == 0 else -1)
+                for j in range(8)
+            )
+        )
+    return tuple(planes)
+
+
+SRP_PLANES = _srp_planes()
+
+
+def _srp_sig_sql(side: str) -> str:
+    """16-bit SRP signature as a SQL expression (1-based list indexing —
+    valid in both DuckDB and Spark SQL's element_at-style [] on arrays
+    is NOT shared, so the Spark side builds the same sum via F.get)."""
+    bits = []
+    for h, plane in enumerate(SRP_PLANES):
+        terms = " + ".join(
+            f"({sign}) * CAST(floor({side}.embedding[{dim + 1}] * 1000000"
+            " + 0.5) AS BIGINT)"
+            for dim, sign in plane
+        )
+        bits.append(f"(CASE WHEN {terms} > 0 THEN {1 << h} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _srp_sig_col(emb):
+    sig = F.lit(0).cast("bigint")
+    for h, plane in enumerate(SRP_PLANES):
+        proj = F.lit(0).cast("bigint")
+        for dim, sign in plane:
+            q = F.floor(F.get(emb, dim) * 1000000 + F.lit(0.5)).cast("bigint")
+            proj = proj + (F.lit(sign) * q)
+        sig = sig + F.when(proj > 0, F.lit(1 << h)).otherwise(F.lit(0))
+    return sig
+
+
+@query(
+    "sim_srp_lsh_pairs",
+    oracle=f"""
+    WITH sig AS (
+        SELECT e.vec_id, e.embedding, {_srp_sig_sql('e')} AS sig
+        FROM embeddings e
+    ),
+    bands AS (SELECT unnest(range(0, {SRP_N_PLANES // SRP_BAND_BITS})) AS band),
+    coded_all AS (
+        SELECT band, vec_id, sig,
+               (sig // (CASE band WHEN 0 THEN 1 ELSE 256 END)) % 256 AS code
+        FROM sig CROSS JOIN bands
+    ),
+    coded AS (
+        SELECT band, vec_id, sig, code FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY band, code
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS brn
+            FROM coded_all) t
+        WHERE brn <= {MAX_BAND_BUCKET}
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2,
+               x.sig AS sig1, y.sig AS sig2
+        FROM coded x JOIN coded y
+          ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id
+    )
+    SELECT c.d1, c.d2,
+           CAST({SRP_N_PLANES} - bit_count(CAST(xor(c.sig1, c.sig2) AS BIGINT))
+                AS BIGINT) AS agree_bits,
+           {_COS_SQL} AS cosine
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.d1
+    JOIN embeddings b ON b.vec_id = c.d2
+    WHERE {_COS_SQL} >= {SRP_TAU}
+    """,
+)
+def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via SIGNED RANDOM PROJECTIONS — the
+    other classical cosine-LSH family: where `sim_ann_band_lsh` samples
+    coordinate sign bits, SRP hashes each vector against
+    {SRP_N_PLANES} md5-derived sparse ±1 hyperplanes (Charikar's
+    SimHash for cosine similarity; collision probability 1 − θ/π per
+    bit), banded 2×8 so two vectors are candidates iff a full 8-bit
+    band agrees. Emits each surviving pair's full-signature agreement
+    count (the cheap angle estimate) next to the exact cosine ≥
+    {SRP_TAU} confirmation.
+
+    Plan shape is the proven band-LSH one: ONE narrow map computes the
+    16-bit signature (integer arithmetic over micro-quantized
+    coordinates — the sign is never a float comparison), an explode to
+    (band, code), the md5-ranked {MAX_BAND_BUCKET}-member bucket cap,
+    and a single self-equi-join on the bucket key — fan-out bounded by
+    cap², never corpus². At 100 TB the knobs are the documented ones:
+    band-bit LENGTH ∝ log N keeps expected bucket population constant;
+    the cap is the skew backstop.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _srp_sig_col(F.col("embedding")).alias("sig"),
+    )
+    n_bands = SRP_N_PLANES // SRP_BAND_BITS
+    coded = sig.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        (
+                            F.shiftright(F.col("sig"), band * SRP_BAND_BITS)
+                            % 256
+                        ).alias("code"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("vec_id", "embedding", "nrm", "sig", "bc.band", "bc.code")
+    w_bucket = Window.partitionBy("band", "code").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    coded = (
+        coded.withColumn("brn", F.row_number().over(w_bucket))
+        .filter(F.col("brn") <= MAX_BAND_BUCKET)
+        .drop("brn")
+    )
+    a = coded.select(
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+        F.col("sig").alias("sig1"),
+        "band",
+        "code",
+    )
+    b = coded.select(
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
+        F.col("sig").alias("sig2"),
+        "band",
+        "code",
+    )
+    return (
+        a.join(b, ["band", "code"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.lit(SRP_N_PLANES)
+                - F.bit_count(
+                    F.col("sig1").bitwiseXOR(F.col("sig2")).cast("bigint")
+                )
+            )
+            .cast("bigint")
+            .alias("agree_bits"),
+            _cosine_prenorm(
+                F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SRP_TAU)
+        .dropDuplicates(["d1", "d2"])
+    )

@@ -5627,3 +5627,296 @@ def agg_entropy_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Candidate functional dependencies the profiler audits: (table,
+#: determinant, dependent). Mixes FDs that genuinely hold (key →
+#: attribute) with ones expected to fail, so the report exercises both
+#: branches.
+FD_CANDIDATES = (
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("part", "p_brand", "p_type"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("nation", "n_nationkey", "n_regionkey"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for tbl, det, dep in FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{tbl}.{det}->{dep}' AS fd_name,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST(max(nd) AS BIGINT) AS max_dep_cardinality,
+           CAST((2 * 1000000 *
+                 sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) + count(*))
+                // (2 * count(*)) AS BIGINT) AS violation_rate_micro
+    FROM (SELECT {det}, count(DISTINCT {dep}) AS nd
+          FROM {tbl} GROUP BY 1)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("dq_functional_dependency_audit", oracle=_fd_oracle())
+def dq_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery audit — the classic data-profiling
+    primitive (Papenbrock et al.'s FD-discovery benchmarks reduce to
+    exactly this per-candidate check): for each candidate FD ``det →
+    dep``, a group-by on the determinant counts groups where the
+    dependent takes more than one distinct value. ``n_violating = 0``
+    means the FD holds exactly on this snapshot — the signal a warehouse
+    uses to trust a column as a lookup key, plan normalization, or alert
+    when an upstream change breaks a previously-stable dependency.
+
+    All-integer output (violation rate in micro-units via the half-up
+    integer identity), so the row hashes identically cross-engine.
+
+    Scale shape: one map-side-combinable ``count(DISTINCT dep)``
+    aggregate per candidate at determinant grain, each collapsing to a
+    single summary row — no joins, no windows, no data-volume-dependent
+    second stage. Candidates audit independently (Spark runs the unioned
+    branches in parallel stages).
+    """
+    rows = None
+    for tbl, det, dep in FD_CANDIDATES:
+        grouped = (
+            read_table(spark, sf_dir, tbl)
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("nd"))
+        )
+        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("bigint")
+        summary = grouped.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            viol.alias("n_violating"),
+            F.max("nd").cast("bigint").alias("max_dep_cardinality"),
+        ).select(
+            F.lit(f"{tbl}.{det}->{dep}").alias("fd_name"),
+            "n_groups",
+            "n_violating",
+            "max_dep_cardinality",
+            F.expr(
+                "CAST((2 * 1000000 * n_violating + n_groups)"
+                " div (2 * n_groups) AS BIGINT)"
+            ).alias("violation_rate_micro"),
+        )
+        rows = summary if rows is None else rows.unionByName(summary)
+    return rows
+
+
+@query(
+    "agg_chi_square_independence",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_nationkey AS nation_key, o.o_orderpriority AS prio
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    obs AS (
+        SELECT nation_key, prio, CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY 1, 2
+    ),
+    rt AS (SELECT nation_key, CAST(sum(n) AS BIGINT) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT prio, CAST(sum(n) AS BIGINT) AS c FROM obs GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n,
+                   CAST(count(DISTINCT nation_key) AS BIGINT) AS n_r,
+                   CAST(count(DISTINCT prio) AS BIGINT) AS n_c
+            FROM obs),
+    grid AS (
+        SELECT rt.nation_key, ct.prio, rt.r, ct.c,
+               COALESCE(obs.n, 0) AS n
+        FROM rt CROSS JOIN ct
+        LEFT JOIN obs USING (nation_key, prio)
+    ),
+    terms AS (
+        SELECT CAST(round(
+                 CAST(CAST(n * t.big_n - r * c AS HUGEINT)
+                      * CAST(n * t.big_n - r * c AS HUGEINT) AS DOUBLE)
+                 / CAST(r * c * t.big_n AS DOUBLE), 6)
+               AS DECIMAL(18,6)) AS term,
+               t.big_n, t.n_r, t.n_c
+        FROM grid, tot t
+    )
+    SELECT max(big_n) AS n_total,
+           max(n_r) AS n_nations,
+           max(n_c) AS n_priorities,
+           (max(n_r) - 1) * (max(n_c) - 1) AS dof,
+           CAST(round(sum(term), 6) AS DOUBLE) AS chi2,
+           CAST(round(sqrt(CAST(round(sum(term), 6) AS DOUBLE)
+                 / (CAST(max(big_n) AS DOUBLE)
+                    * CAST(least(max(n_r), max(n_c)) - 1 AS DOUBLE))), 6)
+                AS DOUBLE) AS cramers_v
+    FROM terms
+    """,
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between customer nation
+    and order priority, with Cramér's V effect size — the statistician's
+    answer to 'does the priority mix differ by market' (a drifted mix is
+    an upstream bug or a genuine market effect; either way the warehouse
+    flags it). The contingency table is materialized DENSE (all r×c
+    cells, zeros included — omitting empty cells biases chi² low), and
+    the per-cell statistic uses the all-integer identity
+    ``(n·N − r·c)² / (r·c·N)`` so the only floating steps are one exact
+    integer→double division rounded to 6 dp per cell (summed as DECIMAL,
+    order-free — the `agg_theil_index` convention) and the final sqrt.
+    The squared numerator exceeds int64 at sf0.1, so it is squared in
+    DECIMAL(38,0)/HUGEINT — exact in both engines, and the exact integer
+    rounds to the identical IEEE double.
+
+    Scale shape: ONE map-side-combinable shuffle of the fact join to
+    (nation, priority) grain (125 cells); everything after is dim-grain
+    arithmetic on broadcast-tiny frames. The r×c grid cross join is
+    bounded at |nations|×|priorities| regardless of fact volume
+    (BNLJ-allowlisted like the gap-fill grids).
+    """
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nation_key")
+    )
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("nation_key", F.col("o_orderpriority").alias("prio"))
+    )
+    obs = base.groupBy("nation_key", "prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rt = obs.groupBy("nation_key").agg(F.sum("n").cast("bigint").alias("r"))
+    ct = obs.groupBy("prio").agg(F.sum("n").cast("bigint").alias("c"))
+    tot = obs.agg(
+        F.sum("n").cast("bigint").alias("big_n"),
+        F.countDistinct("nation_key").cast("bigint").alias("n_r"),
+        F.countDistinct("prio").cast("bigint").alias("n_c"),
+    )
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(obs, ["nation_key", "prio"], "left")
+        .select("nation_key", "prio", "r", "c", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    term = F.expr(
+        "CAST(round("
+        " CAST(CAST(n * big_n - r * c AS DECIMAL(38,0))"
+        "      * CAST(n * big_n - r * c AS DECIMAL(38,0)) AS DOUBLE)"
+        " / CAST(r * c * big_n AS DOUBLE), 6) AS DECIMAL(18,6))"
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .select(term.alias("term"), "big_n", "n_r", "n_c")
+        .agg(
+            F.max("big_n").alias("n_total"),
+            F.max("n_r").alias("n_nations"),
+            F.max("n_c").alias("n_priorities"),
+            ((F.max("n_r") - 1) * (F.max("n_c") - 1)).alias("dof"),
+            F.round(F.sum("term"), 6).cast("double").alias("chi2"),
+            F.expr(
+                "CAST(round(sqrt(CAST(round(sum(term), 6) AS DOUBLE)"
+                " / (CAST(max(big_n) AS DOUBLE)"
+                "    * CAST(least(max(n_r), max(n_c)) - 1 AS DOUBLE))), 6)"
+                " AS DOUBLE)"
+            ).alias("cramers_v"),
+        )
+    )
+
+
+#: Range-join incident windows: the top-K busiest event hours, each
+#: expanded to a [peak−45min, peak+90min) window. K stays human-scale
+#: (an incident list) no matter the event volume.
+INCIDENT_TOP_K = 12
+
+
+@query(
+    "jn_time_range_join",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS peak_hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    peaks AS (
+        SELECT peak_hour, n FROM hourly
+        ORDER BY n DESC, peak_hour LIMIT {INCIDENT_TOP_K}
+    ),
+    incidents AS (
+        SELECT peak_hour,
+               peak_hour - INTERVAL 45 MINUTE AS w_start,
+               peak_hour + INTERVAL 90 MINUTE AS w_end
+        FROM peaks
+    ),
+    matched AS (
+        SELECT i.peak_hour, i.w_start, i.w_end,
+               e.event_id, e.user_id, e.value
+        FROM incidents i
+        JOIN events e
+          ON e.ts >= i.w_start AND e.ts < i.w_end
+    )
+    SELECT peak_hour, w_start, w_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_value_micro
+    FROM matched
+    GROUP BY 1, 2, 3
+    """,
+)
+def jn_time_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join, bin-and-refine — the scale-safe shape for
+    'which events fall inside each incident window'. A naive theta join
+    (``ts BETWEEN start AND end``) is a nested-loop at any scale; the
+    production plan BINS both sides to the hour — each incident window
+    explodes into the ≤3 hour-bins it overlaps, each event carries its
+    one hour-bin — and joins on the bin as an EQUI key with the exact
+    range predicate as a residual filter. Catalyst gets a hash join
+    whose fan-out is bounded by (windows per bin), never |events|×
+    |windows|; the same shape handles big×big interval joins by adding
+    a shuffle on the bin key. Window grain (45/90 min) is deliberately
+    NOT hour-aligned so the residual filter is doing real work.
+
+    The incident list itself derives from the data (top-{INCIDENT_TOP_K}
+    busiest hours, count-desc with the hour as tiebreaker) — a dim-grain
+    sort on the hourly census, not an event-grain one. Event values are
+    summed in exact micro-units.
+    """
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "hour_bin", F.date_trunc("hour", F.col("ts"))
+    )
+    hourly = ev.groupBy(F.col("hour_bin").alias("peak_hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    peaks = hourly.orderBy(F.desc("n"), "peak_hour").limit(INCIDENT_TOP_K)
+    incidents = peaks.select(
+        "peak_hour",
+        F.expr("peak_hour - INTERVAL 45 MINUTES").alias("w_start"),
+        F.expr("peak_hour + INTERVAL 90 MINUTES").alias("w_end"),
+    )
+    # each [peak−45m, peak+90m) window overlaps exactly the 3 hour bins
+    # [peak−1h, peak, peak+1h); exploding the tiny side keeps the join key
+    # equi and the small side broadcastable
+    binned = incidents.select(
+        "peak_hour",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.array(
+                F.expr("peak_hour - INTERVAL 1 HOUR"),
+                F.col("peak_hour"),
+                F.expr("peak_hour + INTERVAL 1 HOUR"),
+            )
+        ).alias("hour_bin"),
+    )
+    matched = ev.join(
+        F.broadcast(binned),
+        on=[
+            ev.hour_bin == binned.hour_bin,
+            ev.ts >= binned.w_start,
+            ev.ts < binned.w_end,
+        ],
+    )
+    return matched.groupBy("peak_hour", "w_start", "w_end").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(
+            F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+        ).cast("bigint").alias("sum_value_micro"),
+    )

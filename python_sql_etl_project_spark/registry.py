@@ -256,6 +256,13 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "sim_nndescent_round",
     "agg_entropy_mix",
     "src_xml_roundtrip",
+    # round-5 wave 3 (post-freeze, locally oracle-gated):
+    "agg_chi_square_independence",
+    "dq_functional_dependency_audit",
+    "jn_time_range_join",
+    "smp_poisson_bootstrap",
+    "dd_containment_pairs",
+    "sim_srp_lsh_pairs",
 )
 
 

@@ -101,6 +101,11 @@ BNLJ_ALLOWED = {
     "mm_aspect_bucket_batches": (
         "5-row aspect-ladder literal broadcast against image metadata"
     ),
+    "agg_chi_square_independence": (
+        "dense |nations|×|priorities| contingency grid from two dim-grain "
+        "marginals + 1-row total broadcast — bounded regardless of fact "
+        "volume (the gap-fill-grid pattern)"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
