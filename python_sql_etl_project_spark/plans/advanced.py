@@ -5920,3 +5920,138 @@ def jn_time_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
         ).cast("bigint").alias("sum_value_micro"),
     )
+
+
+def _signed_half_up(num: str, den: str, scale: int, div: str) -> str:
+    """Round-half-away-from-zero of scale*num/den (den > 0) in pure
+    integer arithmetic. The plain ``(2·s·num + den) div (2·den)``
+    identity is half-up only for num ≥ 0 (``div``/``//`` truncate
+    toward zero, not floor), so the negative branch mirrors it on
+    |num| and negates — identical in Spark (``div``) and DuckDB
+    (``//``)."""
+    pos = f"(2 * {scale} * ({num}) + ({den})) {div} (2 * ({den}))"
+    neg = f"-((2 * {scale} * (-({num})) + ({den})) {div} (2 * ({den})))"
+    return f"CASE WHEN ({num}) >= 0 THEN {pos} ELSE {neg} END"
+
+
+@query(
+    "ts_theil_sen_trend",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS ym,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT ym, cents,
+               row_number() OVER (ORDER BY ym) - 1 AS i
+        FROM monthly
+    ),
+    slopes AS (
+        SELECT a.i AS i1, b.i AS i2,
+               CAST({_signed_half_up("b.cents - a.cents", "b.i - a.i",
+                                     1_000_000, "//")} AS BIGINT)
+                   AS slope_micro
+        FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    med AS (
+        SELECT slope_micro AS theil_sen_slope_micro,
+               CAST(n AS BIGINT) AS n_pairs
+        FROM (SELECT *, row_number() OVER
+                        (ORDER BY slope_micro, i1, i2) AS rn,
+                     count(*) OVER () AS n
+              FROM slopes) t
+        WHERE rn = (n + 1) // 2
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(i) AS BIGINT) AS sx,
+               CAST(sum(cents) AS BIGINT) AS sy,
+               CAST(sum(i * cents) AS BIGINT) AS sxy,
+               CAST(sum(i * i) AS BIGINT) AS sxx
+        FROM idx
+    )
+    SELECT s.n AS n_months, m.n_pairs, m.theil_sen_slope_micro,
+           CAST({_signed_half_up("s.n * s.sxy - s.sx * s.sy",
+                                 "s.n * s.sxx - s.sx * s.sx",
+                                 1_000_000, "//")} AS BIGINT)
+               AS ols_slope_micro
+    FROM med m, sums s
+    """,
+)
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of monthly revenue — the median of all
+    pairwise month-to-month slopes (Sen 1968), reported next to the OLS
+    slope from the same series: a large gap between the two IS the
+    outlier diagnostic (OLS chases the outlier months, the median slope
+    ignores up to ~29% contamination). Slopes are exact integer
+    micro-cents-per-month (signed half-up identity — ``div`` truncates
+    toward zero, so the negative branch mirrors on |num|); the median is
+    the deterministic lower median with (slope, i1, i2) tiebreak.
+
+    Scale shape: everything after the ONE fact shuffle (orders → month
+    grain) is CALENDAR-grain: the pair space is months² — bounded by
+    the calendar span, independent of fact volume (80 months of TPC-H
+    dates → 3160 pairs; a 30-year warehouse → 64k — trivial forever),
+    so the unpartitioned median sort is over a provably tiny set, the
+    documented acceptable window class. OLS sums are one
+    map-side-combinable aggregate over the same month frame.
+    """
+    monthly = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    idx = monthly.withColumn(
+        "i", F.row_number().over(Window.orderBy("ym")) - 1
+    )
+    a = idx.select(F.col("i").alias("i1"), F.col("cents").alias("c1"))
+    b = idx.select(F.col("i").alias("i2"), F.col("cents").alias("c2"))
+    slopes = (
+        a.join(b, F.col("i2") > F.col("i1"))
+        .select(
+            "i1",
+            "i2",
+            F.expr(
+                _signed_half_up("c2 - c1", "i2 - i1", 1_000_000, "div")
+            )
+            .cast("bigint")
+            .alias("slope_micro"),
+        )
+    )
+    w_rank = Window.orderBy("slope_micro", "i1", "i2")
+    w_all = Window.partitionBy()
+    med = (
+        slopes.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select(
+            F.col("slope_micro").alias("theil_sen_slope_micro"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+        )
+    )
+    sums = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("i").cast("bigint").alias("sx"),
+        F.sum("cents").cast("bigint").alias("sy"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("sxy"),
+        F.sum(F.col("i") * F.col("i")).cast("bigint").alias("sxx"),
+    )
+    return med.crossJoin(F.broadcast(sums)).select(
+        F.col("n").alias("n_months"),
+        "n_pairs",
+        "theil_sen_slope_micro",
+        F.expr(
+            _signed_half_up(
+                "n * sxy - sx * sy", "n * sxx - sx * sx", 1_000_000, "div"
+            )
+        )
+        .cast("bigint")
+        .alias("ols_slope_micro"),
+    )

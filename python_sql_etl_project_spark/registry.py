@@ -263,6 +263,10 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "smp_poisson_bootstrap",
     "dd_containment_pairs",
     "sim_srp_lsh_pairs",
+    # round-5 wave 4 (post-freeze, locally oracle-gated):
+    "sim_ndcg_eval",
+    "ts_theil_sen_trend",
+    "graph_multi_source_bfs",
 )
 
 

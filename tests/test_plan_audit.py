@@ -101,6 +101,14 @@ BNLJ_ALLOWED = {
     "mm_aspect_bucket_batches": (
         "5-row aspect-ladder literal broadcast against image metadata"
     ),
+    "sim_ndcg_eval": (
+        "tiny eval-query set broadcast against corpus (same bound as "
+        "sim_knn_brute)"
+    ),
+    "ts_theil_sen_trend": (
+        "calendar-grain month×month slope pairs (months² is span-bounded, "
+        "independent of fact volume) + 1-row OLS-sums broadcast"
+    ),
     "agg_chi_square_independence": (
         "dense |nations|×|priorities| contingency grid from two dim-grain "
         "marginals + 1-row total broadcast — bounded regardless of fact "
@@ -154,6 +162,7 @@ _BOUNDING_NODES = ("Aggregate", "Deduplicate", "GlobalLimit", "Sample")
 #: filter that fixes the row count independent of corpus size).
 FACT_HINT_ALLOWED = {
     "sim_knn_brute": "query set is Filter(vec_id < 8): constant 8 rows",
+    "sim_ndcg_eval": "eval-query set is Filter(vec_id < 8): constant 8 rows",
     "sim_knn_pandas_udf": "query set is Filter(vec_id < 8): constant 8 rows",
     "sim_hard_negatives": "query set is Filter(vec_id < 8): constant 8 rows",
     "sim_matryoshka_audit": "query set is Filter(vec_id < 8): constant 8 rows",
