@@ -5924,14 +5924,24 @@ def jn_time_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _signed_half_up(num: str, den: str, scale: int, div: str) -> str:
     """Round-half-away-from-zero of scale*num/den (den > 0) in pure
-    integer arithmetic. The plain ``(2·s·num + den) div (2·den)``
-    identity is half-up only for num ≥ 0 (``div``/``//`` truncate
-    toward zero, not floor), so the negative branch mirrors it on
-    |num| and negates — identical in Spark (``div``) and DuckDB
-    (``//``)."""
-    pos = f"(2 * {scale} * ({num}) + ({den})) {div} (2 * ({den}))"
-    neg = f"-((2 * {scale} * (-({num})) + ({den})) {div} (2 * ({den})))"
-    return f"CASE WHEN ({num}) >= 0 THEN {pos} ELSE {neg} END"
+    integer arithmetic, OVERFLOW-SAFE for large numerators: the plain
+    ``(2·s·num + den) div (2·den)`` identity multiplies the full
+    numerator by 2·s (wraps INT64 once |num| > ~4.6e12 at s=1e6 — hit
+    by the OLS sums at sf0.1), so first split ``num = q·den + r`` with
+    truncating division (|r| < den, r carries num's sign) and round
+    only the remainder term: ``s·q + half_away(s·r/den)`` — exactly
+    equal to half-away(s·num/den) because s·q is integral. The
+    remainder identity is half-up only for r ≥ 0 (``div``/``//``
+    truncate toward zero, not floor), so the negative branch mirrors on
+    |r| and negates — identical in Spark (``div``) and DuckDB (``//``)."""
+    q = f"(({num}) {div} ({den}))"
+    r = f"(({num}) - {q} * ({den}))"
+    pos = f"(2 * {scale} * {r} + ({den})) {div} (2 * ({den}))"
+    neg = f"-((2 * {scale} * (-{r}) + ({den})) {div} (2 * ({den})))"
+    return (
+        f"({scale} * {q}"
+        f" + CASE WHEN {r} >= 0 THEN {pos} ELSE {neg} END)"
+    )
 
 
 @query(
