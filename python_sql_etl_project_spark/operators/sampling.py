@@ -2457,3 +2457,112 @@ def smp_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * sum(w)) AS BIGINT)"
         ).alias("boot_mean_micro"),
     )
+
+
+#: Neyman allocation: total sample budget apportioned across strata.
+NEYMAN_BUDGET = 1000
+
+
+@query(
+    "smp_neyman_allocation",
+    oracle=f"""
+    WITH st AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sx,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        FROM documents GROUP BY 1
+    ),
+    wt AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)))
+                    AS BIGINT) AS w_int
+        FROM st
+    ),
+    tot AS (SELECT CAST(sum(w_int) AS BIGINT) AS w FROM wt),
+    quota AS (
+        SELECT source, n_docs, w_int,
+               ({NEYMAN_BUDGET} * w_int) // t.w AS base,
+               ({NEYMAN_BUDGET} * w_int) % t.w AS rem
+        FROM wt, tot t
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY rem DESC, source) AS rr,
+               sum(base) OVER () AS base_sum
+        FROM quota
+    )
+    SELECT source, n_docs, w_int,
+           CAST(base + (CASE WHEN rr <= {NEYMAN_BUDGET} - base_sum
+                             THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+    FROM ranked
+    """,
+)
+def smp_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) allocation of a {NEYMAN_BUDGET}-unit sample
+    budget across document sources: n_h ∝ N_h·S_h (Neyman 1934) — the
+    survey-sampling rule that minimizes the estimator variance for a
+    fixed budget, vs `smp_budget_apportionment`'s proportional rule: a
+    big-but-homogeneous stratum yields samples to a small-but-noisy
+    one. The textbook N_h·S_h collapses to one exact integer:
+    N_h·S_h = sqrt(N_h·Σx² − (Σx)²) for the population stddev, so the
+    weight is ``floor(sqrt())`` of an exact BIGINT (the
+    `smp_mixture_weights` idiom — no floating aggregation anywhere),
+    and seats are dealt by the integer largest-remainder method
+    (exactly {NEYMAN_BUDGET} seats, deterministic (rem, source)
+    tie-break — the `smp_temperature_sampling` machinery).
+
+    Scale shape: ONE map-side-combinable shuffle to source grain; the
+    quota arithmetic runs on the |sources|-row frame (dim-grain
+    windows). Int64 headroom: N·Σx² at 1e12 docs × 1e5 chars needs the
+    int128 widening documented at `agg_mann_whitney_u`.
+    """
+    st = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sx"),
+            F.sum(F.col("n_chars") * F.col("n_chars"))
+            .cast("bigint")
+            .alias("sxx"),
+        )
+    )
+    wt = st.select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.sqrt(
+                (F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("w_int"),
+    )
+    every = Window.partitionBy()
+    quota = wt.select(
+        "source",
+        "n_docs",
+        "w_int",
+        F.expr(f"({NEYMAN_BUDGET} * w_int) div (sum(w_int) OVER ())")
+        .alias("base"),
+        F.expr(f"({NEYMAN_BUDGET} * w_int) % (sum(w_int) OVER ())")
+        .alias("rem"),
+    )
+    ranked = quota.withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+    ).withColumn("base_sum", F.sum("base").over(every).cast("bigint"))
+    return ranked.select(
+        "source",
+        "n_docs",
+        "w_int",
+        (
+            F.col("base")
+            + F.when(
+                F.col("rr") <= NEYMAN_BUDGET - F.col("base_sum"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )

@@ -6065,3 +6065,162 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ols_slope_micro"),
     )
+
+
+#: Mann–Whitney samples: compare order values between these two
+#: priority classes. Shard span for the two-pass distributed ranking
+#: (contiguous $10k value bands).
+MWU_X_PRIO = "1-URGENT"
+MWU_Y_PRIO = "5-LOW"
+MWU_SHARD_SPAN_CENTS = 1_000_000
+
+
+@query(
+    "agg_mann_whitney_u",
+    oracle=f"""
+    WITH two AS (
+        SELECT CASE WHEN o_orderpriority = '{MWU_X_PRIO}' THEN 1 ELSE 0 END
+                   AS is_x,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderpriority IN ('{MWU_X_PRIO}', '{MWU_Y_PRIO}')
+    ),
+    census AS (
+        SELECT cents,
+               CAST(sum(is_x) AS BIGINT) AS nx,
+               CAST(sum(1 - is_x) AS BIGINT) AS ny,
+               CAST(count(*) AS BIGINT) AS nv
+        FROM two GROUP BY 1
+    ),
+    pre AS (
+        SELECT *,
+               sum(nv) OVER (ORDER BY cents) - nv AS nlt_all,
+               sum(ny) OVER (ORDER BY cents) - ny AS ny_lt
+        FROM census
+    ),
+    s AS (
+        SELECT CAST(sum(nx) AS BIGINT) AS n_x,
+               CAST(sum(ny) AS BIGINT) AS n_y,
+               CAST(sum(nx * (2 * ny_lt + ny)) AS BIGINT) AS u2_x,
+               CAST(sum(nx * (2 * nlt_all + nv + 1)) AS BIGINT) AS r2_x,
+               CAST(sum(nv * nv * nv - nv) AS BIGINT) AS ties3
+        FROM pre
+    )
+    SELECT n_x, n_y, u2_x, r2_x, ties3,
+           CAST({_signed_half_up("u2_x - n_x * n_y", "n_x * n_y",
+                                 1_000_000, "//")} AS BIGINT)
+               AS rank_biserial_micro,
+           round(CAST(u2_x - n_x * n_y AS DOUBLE)
+                 / (2.0 * sqrt(
+                     CAST(CAST(n_x AS HUGEINT) * n_y
+                          * (CAST(n_x + n_y + 1 AS HUGEINT)
+                             * (n_x + n_y) * (n_x + n_y - 1) - ties3)
+                          AS DOUBLE)
+                     / CAST(12 * CAST(n_x + n_y AS HUGEINT)
+                            * (n_x + n_y - 1) AS DOUBLE))), 6) AS z_score
+    FROM s
+    """,
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test: are '{MWU_X_PRIO}' order values
+    stochastically larger than '{MWU_Y_PRIO}' ones? The nonparametric
+    two-sample test a warehouse reaches for when value distributions
+    are heavy-tailed (here: doubled U statistic and rank sum — 2×
+    scaling keeps tied average-ranks integral — the tie-corrected
+    normal z, and the rank-biserial effect size).
+
+    The scale story is the DISTRIBUTED TIE-AWARE RANKING: a global rank
+    window would funnel the fact stream through one partition, so ranks
+    come from the `smp_systematic_resample` two-pass plan instead —
+    value census (one shuffle to distinct-value grain), contiguous
+    value shards' partial sums, an exclusive prefix over the tiny
+    shard-grain frame, broadcast offsets back, and per-shard
+    cumulative windows (every window partitioned). From the per-value
+    frame the U/R/tie sums are one map-side-combinable aggregate.
+
+    Determinism: everything through the effect size is exact integer
+    (2×-scaled ranks absorb .5 tie-averages; the half-up identity for
+    the micro effect size); the z-score's variance assembles from
+    exact DECIMAL(38,0)/HUGEINT integers cast once to double — int128
+    headroom holds to ~sf50 — with sqrt as the accepted 6-dp boundary.
+    (The effect-size micro-rounding stays int64 — headroom to ~sf5;
+    past that, widen its identity to the same int128 path.)
+    """
+    pr = F.col("o_orderpriority")
+    two = (
+        read_table(spark, sf_dir, "orders")
+        .filter(pr.isin(MWU_X_PRIO, MWU_Y_PRIO))
+        .select(
+            F.when(pr == MWU_X_PRIO, 1).otherwise(0).alias("is_x"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    census = two.groupBy("cents").agg(
+        F.sum("is_x").cast("bigint").alias("nx"),
+        F.sum(1 - F.col("is_x")).cast("bigint").alias("ny"),
+        F.count(F.lit(1)).cast("bigint").alias("nv"),
+    ).withColumn("shard", F.expr(f"cents div {MWU_SHARD_SPAN_CENTS}"))
+    shard_tot = census.groupBy("shard").agg(
+        F.sum("nv").alias("s_nv"), F.sum("ny").alias("s_ny")
+    )
+    w_shard = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = shard_tot.select(
+        "shard",
+        (F.sum("s_nv").over(w_shard) - F.col("s_nv")).alias("off_nv"),
+        (F.sum("s_ny").over(w_shard) - F.col("s_ny")).alias("off_ny"),
+    )
+    in_shard = Window.partitionBy("shard").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = census.join(F.broadcast(offs), "shard").select(
+        "nx",
+        "ny",
+        "nv",
+        (F.col("off_nv") + F.sum("nv").over(in_shard) - F.col("nv")).alias(
+            "nlt_all"
+        ),
+        (F.col("off_ny") + F.sum("ny").over(in_shard) - F.col("ny")).alias(
+            "ny_lt"
+        ),
+    )
+    s = pre.agg(
+        F.sum("nx").cast("bigint").alias("n_x"),
+        F.sum("ny").cast("bigint").alias("n_y"),
+        F.sum(F.col("nx") * (2 * F.col("ny_lt") + F.col("ny")))
+        .cast("bigint")
+        .alias("u2_x"),
+        F.sum(F.col("nx") * (2 * F.col("nlt_all") + F.col("nv") + 1))
+        .cast("bigint")
+        .alias("r2_x"),
+        F.sum(F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv"))
+        .cast("bigint")
+        .alias("ties3"),
+    )
+    return s.select(
+        "n_x",
+        "n_y",
+        "u2_x",
+        "r2_x",
+        "ties3",
+        F.expr(
+            "CAST("
+            + _signed_half_up(
+                "u2_x - n_x * n_y", "n_x * n_y", 1_000_000, "div"
+            )
+            + " AS BIGINT)"
+        ).alias("rank_biserial_micro"),
+        F.expr(
+            "round(CAST(u2_x - n_x * n_y AS DOUBLE)"
+            " / (2.0 * sqrt("
+            "   CAST(CAST(n_x AS DECIMAL(38,0)) * n_y"
+            "        * (CAST(n_x + n_y + 1 AS DECIMAL(38,0))"
+            "           * (n_x + n_y) * (n_x + n_y - 1) - ties3)"
+            "        AS DOUBLE)"
+            "   / CAST(12 * CAST(n_x + n_y AS DECIMAL(38,0))"
+            "          * (n_x + n_y - 1) AS DOUBLE))), 6)"
+        ).alias("z_score"),
+    )

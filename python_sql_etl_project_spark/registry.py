@@ -267,6 +267,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "sim_ndcg_eval",
     "ts_theil_sen_trend",
     "graph_multi_source_bfs",
+    # round-5 wave 5 (post-freeze, locally oracle-gated):
+    "agg_mann_whitney_u",
+    "smp_neyman_allocation",
 )
 
 
