@@ -1276,3 +1276,112 @@ def graph_multi_source_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = finalize_unpersist(out)
     pairs.unpersist()
     return res
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_PR_EDGES_CTE},
+    oe AS (
+        SELECT p.src AS a, p.dst AS b
+        FROM pairs p
+        JOIN deg da ON da.src = p.src
+        JOIN deg db ON db.src = p.dst
+        WHERE da.deg < db.deg
+           OR (da.deg = db.deg AND p.src < p.dst)
+    ),
+    triples AS (
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM oe e1
+        JOIN oe e2 ON e2.a = e1.b
+        JOIN oe e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+            SELECT a AS node FROM triples
+            UNION ALL SELECT b FROM triples
+            UNION ALL SELECT c FROM triples
+        ) GROUP BY node
+    )
+    SELECT d.src AS part_key,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(coalesce(p.t, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.deg < 2 THEN 0
+                ELSE (2 * 1000000 * 2 * coalesce(p.t, 0)
+                      + d.deg * (d.deg - 1))
+                     // (2 * d.deg * (d.deg - 1)) END AS BIGINT)
+               AS clustering_micro
+    FROM deg d LEFT JOIN per_node p ON p.node = d.src
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient per node — Watts–Strogatz
+    C(v) = 2·T(v)/(deg(v)·(deg(v)−1)) over the part co-purchase graph:
+    where `graph_triangle_count` reports one global transitivity
+    number, this emits the per-node profile (which parts sit in tight
+    co-purchase cliques vs hub-and-spoke stars — the feature
+    recommender and community pipelines consume).
+
+    Per-node triangle counts reuse the degree-ORIENTED edge DAG (each
+    triangle materializes exactly once as an (a,b,c) triple — the
+    O(m^1.5) bound survives), then a triple→membership explode and one
+    count per node; the coefficient is the exact half-up micro-unit
+    identity, integers throughout.
+
+    Scale shape: identical join discipline to `graph_triangle_count`
+    (oriented wedge equi-joins, never Σdeg² wedges from hubs), plus one
+    |triangles|-row explode and a node-grain aggregate. The output is
+    |V| rows — dimension-bounded.
+    """
+    pairs = _copurchase_pairs(spark, sf_dir).persist()
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    oe = (
+        pairs.join(
+            deg.withColumnRenamed("src", "a_n").withColumnRenamed("deg", "da"),
+            pairs.src == F.col("a_n"),
+        )
+        .join(
+            deg.withColumnRenamed("src", "b_n").withColumnRenamed("deg", "db"),
+            pairs.dst == F.col("b_n"),
+        )
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .persist()
+    )
+    adj = oe.groupBy("a").agg(F.collect_set("b").alias("nbrs"))
+    triples = (
+        oe.join(adj.select(F.col("a"), F.col("nbrs").alias("na")), "a")
+        .join(adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.explode(F.array_intersect("na", "nb")).alias("c"),
+        )
+    )
+    per_node = (
+        triples.select(F.col("a").alias("node"))
+        .unionByName(triples.select(F.col("b").alias("node")))
+        .unionByName(triples.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    out = (
+        deg.join(per_node, deg.src == per_node.node, "left")
+        .select(
+            F.col("src").alias("part_key"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                "CAST(CASE WHEN deg < 2 THEN 0"
+                " ELSE (2 * 1000000 * 2 * coalesce(t, 0)"
+                "       + deg * (deg - 1))"
+                "      div (2 * deg * (deg - 1)) END AS BIGINT)"
+            ).alias("clustering_micro"),
+        )
+    )
+    res = finalize_unpersist(out, oe)
+    pairs.unpersist()
+    return res

@@ -6224,3 +6224,129 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             "          * (n_x + n_y - 1) AS DOUBLE))), 6)"
         ).alias("z_score"),
     )
+
+
+def _welch_exprs() -> list:
+    """Shared ANSI tail for the Welch t-test: pure double arithmetic
+    over the EXACT int128 sums (n, sx, sxx per group) — identical
+    operation order in both engines, so bit-identical results; the
+    single sqrt and the two 6-dp rounds are the accepted boundary."""
+    vx = (
+        "(CAST(nx * sxx_x - sx_x * sx_x AS DOUBLE)"
+        " / CAST(nx * (nx - 1) AS DOUBLE))"
+    )
+    vy = (
+        "(CAST(ny * sxx_y - sx_y * sx_y AS DOUBLE)"
+        " / CAST(ny * (ny - 1) AS DOUBLE))"
+    )
+    se2 = f"({vx} / CAST(nx AS DOUBLE) + {vy} / CAST(ny AS DOUBLE))"
+    t = (
+        f"round((CAST(sx_x AS DOUBLE) / CAST(nx AS DOUBLE)"
+        f" - CAST(sx_y AS DOUBLE) / CAST(ny AS DOUBLE))"
+        f" / sqrt({se2}), 6)"
+    )
+    df = (
+        f"round({se2} * {se2}"
+        f" / (({vx} / CAST(nx AS DOUBLE)) * ({vx} / CAST(nx AS DOUBLE))"
+        f"     / CAST(nx - 1 AS DOUBLE)"
+        f"   + ({vy} / CAST(ny AS DOUBLE)) * ({vy} / CAST(ny AS DOUBLE))"
+        f"     / CAST(ny - 1 AS DOUBLE)), 6)"
+    )
+    return [
+        "CAST(nx AS BIGINT) AS n_x",
+        "CAST(ny AS BIGINT) AS n_y",
+        "CAST((2 * 10000 * sx_x + nx) {d} (2 * nx) AS BIGINT)"
+        " AS mean_x_micro",
+        "CAST((2 * 10000 * sx_y + ny) {d} (2 * ny) AS BIGINT)"
+        " AS mean_y_micro",
+        f"{t} AS t_stat",
+        f"{df} AS welch_df",
+    ]
+
+
+@query(
+    "agg_welch_ttest",
+    oracle=f"""
+    WITH two AS (
+        SELECT CASE WHEN o_orderpriority = '{MWU_X_PRIO}' THEN 1 ELSE 0 END
+                   AS is_x,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderpriority IN ('{MWU_X_PRIO}', '{MWU_Y_PRIO}')
+    ),
+    s AS (
+        SELECT CAST(sum(is_x) AS HUGEINT) AS nx,
+               CAST(sum(1 - is_x) AS HUGEINT) AS ny,
+               CAST(sum(is_x * cents) AS HUGEINT) AS sx_x,
+               CAST(sum((1 - is_x) * cents) AS HUGEINT) AS sx_y,
+               sum(is_x * CAST(cents AS HUGEINT) * cents) AS sxx_x,
+               sum((1 - is_x) * CAST(cents AS HUGEINT) * cents) AS sxx_y
+        FROM two
+    )
+    SELECT {", ".join(e.format(d="//") for e in _welch_exprs())}
+    FROM s
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on the same two order-priority
+    samples as `agg_mann_whitney_u` — the parametric companion (means
+    rather than ranks; Welch 1947 with the Satterthwaite df): a
+    mean-vs-rank disagreement between the two tests is itself the
+    heavy-tail diagnostic. Emits group sizes, the half-up micro-unit
+    means, the t statistic and the fractional Welch degrees of freedom.
+
+    Determinism: ONE pass accumulates exact integer (n, Σx, Σx²) per
+    group — Σx² in int128 (DECIMAL(38,0)/HUGEINT; cents² already wraps
+    int64 at sf0.1) — then every floating step is the SAME ANSI
+    expression string evaluated over those exact integers in both
+    engines (identical op order → identical doubles), with sqrt and
+    the final 6-dp rounds as the accepted boundary.
+
+    Scale shape: one map-side-combinable aggregate to a single row;
+    nothing downstream exceeds constant size. The statistics textbook
+    runs in the same single shuffle any global sum does.
+    """
+    pr = F.col("o_orderpriority")
+    two = (
+        read_table(spark, sf_dir, "orders")
+        .filter(pr.isin(MWU_X_PRIO, MWU_Y_PRIO))
+        .select(
+            F.when(pr == MWU_X_PRIO, 1).otherwise(0).alias("is_x"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    s = two.agg(
+        F.sum("is_x").cast("decimal(38,0)").alias("nx"),
+        F.sum(1 - F.col("is_x")).cast("decimal(38,0)").alias("ny"),
+        F.sum(F.col("is_x") * F.col("cents")).cast("decimal(38,0)").alias("sx_x"),
+        F.sum((1 - F.col("is_x")) * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("sx_y"),
+        F.sum(
+            F.col("is_x") * F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("sxx_x"),
+        F.sum(
+            (1 - F.col("is_x"))
+            * F.col("cents").cast("decimal(38,0)")
+            * F.col("cents")
+        ).alias("sxx_y"),
+    )
+    # Spark `div` needs integral operands — rebind the two micro-mean
+    # identities over BIGINT casts of the (int64-safe) n and Σx sums
+    exprs = [
+        e.format(d="div")
+        .replace(
+            "(2 * 10000 * sx_x + nx) div (2 * nx)",
+            "(2 * 10000 * CAST(sx_x AS BIGINT) + CAST(nx AS BIGINT))"
+            " div (2 * CAST(nx AS BIGINT))",
+        )
+        .replace(
+            "(2 * 10000 * sx_y + ny) div (2 * ny)",
+            "(2 * 10000 * CAST(sx_y AS BIGINT) + CAST(ny AS BIGINT))"
+            " div (2 * CAST(ny AS BIGINT))",
+        )
+        for e in _welch_exprs()
+    ]
+    return s.selectExpr(*exprs)

@@ -270,6 +270,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     # round-5 wave 5 (post-freeze, locally oracle-gated):
     "agg_mann_whitney_u",
     "smp_neyman_allocation",
+    # round-5 wave 6 (post-freeze, locally oracle-gated):
+    "agg_welch_ttest",
+    "graph_clustering_coefficient",
 )
 
 
