@@ -1650,7 +1650,7 @@ def dd_span_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Directed containment threshold and the minimum source shingle count
 #: (a 1–2-shingle doc is 'contained' everywhere; profile noise).
-CONTAINMENT_THRESHOLD = 0.9
+SHINGLE_CONTAINMENT_THRESHOLD = 0.9
 MIN_SRC_SHINGLES = 5
 
 
@@ -1680,7 +1680,7 @@ MIN_SRC_SHINGLES = 5
     SELECT src_doc, dst_doc, CAST(shared AS BIGINT) AS shared,
            CAST(n_src AS BIGINT) AS n_src, containment
     FROM directed
-    WHERE containment >= {CONTAINMENT_THRESHOLD}
+    WHERE containment >= {SHINGLE_CONTAINMENT_THRESHOLD}
       AND n_src >= {MIN_SRC_SHINGLES}
     """,
 )
@@ -1692,7 +1692,7 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     short→long direction. LLM-corpus span dedup prunes exactly these
     (Broder's 1997 resemblance-vs-containment distinction). Emits both
     directions of each candidate pair that clear C ≥
-    {CONTAINMENT_THRESHOLD} with at least {MIN_SRC_SHINGLES} source
+    {SHINGLE_CONTAINMENT_THRESHOLD} with at least {MIN_SRC_SHINGLES} source
     shingles.
 
     Plan: the SAME blocked shingle-equality self-join + per-pair overlap
@@ -1733,7 +1733,7 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fwd.unionByName(rev)
         .filter(
-            (F.col("containment") >= CONTAINMENT_THRESHOLD)
+            (F.col("containment") >= SHINGLE_CONTAINMENT_THRESHOLD)
             & (F.col("n_src") >= MIN_SRC_SHINGLES)
         )
         .select(
