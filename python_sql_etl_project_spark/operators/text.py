@@ -2025,3 +2025,159 @@ def txt_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: RAKE report size.
+RAKE_TOP_K = 20
+
+
+@query(
+    "txt_rake_keyphrases",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    tokp AS (
+        SELECT doc_id, u.i AS pos, lower(w[u.i]) AS tok
+        FROM tok, unnest(range(1, len(w) + 1)) AS u(i)
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN tok IN ({_sql_list(STOPWORDS)}) THEN 1 ELSE 0 END
+                  AS s
+        FROM tokp
+    ),
+    grouped AS (
+        SELECT *, sum(s) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM flagged
+    ),
+    members AS (
+        SELECT doc_id, grp, pos, tok FROM grouped WHERE s = 0
+    ),
+    plen AS (
+        SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen
+        FROM members GROUP BY 1, 2
+    ),
+    wstats AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(plen) AS BIGINT) AS deg
+        FROM members JOIN plen USING (doc_id, grp)
+        GROUP BY tok
+    ),
+    wscore AS (
+        SELECT tok,
+               CAST((2 * 1000000 * deg + freq) // (2 * freq) AS BIGINT)
+                   AS score
+        FROM wstats
+    ),
+    inst AS (
+        SELECT m.doc_id, m.grp,
+               string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(ws.score) AS BIGINT) AS score_micro
+        FROM members m JOIN wscore ws USING (tok)
+        GROUP BY 1, 2
+    ),
+    ph AS (
+        SELECT phrase,
+               CAST(max(n_words) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(max(score_micro) AS BIGINT) AS score_micro
+        FROM inst GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, phrase)
+                AS BIGINT) AS rank,
+           phrase, n_words, n_occurrences, score_micro
+    FROM ph
+    ORDER BY score_micro DESC, phrase
+    LIMIT {RAKE_TOP_K}
+    """,
+)
+def txt_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are the maximal stopword-free token runs, each
+    word scores deg/freq (degree = summed length of every phrase it
+    appears in — rewards words that live in long collocations), and a
+    phrase scores the sum of its member word scores; the report is the
+    top-{RAKE_TOP_K} phrases corpus-wide. The classic
+    no-model-required keyword extractor a corpus triage pipeline runs
+    before anything learned.
+
+    Everything is integers: positions from a 1-based posexplode, the
+    phrase id is a per-document running stopword count (doc-grain
+    window), degree/frequency are exact counts, and word scores use
+    the half-up micro identity; the only text op is a deterministic
+    position-ordered join of tokens. Phrase assembly sorts (pos, tok)
+    structs — bit-identical to the oracle's ORDER BY pos string_agg.
+
+    Scale shape: a narrow posexplode; ONE doc-partitioned window for
+    phrase ids; word stats and the member⋈score join shuffle at token
+    grain (stopwords — the natural hot keys — are filtered OUT before
+    any shuffle); phrase grouping shuffles at (doc, phrase) then
+    phrase-text grain; the report is a global top-k merge
+    (TakeOrderedAndProject), never a full sort.
+    """
+    docs = read_table_parallel(spark, sf_dir, "documents", "doc_id")
+    tokp = docs.select(
+        "doc_id", F.posexplode(tokens()).alias("pos0", "tok0")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.lower(F.col("tok0")).alias("tok"),
+    )
+    flagged = tokp.withColumn(
+        "s", F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0)
+    )
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    members = (
+        flagged.withColumn("grp", F.sum("s").over(w_doc))
+        .filter(F.col("s") == 0)
+        .select("doc_id", "grp", "pos", "tok")
+    )
+    plen = members.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("plen")
+    )
+    wstats = (
+        members.join(plen, ["doc_id", "grp"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    wscore = wstats.select(
+        "tok",
+        F.expr("CAST((2 * 1000000 * deg + freq) div (2 * freq) AS BIGINT)")
+        .alias("score"),
+    )
+    inst = (
+        members.join(wscore, "tok")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda x: x.tok,
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("score").cast("bigint").alias("score_micro"),
+        )
+    )
+    ph = inst.groupBy("phrase").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.max("score_micro").cast("bigint").alias("score_micro"),
+    )
+    top = ph.orderBy(F.desc("score_micro"), "phrase").limit(RAKE_TOP_K)
+    w_rank = Window.orderBy(F.desc("score_micro"), "phrase")
+    return top.withColumn(
+        "rank", F.row_number().over(w_rank).cast("bigint")
+    ).select("rank", "phrase", "n_words", "n_occurrences", "score_micro")

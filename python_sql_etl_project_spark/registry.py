@@ -273,6 +273,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     # round-5 wave 6 (post-freeze, locally oracle-gated):
     "agg_welch_ttest",
     "graph_clustering_coefficient",
+    "txt_rake_keyphrases",
 )
 
 
