@@ -167,6 +167,25 @@ SHOWCASE = {
         "pass to a |groups|-row (n, S, Q) census, scalar decimal "
         "arithmetic after; the fact is scanned exactly once."
     ),
+    "jn_time_range_join": (
+        "Bin-and-refine interval join: the incident windows explode "
+        "into hour bins and join as an EQUI key (BroadcastHashJoin "
+        "with the exact range predicate as a residual filter) — no "
+        "BroadcastNestedLoopJoin anywhere in the plan."
+    ),
+    "agg_mann_whitney_u": (
+        "Distributed tie-aware ranking: no unpartitioned window over "
+        "the fact stream — shard partial sums, an exclusive prefix on "
+        "the shard-grain frame, broadcast offsets, per-shard "
+        "cumulative windows; U/R/tie sums are one partial-aggregated "
+        "pass."
+    ),
+    "sim_srp_lsh_pairs": (
+        "Hyperplane-LSH blocking: the 16-bit SRP signature is a "
+        "narrow integer map; candidates come from a self-equi-join on "
+        "(band, code) with md5-ranked bucket caps — fan-out bounded "
+        "by cap², never corpus²."
+    ),
 }
 
 
