@@ -1391,3 +1391,75 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority string, n_orders bigint, total_price double, "
         "min_orderkey bigint",
     )
+
+
+@query(
+    "src_fixed_width_ingest",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_orderkey
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def src_fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (COBOL copybook / mainframe extract) ingest proof —
+    the one mainstream landing-zone format Spark has no reader option
+    for, covered the way production pipelines do it: ``spark.read.text``
+    then SUBSTRING slicing against a column-position layout (the
+    copybook), trim, and cast. The stage writes orders as a fixed-width
+    text file (12-char right-aligned orderkey, 1-char status, 14-char
+    right-aligned cents, 15-char left-aligned priority), reads it back
+    through the layout, and aggregates; the oracle aggregates the
+    original parquet, so a hash match proves the parse is
+    value-preserving — including the integer-cents round-trip that
+    avoids ever printing a raw double.
+
+    Scale shape: text scan → substring/casts is one narrow map stage
+    (pure codegen, splittable input); the layout is compile-time
+    metadata, exactly like a copybook. Same eager-materialize +
+    reclaim pattern as the ORC/CSV/XML proofs — no temp leak.
+    """
+    target = tempfile.mkdtemp(prefix="fixed_width_")
+    try:
+        orders = read_table(spark, sf_dir, "orders").select(
+            F.format_string(
+                "%12d%1s%14d%-15s",
+                F.col("o_orderkey"),
+                F.col("o_orderstatus"),
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+                F.col("o_orderpriority"),
+            ).alias("value")
+        )
+        orders.write.mode("overwrite").text(target)
+        layout = spark.read.text(target).select(
+            F.trim(F.substring("value", 1, 12)).cast("bigint").alias(
+                "o_orderkey"
+            ),
+            F.substring("value", 13, 1).alias("o_orderstatus"),
+            F.trim(F.substring("value", 14, 14)).cast("bigint").alias(
+                "cents"
+            ),
+            F.trim(F.substring("value", 28, 15)).alias("o_orderpriority"),
+        )
+        rows = (
+            layout.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+                F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n_orders bigint, total_cents bigint, "
+        "min_orderkey bigint",
+    )

@@ -6350,3 +6350,187 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for e in _welch_exprs()
     ]
     return s.selectExpr(*exprs)
+
+
+#: Holt's linear (double exponential) smoothing with exact-half
+#: coefficients: α = β = 1/2, so every update is one integer addition
+#: and one truncating halving — bit-identical in both engines.
+HOLT_FORECAST_H = 3
+
+_HOLT_STEP = (
+    "named_struct("
+    "'l', (y + acc.l + acc.b) div 2, "
+    "'b', (((y + acc.l + acc.b) div 2) - acc.l + acc.b) div 2)"
+)
+
+
+@query(
+    "ts_holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE monthly AS (
+        SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS ym,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT ym, cents, row_number() OVER (ORDER BY ym) AS i FROM monthly
+    ),
+    rec AS (
+        SELECT 2 AS i,
+               (SELECT cents FROM idx WHERE i = 1) AS l,
+               (SELECT cents FROM idx WHERE i = 2)
+               - (SELECT cents FROM idx WHERE i = 1) AS b
+        UNION ALL
+        SELECT r.i + 1,
+               (x.cents + r.l + r.b) // 2,
+               (((x.cents + r.l + r.b) // 2) - r.l + r.b) // 2
+        FROM rec r JOIN idx x ON x.i = r.i + 1
+    )
+    SELECT CAST((SELECT max(i) FROM idx) AS BIGINT) AS n_months,
+           CAST(l AS BIGINT) AS level_cents,
+           CAST(b AS BIGINT) AS trend_cents,
+           CAST(l + 1 * b AS BIGINT) AS forecast_1_cents,
+           CAST(l + 2 * b AS BIGINT) AS forecast_2_cents,
+           CAST(l + 3 * b AS BIGINT) AS forecast_3_cents
+    FROM rec WHERE i = (SELECT max(i) FROM idx)
+    """,
+)
+def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double) exponential smoothing over the
+    monthly revenue series, with a {HOLT_FORECAST_H}-step-ahead
+    forecast — the level+trend forecaster one rung above
+    `ts_ewma_hourly_value`'s level-only EWMA (Holt 1957). Coefficients
+    are pinned at the exact halves α = β = ½, so the entire recursion
+    is integer adds and truncating halvings — deterministic to the bit
+    in both engines with NO rounding boundary at all (truncation
+    toward zero is identical for Spark ``div`` and DuckDB ``//``).
+
+    Engine-specific evaluation, identical arithmetic: Spark runs the
+    recursion as ONE ``aggregate()`` fold over the collected
+    month-array — executor-side whole-stage codegen, no driver loop,
+    no per-step shuffle; the oracle runs the same recurrence as a
+    recursive CTE. An inherently sequential scan-order recursion is
+    the documented boundary of what a shuffle can parallelize — the
+    right distributed shape is exactly this: reduce the fact table to
+    the calendar-grain series (one shuffle), then fold the tiny series
+    in one task.
+    """
+    monthly = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    arr = monthly.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ym, cents))),"
+            " x -> x.cents)"
+        ).alias("ys")
+    )
+    folded = arr.select(
+        F.size("ys").cast("bigint").alias("n_months"),
+        F.expr(
+            "aggregate(slice(ys, 3, size(ys) - 2),"
+            " named_struct('l', ys[0], 'b', ys[1] - ys[0]),"
+            f" (acc, y) -> {_HOLT_STEP},"
+            " acc -> acc)"
+        ).alias("st"),
+    )
+    return folded.select(
+        "n_months",
+        F.col("st.l").cast("bigint").alias("level_cents"),
+        F.col("st.b").cast("bigint").alias("trend_cents"),
+        *[
+            (F.col("st.l") + h * F.col("st.b"))
+            .cast("bigint")
+            .alias(f"forecast_{h}_cents")
+            for h in range(1, HOLT_FORECAST_H + 1)
+        ],
+    )
+
+
+#: Tables covered by the content fingerprint, with their canonical
+#: per-row rendering (exact integers and fixed-format timestamps only —
+#: no raw doubles in the hashed string).
+FP_MODULUS = 281474976710656  # 2^48
+
+
+def _fp_specs() -> tuple[tuple[str, str], ...]:
+    cents = "CAST(floor({c} * 100 + 0.5) AS BIGINT)"
+    return (
+        (
+            "orders",
+            "concat_ws('|', o_orderkey, o_orderstatus, "
+            + cents.format(c="o_totalprice")
+            + ", date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss'),"
+            " o_orderpriority, o_custkey)",
+        ),
+        (
+            "customer",
+            "concat_ws('|', c_custkey, c_name, c_nationkey, "
+            + cents.format(c="c_acctbal")
+            + ", c_mktsegment)",
+        ),
+        (
+            "nation",
+            "concat_ws('|', n_nationkey, n_name, n_regionkey)",
+        ),
+    )
+
+
+def _fp_oracle() -> str:
+    parts = []
+    for tbl, expr in _fp_specs():
+        canon = expr.replace(
+            "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')",
+            "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
+        )
+        parts.append(f"""
+    SELECT '{tbl}' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(('0x' || substr(md5({canon}), 1, 12))::BIGINT
+                         AS HUGEINT)) % {FP_MODULUS} AS BIGINT)
+               AS fingerprint
+    FROM {tbl}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("dq_table_fingerprint", oracle=_fp_oracle())
+def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content fingerprint — the one-number
+    replication check a warehouse runs after a migration, backfill, or
+    engine swap (it is the same construction this repo's own external
+    gate uses): each row renders to a CANONICAL string (exact integer
+    cents, fixed-format timestamps — never a raw double's display
+    form), hashes through md5, and the per-row 48-bit hash integers
+    sum exactly (DECIMAL(38,0)/HUGEINT) before a final modulus. Any
+    single changed/missing/duplicated row moves the fingerprint;
+    commutative addition makes it partition-order-proof by
+    construction.
+
+    Scale shape: one narrow map per table (render + hash) feeding a
+    map-side-combinable global sum — the cheapest possible full-table
+    verification; tables audit in parallel stages.
+    """
+    rows = None
+    for tbl, expr in _fp_specs():
+        t = read_table(spark, sf_dir, tbl)
+        h = F.expr(
+            f"CAST(conv(substring(md5({expr}), 1, 12), 16, 10) AS BIGINT)"
+        )
+        one = t.select(h.alias("h")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr(
+                f"CAST(sum(CAST(h AS DECIMAL(38,0))) % {FP_MODULUS}"
+                " AS BIGINT)"
+            ).alias("fingerprint"),
+        ).select(
+            F.lit(tbl).alias("table_name"), "n_rows", "fingerprint"
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows

@@ -274,6 +274,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "agg_welch_ttest",
     "graph_clustering_coefficient",
     "txt_rake_keyphrases",
+    "ts_holt_linear_forecast",
+    "dq_table_fingerprint",
+    "src_fixed_width_ingest",
 )
 
 
