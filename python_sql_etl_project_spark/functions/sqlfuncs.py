@@ -135,3 +135,82 @@ def fn_recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_testdata_views(spark, sf_dir)
     return spark.sql(RECURSIVE_CHAIN_SQL)
+
+
+# --------------------------------------------------------------------------
+# Higher-order array functions (transform / filter / aggregate / zip_with)
+# --------------------------------------------------------------------------
+
+#: Element → integer micro-units, the package-wide convention for exact
+#: cross-engine float handling (same expression the similarity family
+#: uses): widen FLOAT → DOUBLE, scale by 1e6, half-away round, BIGINT.
+_MICRO_EL = "CAST(round(CAST({x} AS DOUBLE) * 1000000, 0) AS BIGINT)"
+
+
+def _hof_spark_sql() -> str:
+    m = _MICRO_EL.format
+    return f"""
+    SELECT vec_id,
+           CAST(size(embedding) AS BIGINT) AS n_dims,
+           aggregate(transform(embedding, x -> abs({m(x='x')})),
+                     0L, (acc, x) -> acc + x) AS l1_micro,
+           aggregate(transform(embedding, x -> {m(x='x')} * {m(x='x')}),
+                     0L, (acc, x) -> acc + x) AS l2sq_micro2,
+           CAST(size(filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           aggregate(zip_with(embedding, reverse(embedding),
+                              (a, b) -> {m(x='a')} * {m(x='b')}),
+                     0L, (acc, x) -> acc + x) AS pal_dot_micro2
+    FROM emb_hof
+    """
+
+
+def _hof_oracle_sql() -> str:
+    # DuckDB's list lambdas mirror Spark's HOFs one-for-one except
+    # zip_with, which is expressed as an index transform over
+    # generate_series (reverse(e)[i] == e[len(e)+1-i], 1-based).
+    m = _MICRO_EL.format
+    def dm(x: str) -> str:  # DuckDB round() is single-arg here
+        return f"CAST(round(CAST({x} AS DOUBLE) * 1000000) AS BIGINT)"
+
+    return f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS n_dims,
+           CAST(list_sum(list_transform(embedding,
+                x -> abs({dm('x')}))) AS BIGINT) AS l1_micro,
+           CAST(list_sum(list_transform(embedding,
+                x -> {dm('x')} * {dm('x')})) AS BIGINT) AS l2sq_micro2,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+                i -> {dm('embedding[i]')}
+                     * {dm('embedding[len(embedding) + 1 - i]')}))
+                AS BIGINT) AS pal_dot_micro2
+    FROM embeddings
+    """
+
+
+@query("fn_array_higher_order", oracle=_hof_oracle_sql())
+def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL's higher-order lambda functions — ``transform`` /
+    ``filter`` / ``aggregate`` / ``zip_with`` / ``reverse`` — exercised
+    over the embedding corpus and hash-checked against DuckDB's list
+    lambdas computing the identical integer arithmetic. Per vector:
+    dimension count, L1 norm and squared L2 norm in micro-units, the
+    positive-element count, and a palindromic self-dot (vector ·
+    reverse(vector)) that forces a genuine two-array ``zip_with``.
+
+    The reference has no array surface at all; this is the
+    engine-grade extension point for embedding feature math. Every
+    lambda runs INSIDE the JVM row pipeline — no UDF, no Arrow
+    boundary, no shuffle: the physical plan is a single map-only
+    FileScan→Project, so the op costs one narrow pass at any corpus
+    size (the 100 TB shape: per-row array math is embarrassingly
+    parallel and whole-stage-codegen'd).
+
+    Bounds: |element| < 10 ⇒ micro ≤ 1e7; the 64-dim squared sums stay
+    ≤ 6.4e15, far inside BIGINT. DuckDB's ``list_sum`` widens to
+    HUGEINT and is cast back after summing.
+    """
+    read_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "emb_hof"
+    )
+    return spark.sql(_hof_spark_sql())

@@ -1463,3 +1463,156 @@ def src_fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus string, n_orders bigint, total_cents bigint, "
         "min_orderkey bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering-quality audit
+# --------------------------------------------------------------------------
+
+#: 2*_ZBITS-bit Morton codes bucketed into at most 64 contiguous Z-curve
+#: segments — the stand-in for "output files" of :func:`zorder_write`.
+_AUDIT_SHIFT = 2 * _ZBITS - 6
+_AUDIT_NB = 64
+
+_ZAUDIT_ORACLE = f"""
+WITH keyed AS (
+    SELECT ({_ZA}) AS a, ({_ZB}) AS b,
+           ({morton_sql(_ZA, _ZB, _ZBITS)}) >> {_AUDIT_SHIFT} AS zb,
+           l_orderkey % {_AUDIT_NB} AS nb
+    FROM lineitem
+),
+stats AS (
+    SELECT 'zorder' AS layout, zb AS bucket,
+           min(a) AS min_a, max(a) AS max_a,
+           min(b) AS min_b, max(b) AS max_b,
+           count(*) AS n_rows
+    FROM keyed GROUP BY 1, 2
+    UNION ALL
+    SELECT 'naive' AS layout, nb AS bucket,
+           min(a), max(a), min(b), max(b), count(*)
+    FROM keyed GROUP BY 1, 2
+),
+ovl AS (
+    SELECT x.layout,
+           sum(CASE WHEN x.min_a <= y.max_a AND y.min_a <= x.max_a
+                    THEN 1 ELSE 0 END) AS overlap_pairs_a,
+           sum(CASE WHEN x.min_b <= y.max_b AND y.min_b <= x.max_b
+                    THEN 1 ELSE 0 END) AS overlap_pairs_b
+    FROM stats x JOIN stats y
+      ON x.layout = y.layout AND x.bucket < y.bucket
+    GROUP BY 1
+)
+SELECT s.layout,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(s.max_a - s.min_a) AS BIGINT) AS sum_width_a,
+       CAST(sum(s.max_b - s.min_b) AS BIGINT) AS sum_width_b,
+       CAST(sum(s.n_rows) AS BIGINT) AS total_rows,
+       CAST(any_value(o.overlap_pairs_a) AS BIGINT) AS overlap_pairs_a,
+       CAST(any_value(o.overlap_pairs_b) AS BIGINT) AS overlap_pairs_b
+FROM stats s JOIN ovl o ON s.layout = o.layout
+GROUP BY 1
+"""
+
+
+@query("ld_zorder_clustering_audit", oracle=_ZAUDIT_ORACLE)
+def ld_zorder_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY :func:`zorder_write` works, measured: bucket lineitem once by
+    its Morton-code range (the Z-curve segments the writer lays files
+    out by) and once naively by ``l_orderkey % 64`` (arrival order),
+    then score each layout by the min/max footprint a file-skipping
+    reader would see — per-bucket value-range widths on BOTH
+    interleaved dimensions, plus the count of bucket pairs whose
+    ranges overlap (every overlap is a file a range predicate cannot
+    prune). Z-order shrinks both the widths and the overlap count by
+    orders of magnitude versus arrival order — the exact mechanism
+    that turns parquet min/max stats into partition pruning at 100 TB.
+
+    Scale shape: one wide scan aggregated straight down to ≤64 stats
+    rows per layout (map-side partial min/max), then the overlap
+    self-join runs at manifest grain (≤64×64 pairs, equi-keyed on
+    layout — tiny broadcast, no nested-loop over data rows). On a real
+    lake the stats CTE is free: it IS the parquet footer / table-format
+    manifest; the audit recomputes it from data only to stay
+    self-contained and oracle-checkable.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        (F.col("l_partkey") % 1024).alias("a"),
+        (F.col("l_suppkey") % 1024).alias("b"),
+        F.shiftright(
+            morton_col(
+                F.col("l_partkey") % 1024, F.col("l_suppkey") % 1024, _ZBITS
+            ),
+            _AUDIT_SHIFT,
+        ).alias("zb"),
+        (F.col("l_orderkey") % _AUDIT_NB).alias("nb"),
+    )
+
+    def bucket_stats(bucket_col: str, layout: str) -> DataFrame:
+        return (
+            keyed.groupBy(F.col(bucket_col).alias("bucket"))
+            .agg(
+                F.min("a").alias("min_a"),
+                F.max("a").alias("max_a"),
+                F.min("b").alias("min_b"),
+                F.max("b").alias("max_b"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+
+    stats = bucket_stats("zb", "zorder").unionByName(
+        bucket_stats("nb", "naive")
+    )
+    x, y = stats.alias("x"), stats.alias("y")
+    ovl = (
+        x.join(
+            y,
+            (F.col("x.layout") == F.col("y.layout"))
+            & (F.col("x.bucket") < F.col("y.bucket")),
+        )
+        .groupBy(F.col("x.layout").alias("layout"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("x.min_a") <= F.col("y.max_a"))
+                    & (F.col("y.min_a") <= F.col("x.max_a")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("overlap_pairs_a"),
+            F.sum(
+                F.when(
+                    (F.col("x.min_b") <= F.col("y.max_b"))
+                    & (F.col("y.min_b") <= F.col("x.max_b")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("overlap_pairs_b"),
+        )
+    )
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(F.col("max_a") - F.col("min_a"))
+            .cast("bigint")
+            .alias("sum_width_a"),
+            F.sum(F.col("max_b") - F.col("min_b"))
+            .cast("bigint")
+            .alias("sum_width_b"),
+            F.sum("n_rows").cast("bigint").alias("total_rows"),
+        )
+        .join(ovl, "layout")
+        .select(
+            "layout",
+            "n_buckets",
+            "sum_width_a",
+            "sum_width_b",
+            "total_rows",
+            "overlap_pairs_a",
+            "overlap_pairs_b",
+        )
+    )

@@ -277,6 +277,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "ts_holt_linear_forecast",
     "dq_table_fingerprint",
     "src_fixed_width_ingest",
+    # round-5 wave 7 (post-freeze, locally oracle-gated):
+    "fn_array_higher_order",
+    "ld_zorder_clustering_audit",
 )
 
 
