@@ -6534,3 +6534,469 @@ def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = one if rows is None else rows.unionByName(one)
     return rows
+
+
+#: Kruskal–Wallis groups: the five order-priority classes (k-sample
+#: extension of the Mann–Whitney pair above). Shard span for the
+#: two-pass distributed ranking (contiguous $10k value bands).
+KW_SHARD_SPAN_CENTS = 1_000_000
+
+
+@query(
+    "agg_kruskal_wallis",
+    oracle=f"""
+    WITH vals AS (
+        SELECT o_orderpriority AS grp,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    census_v AS (
+        SELECT cents, CAST(count(*) AS BIGINT) AS nv
+        FROM vals GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cents, nv,
+               2 * (sum(nv) OVER (ORDER BY cents) - nv) + nv + 1 AS rank2
+        FROM census_v
+    ),
+    census_g AS (
+        SELECT grp, cents, CAST(count(*) AS BIGINT) AS cnt
+        FROM vals GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(sum(nv) AS BIGINT) AS n_total,
+               CAST(sum(nv * nv * nv - nv) AS BIGINT) AS ties3
+        FROM census_v
+    ),
+    grp_stats AS (
+        SELECT g.grp AS priority,
+               CAST(sum(g.cnt) AS BIGINT) AS n_g,
+               CAST(sum(g.cnt * r.rank2) AS BIGINT) AS r2_g
+        FROM census_g g JOIN ranked r USING (cents)
+        GROUP BY 1
+    ),
+    contrib AS (
+        SELECT priority, n_g, r2_g,
+               CAST(r2_g - n_g * (t.n_total + 1) AS BIGINT) AS dev2x,
+               CAST(round(
+                   3.0 * CAST(r2_g - n_g * (t.n_total + 1) AS DOUBLE)
+                       * CAST(r2_g - n_g * (t.n_total + 1) AS DOUBLE)
+                   / (CAST(n_g AS DOUBLE)
+                      * CAST(t.n_total AS DOUBLE)
+                      * CAST(t.n_total + 1 AS DOUBLE)
+                      * CAST(t.n_total + 1 AS DOUBLE)), 6)
+                 AS DECIMAL(38,6)) AS h_contrib
+        FROM grp_stats, tot t
+    ),
+    h AS (
+        SELECT CAST(sum(h_contrib) AS DECIMAL(38,6)) AS h_raw FROM contrib
+    )
+    SELECT c.priority, c.n_g, c.r2_g, c.dev2x,
+           CAST(c.h_contrib AS DOUBLE) AS h_contrib,
+           t.n_total, t.ties3,
+           round(CAST(h.h_raw AS DOUBLE)
+                 * CAST(CAST(t.n_total AS HUGEINT) * t.n_total * t.n_total
+                        - t.n_total AS DOUBLE)
+                 / CAST(CAST(t.n_total AS HUGEINT) * t.n_total * t.n_total
+                        - t.n_total - t.ties3 AS DOUBLE), 6) AS h_stat
+    FROM contrib c, tot t, h
+    """,
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H: do order values differ across ALL five priority
+    classes at once? The k-sample generalization of `agg_mann_whitney_u`
+    (one-way ANOVA on ranks — the robust first test when value
+    distributions are heavy-tailed). Emits one row per priority with its
+    exact integer sufficient statistics (group size, doubled rank sum,
+    doubled deviation from the expected rank sum) plus the tie-corrected
+    H repeated for dashboard joins.
+
+    Ranking reuses the DISTRIBUTED two-pass plan (value census → shard
+    partial sums → broadcast offsets → partitioned cumulative windows):
+    no fact row ever crosses a single-partition window. Group rank sums
+    are one map-side-combinable aggregate over the distinct-value frame
+    joined to the tiny per-(group,value) census.
+
+    Determinism: 2×-scaled ranks keep tied average-ranks integral; each
+    group's H contribution is a single double expression with identical
+    operation order in both engines, rounded to 6 dp and summed as
+    EXACT DECIMAL(38,6) (order-free — the `agg_theil_index` pattern),
+    so the only float boundary is per-term; the tie-correction factor
+    assembles from exact int128 cubes.
+    """
+    vals = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    census_v = (
+        vals.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+        .withColumn("shard", F.expr(f"cents div {KW_SHARD_SPAN_CENTS}"))
+    )
+    shard_tot = census_v.groupBy("shard").agg(F.sum("nv").alias("s_nv"))
+    w_shard = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = shard_tot.select(
+        "shard",
+        (F.sum("s_nv").over(w_shard) - F.col("s_nv")).alias("off_nv"),
+    )
+    in_shard = Window.partitionBy("shard").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = census_v.join(F.broadcast(offs), "shard").select(
+        "cents",
+        "nv",
+        (
+            2 * (F.col("off_nv") + F.sum("nv").over(in_shard) - F.col("nv"))
+            + F.col("nv")
+            + 1
+        ).alias("rank2"),
+    )
+    census_g = vals.groupBy("grp", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = census_v.agg(
+        F.sum("nv").cast("bigint").alias("n_total"),
+        F.sum(F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv"))
+        .cast("bigint")
+        .alias("ties3"),
+    )
+    grp_stats = (
+        census_g.join(ranked, "cents")
+        .groupBy(F.col("grp").alias("priority"))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_g"),
+            F.sum(F.col("cnt") * F.col("rank2")).cast("bigint").alias("r2_g"),
+        )
+    )
+    contrib = grp_stats.crossJoin(F.broadcast(tot)).select(
+        "priority",
+        "n_g",
+        "r2_g",
+        F.expr("CAST(r2_g - n_g * (n_total + 1) AS BIGINT)").alias("dev2x"),
+        F.expr(
+            "CAST(round("
+            "  3.0 * CAST(r2_g - n_g * (n_total + 1) AS DOUBLE)"
+            "      * CAST(r2_g - n_g * (n_total + 1) AS DOUBLE)"
+            "  / (CAST(n_g AS DOUBLE) * CAST(n_total AS DOUBLE)"
+            "     * CAST(n_total + 1 AS DOUBLE)"
+            "     * CAST(n_total + 1 AS DOUBLE)), 6) AS DECIMAL(38,6))"
+        ).alias("h_contrib"),
+        "n_total",
+        "ties3",
+    )
+    h = contrib.agg(
+        F.expr("CAST(sum(h_contrib) AS DECIMAL(38,6))").alias("h_raw")
+    )
+    return contrib.crossJoin(F.broadcast(h)).select(
+        "priority",
+        "n_g",
+        "r2_g",
+        "dev2x",
+        F.col("h_contrib").cast("double").alias("h_contrib"),
+        "n_total",
+        "ties3",
+        F.expr(
+            "round(CAST(h_raw AS DOUBLE)"
+            " * CAST(CAST(n_total AS DECIMAL(38,0)) * n_total * n_total"
+            "        - n_total AS DOUBLE)"
+            " / CAST(CAST(n_total AS DECIMAL(38,0)) * n_total * n_total"
+            "        - n_total - ties3 AS DOUBLE), 6)"
+        ).alias("h_stat"),
+    )
+
+
+@query(
+    "agg_kendall_tau",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS ym,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT ym, n_orders, cents,
+               row_number() OVER (ORDER BY ym) AS i
+        FROM monthly
+    ),
+    pairs AS (
+        SELECT CASE WHEN (b.n_orders - a.n_orders) * (b.cents - a.cents) > 0
+                    THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (b.n_orders - a.n_orders) * (b.cents - a.cents) < 0
+                    THEN 1 ELSE 0 END AS disc,
+               CASE WHEN b.n_orders = a.n_orders THEN 1 ELSE 0 END AS tie_x,
+               CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END AS tie_y
+        FROM idx a JOIN idx b ON b.i > a.i
+    )
+    SELECT CAST((SELECT count(*) FROM idx) AS BIGINT) AS n_months,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(conc) AS BIGINT) AS concordant,
+           CAST(sum(disc) AS BIGINT) AS discordant,
+           CAST(sum(tie_x) AS BIGINT) AS ties_x,
+           CAST(sum(tie_y) AS BIGINT) AS ties_y,
+           round(CAST(sum(conc) - sum(disc) AS DOUBLE)
+                 / sqrt(CAST(count(*) - sum(tie_x) AS DOUBLE)
+                        * CAST(count(*) - sum(tie_y) AS DOUBLE)), 6)
+               AS tau_b
+    FROM pairs
+    """,
+)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between monthly order VOLUME and
+    monthly REVENUE — the robust monotone-association measure (does more
+    orders reliably mean more revenue, outliers ignored?) with the
+    standard tie correction in the denominator. Concordant, discordant
+    and tied pair counts are exact integers; only the final tau-b (one
+    sqrt) is a rounded double — identical expression order both engines.
+
+    Scale shape: the `ts_theil_sen_trend` pattern — ONE fact shuffle to
+    month grain, then the pair space is months² (calendar-bounded, ~80
+    months → 3160 pairs; independent of fact volume), so the quadratic
+    stage is provably tiny forever and the pair join is broadcast-sized.
+    """
+    monthly = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    idx = monthly.withColumn("i", F.row_number().over(Window.orderBy("ym")))
+    a = idx.select(
+        F.col("i").alias("i1"),
+        F.col("n_orders").alias("x1"),
+        F.col("cents").alias("y1"),
+    )
+    b = idx.select(
+        F.col("i").alias("i2"),
+        F.col("n_orders").alias("x2"),
+        F.col("cents").alias("y2"),
+    )
+    pairs = a.join(b, F.col("i2") > F.col("i1")).select(
+        F.when((F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1")) > 0, 1)
+        .otherwise(0)
+        .alias("conc"),
+        F.when((F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1")) < 0, 1)
+        .otherwise(0)
+        .alias("disc"),
+        F.when(F.col("x2") == F.col("x1"), 1).otherwise(0).alias("tie_x"),
+        F.when(F.col("y2") == F.col("y1"), 1).otherwise(0).alias("tie_y"),
+    )
+    n_months = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("conc").cast("bigint").alias("concordant"),
+            F.sum("disc").cast("bigint").alias("discordant"),
+            F.sum("tie_x").cast("bigint").alias("ties_x"),
+            F.sum("tie_y").cast("bigint").alias("ties_y"),
+        )
+        .crossJoin(F.broadcast(n_months))
+        .select(
+            "n_months",
+            "n_pairs",
+            "concordant",
+            "discordant",
+            "ties_x",
+            "ties_y",
+            F.expr(
+                "round(CAST(concordant - discordant AS DOUBLE)"
+                " / sqrt(CAST(n_pairs - ties_x AS DOUBLE)"
+                "        * CAST(n_pairs - ties_y AS DOUBLE)), 6)"
+            ).alias("tau_b"),
+        )
+    )
+
+
+KAPPA_QTY_MAX = 25
+KAPPA_CENTS_MAX = 2_500_000
+
+
+@query(
+    "agg_cohens_kappa",
+    oracle=f"""
+    WITH lab AS (
+        SELECT CASE WHEN l_quantity <= {KAPPA_QTY_MAX} THEN 1 ELSE 0 END AS a,
+               CASE WHEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         <= {KAPPA_CENTS_MAX} THEN 1 ELSE 0 END AS b
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n11,
+               CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n10,
+               CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n01
+        FROM lab
+    ),
+    m AS (
+        SELECT n, n11, n10, n01, n - n11 - n10 - n01 AS n00,
+               n11 + n10 AS r1, n01 + (n - n11 - n10 - n01) AS r0_c,
+               n11 + n01 AS c1
+        FROM cells
+    )
+    SELECT n, n11, n10, n01, n00,
+           CAST((1000000 * (n11 + n00)) // n AS BIGINT) AS po_micro,
+           CAST((1000000 * (r1 * c1 + (n - r1) * (n - c1))) // (n * n)
+                AS BIGINT) AS pe_micro,
+           CAST({_signed_half_up(
+               "n * (n11 + n00) - (r1 * c1 + (n - r1) * (n - c1))",
+               "n * n - (r1 * c1 + (n - r1) * (n - c1))",
+               1_000_000, "//")} AS BIGINT) AS kappa_micro
+    FROM m
+    """,
+)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa chance-corrected agreement between two LABELING
+    RULES over the same lineitems — rule A flags SMALL lines
+    (quantity ≤ {KAPPA_QTY_MAX}), rule B flags CHEAP lines (exact
+    cents ≤ {KAPPA_CENTS_MAX}). The standard inter-annotator /
+    weak-supervision agreement check a labeling pipeline runs before
+    trusting a cheap rule as a proxy for an expensive one (here: how
+    well does quantity proxy price?). kappa = (p_o − p_e)/(1 − p_e) reduces
+    over a 2×2 table to the pure integer ratio (N·diag − Σrᵢcᵢ) /
+    (N² − Σrᵢcᵢ) — micro-rounded with the shared half-up identity, so
+    the entire statistic is bit-identical across engines (no float
+    anywhere).
+
+    Scale shape: ONE map-side-combinable conditional-sum pass over the
+    fact table (4 counters), then arithmetic on a 1-row frame. N² stays
+    in int64 to ~3e9 rows (sf500); past that the identity widens to
+    DECIMAL(38,0) unchanged.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    a = F.col("l_quantity") <= F.lit(KAPPA_QTY_MAX)
+    b = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+        <= F.lit(KAPPA_CENTS_MAX)
+    )
+    cells = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("bigint").alias("n11"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).cast("bigint").alias("n10"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).cast("bigint").alias("n01"),
+    )
+    m = cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        F.expr("n - n11 - n10 - n01").alias("n00"),
+        F.expr("n11 + n10").alias("r1"),
+        F.expr("n11 + n01").alias("c1"),
+    )
+    return m.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr("CAST((1000000 * (n11 + n00)) div n AS BIGINT)").alias(
+            "po_micro"
+        ),
+        F.expr(
+            "CAST((1000000 * (r1 * c1 + (n - r1) * (n - c1))) div (n * n)"
+            " AS BIGINT)"
+        ).alias("pe_micro"),
+        F.expr(
+            "CAST("
+            + _signed_half_up(
+                "n * (n11 + n00) - (r1 * c1 + (n - r1) * (n - c1))",
+                "n * n - (r1 * c1 + (n - r1) * (n - c1))",
+                1_000_000,
+                "div",
+            )
+            + " AS BIGINT)"
+        ).alias("kappa_micro"),
+    )
+
+
+#: Orders columns profiled for uniqueness (name → SQL expression; the
+#: money column profiles on exact cents, never raw-double display form).
+UNIQ_PROFILE_COLS = (
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_orderdate", "o_orderdate"),
+    ("o_totalprice_cents", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"),
+)
+
+
+def _uniq_oracle() -> str:
+    cells = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct
+        FROM orders"""
+        for name, expr in UNIQ_PROFILE_COLS
+    )
+    return f"""
+    SELECT col_name, n_rows, n_distinct,
+           CAST(n_rows - n_distinct AS BIGINT) AS n_dup_rows,
+           CAST((1000000 * n_distinct) // n_rows AS BIGINT)
+               AS uniqueness_micro,
+           n_distinct = n_rows AS is_unique_key
+    FROM ({cells}) cells
+    """
+
+
+@query("dq_uniqueness_profile", oracle=_uniq_oracle())
+def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column uniqueness profile of the orders table — the
+    key-discovery page of a data profiler (Deequ's ``Uniqueness``,
+    profilers' cardinality census): exact distinct count, duplicate-row
+    count, uniqueness ratio, and an is-candidate-key verdict per
+    audited column, emitted LONG so snapshots diff cleanly.
+
+    Scale shape: one aggregation over the fact table computes every
+    column's EXACT distinct count; Catalyst plans multi-distinct via a
+    single expand (k× the scan rows map-side, one shuffle) — at larger
+    column sets or row counts swap in approx_count_distinct per the
+    documented `agg_hll_audit` accuracy contract. The wide→long unpivot
+    runs on the 1-row aggregate via ``stack``. The money column is
+    profiled on exact integer cents (identical in both engines), never
+    on a double's display form.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for name, expr in UNIQ_PROFILE_COLS:
+        aggs.append(
+            F.countDistinct(F.expr(expr)).cast("bigint").alias(f"nd_{name}")
+        )
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', nd_{name}" for name, _ in UNIQ_PROFILE_COLS
+    )
+    return (
+        wide.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(UNIQ_PROFILE_COLS)}, {stack_args})"
+                " AS (col_name, n_distinct)"
+            ),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct"))
+            .cast("bigint")
+            .alias("n_dup_rows"),
+            F.expr("CAST((1000000 * n_distinct) div n_rows AS BIGINT)").alias(
+                "uniqueness_micro"
+            ),
+            (F.col("n_distinct") == F.col("n_rows")).alias("is_unique_key"),
+        )
+    )

@@ -280,6 +280,11 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     # round-5 wave 7 (post-freeze, locally oracle-gated):
     "fn_array_higher_order",
     "ld_zorder_clustering_audit",
+    # round-5 wave 8 (post-freeze, locally oracle-gated):
+    "agg_kruskal_wallis",
+    "agg_kendall_tau",
+    "agg_cohens_kappa",
+    "dq_uniqueness_profile",
 )
 
 

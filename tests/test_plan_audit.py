@@ -114,6 +114,15 @@ BNLJ_ALLOWED = {
         "marginals + 1-row total broadcast — bounded regardless of fact "
         "volume (the gap-fill-grid pattern)"
     ),
+    "agg_kendall_tau": (
+        "calendar-grain month×month concordance pairs (months² is "
+        "span-bounded, the ts_theil_sen_trend class) + 1-row month-count "
+        "broadcast"
+    ),
+    "agg_kruskal_wallis": (
+        "two 1-row aggregate broadcasts (global N/ties total, then the "
+        "decimal-summed H) onto the 5-row group frame"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
