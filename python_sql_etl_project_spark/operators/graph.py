@@ -1385,3 +1385,142 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = finalize_unpersist(out, oe)
     pairs.unpersist()
     return res
+
+
+#: HITS: L1-normalized hub/authority mass in integer micro-units; two
+#: full mutual-reinforcement iterations over the DIRECTED bipartite
+#: supplier→customer shipment graph (suppliers are pure hubs, customers
+#: pure authorities — the classic query-vs-content split).
+HITS_SCALE = 1_000_000
+N_HITS_ITERS = 2
+
+_HITS_EDGES_CTE = """
+    e AS MATERIALIZED (
+        SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+"""
+
+
+def _hits_iter_sql(h_prev: str, a_this: str, h_this: str) -> str:
+    return f"""
+    {a_this}_raw AS MATERIALIZED (
+        SELECT e.c, CAST(sum({h_prev}.hub) AS DECIMAL(38,0)) AS raw
+        FROM e JOIN {h_prev} ON {h_prev}.s = e.s GROUP BY e.c
+    ),
+    {a_this} AS MATERIALIZED (
+        SELECT c, CAST((CAST({HITS_SCALE} AS HUGEINT) * CAST(raw AS HUGEINT))
+                       // CAST((SELECT sum(raw) FROM {a_this}_raw) AS HUGEINT)
+                   AS BIGINT) AS auth
+        FROM {a_this}_raw
+    ),
+    {h_this}_raw AS MATERIALIZED (
+        SELECT e.s, CAST(sum({a_this}.auth) AS DECIMAL(38,0)) AS raw
+        FROM e JOIN {a_this} ON {a_this}.c = e.c GROUP BY e.s
+    ),
+    {h_this} AS MATERIALIZED (
+        SELECT s, CAST((CAST({HITS_SCALE} AS HUGEINT) * CAST(raw AS HUGEINT))
+                       // CAST((SELECT sum(raw) FROM {h_this}_raw) AS HUGEINT)
+                   AS BIGINT) AS hub
+        FROM {h_this}_raw
+    )"""
+
+
+@query(
+    "graph_hits_hubs_authorities",
+    oracle=f"""
+    WITH {_HITS_EDGES_CTE},
+    h0 AS MATERIALIZED (
+        SELECT DISTINCT s, CAST({HITS_SCALE} AS BIGINT) AS hub FROM e
+    ),
+    {_hits_iter_sql("h0", "a1", "h1")},
+    {_hits_iter_sql("h1", "a2", "h2")}
+    SELECT 'supplier' AS node_type, s AS node_key, hub AS score_micro
+    FROM h2
+    UNION ALL
+    SELECT 'customer' AS node_type, c AS node_key, auth AS score_micro
+    FROM a2
+    """,
+)
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs-and-authorities) over the directed bipartite
+    supplier→customer shipment graph: a supplier is a strong HUB when it
+    ships to strong-authority customers, a customer a strong AUTHORITY
+    when supplied by strong hubs — {N_HITS_ITERS} full mutual-
+    reinforcement iterations, each L1-normalized so scores are micro-unit
+    mass fractions (power iteration with L1 rather than L2 normalization
+    keeps every step in EXACT integer arithmetic: raw sums in
+    DECIMAL(38,0), then ``(10^6 · raw) div Σraw`` — bit-identical across
+    engines, no float anywhere).
+
+    Scale shape: the edge snapshot is ONE equi-join shuffle
+    (lineitem⋈orders on orderkey) + distinct, persisted and reused by
+    all iterations; each half-iteration is a hash join of the |V|-sized
+    score vector to the edges plus a map-side-combinable re-aggregation
+    — the same Pregel-as-joins shape as `graph_pagerank_3iter`. The L1
+    total is a 1-row aggregate broadcast. DECIMAL(38,0) raw sums hold to
+    ~10^32 edge-mass — effectively unbounded.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+        .persist()
+    )
+    hub = e.select("s").distinct().withColumn(
+        "hub", F.lit(HITS_SCALE).cast("bigint")
+    )
+    auth = None
+    for _ in range(N_HITS_ITERS):
+        a_raw = (
+            e.join(hub, "s")
+            .groupBy("c")
+            .agg(F.expr("CAST(sum(hub) AS DECIMAL(38,0))").alias("raw"))
+        )
+        a_tot = a_raw.agg(F.sum("raw").alias("tot"))
+        # localCheckpoint per half-iteration: each normalization
+        # references its raw vector twice (ratio + 1-row total), so an
+        # uncheckpointed chain duplicates subtrees 2^(half-iterations)
+        # times. The vector is |V|-sized — cheap to materialize.
+        auth = (
+            a_raw.crossJoin(F.broadcast(a_tot))
+            .select(
+                "c",
+                F.expr(
+                    f"CAST((CAST({HITS_SCALE} AS DECIMAL(38,0)) * raw)"
+                    " div tot AS BIGINT)"
+                ).alias("auth"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(auth, "c")
+            .groupBy("s")
+            .agg(F.expr("CAST(sum(auth) AS DECIMAL(38,0))").alias("raw"))
+        )
+        h_tot = h_raw.agg(F.sum("raw").alias("tot"))
+        hub = (
+            h_raw.crossJoin(F.broadcast(h_tot))
+            .select(
+                "s",
+                F.expr(
+                    f"CAST((CAST({HITS_SCALE} AS DECIMAL(38,0)) * raw)"
+                    " div tot AS BIGINT)"
+                ).alias("hub"),
+            )
+            .localCheckpoint()
+        )
+    out = hub.select(
+        F.lit("supplier").alias("node_type"),
+        F.col("s").alias("node_key"),
+        F.col("hub").alias("score_micro"),
+    ).unionByName(
+        auth.select(
+            F.lit("customer").alias("node_type"),
+            F.col("c").alias("node_key"),
+            F.col("auth").alias("score_micro"),
+        )
+    )
+    return finalize_unpersist(out, e)

@@ -2566,3 +2566,106 @@ def smp_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc"),
     )
+
+
+#: Horvitz–Thompson size-proportional sampling: a document's inclusion
+#: probability is min(1, n_chars / HT_SIZE_CAP) in micro-units; the
+#: estimator must land within HT_TOLERANCE_MICRO of the true character
+#: total (generous — ~6σ for this design at the gate SFs).
+HT_SIZE_CAP_CHARS = 2_000
+HT_TOLERANCE_MICRO = 150_000
+
+
+@query(
+    "smp_horvitz_thompson",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS y,
+               least(CAST(1000000 AS BIGINT),
+                     (1000000 * CAST(n_chars AS BIGINT))
+                         // {HT_SIZE_CAP_CHARS}) AS pi_micro,
+               CAST(('0x' || substr(md5(concat('ht:', doc_id)), 1, 12))
+                    ::BIGINT % 1000000 AS BIGINT) AS u_micro
+        FROM documents
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pop,
+               CAST(sum(y) AS BIGINT) AS true_total,
+               CAST(sum(CASE WHEN u_micro < pi_micro THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sampled,
+               CAST(sum(CASE WHEN u_micro < pi_micro
+                             THEN (2 * 1000000 * y + pi_micro)
+                                      // (2 * pi_micro)
+                             ELSE 0 END) AS BIGINT) AS ht_total_micro
+        FROM base
+    )
+    SELECT n_pop, n_sampled, true_total, ht_total_micro,
+           CAST(ht_total_micro // 1000000 AS BIGINT) AS ht_total,
+           CAST(abs(ht_total_micro - 1000000 * true_total)
+                // true_total AS BIGINT) AS abs_rel_err_micro,
+           abs(ht_total_micro - 1000000 * true_total) // true_total
+               <= {HT_TOLERANCE_MICRO} AS within_tolerance
+    FROM s
+    """,
+)
+def smp_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz–Thompson estimation under size-proportional (πps)
+    sampling — the estimator that makes WEIGHTED subsampling honest:
+    long documents are sampled with probability min(1, len/cap), and
+    the character-mass total is recovered as Σ yᵢ/πᵢ over the sample
+    alone. The output is an ACCURACY CONTRACT (the `agg_hll_audit`
+    pattern): exact true total, the HT estimate, and a boolean gating
+    |est − true|/true ≤ HT_TOLERANCE_MICRO (15%).
+
+    Inclusion is keyed on ``md5('ht:' || doc_id)`` — the module's pure
+    narrow-map randomness (no RNG state, identical in both engines), so
+    the sample, the estimate, and the booleans all hash-match exactly;
+    yᵢ/πᵢ uses the integer half-up identity (no float anywhere).
+
+    Scale shape: ONE narrow map (hash + threshold) and one
+    map-side-combinable aggregate — no shuffle of the corpus at all;
+    the estimator is embarrassingly parallel at any SF.
+    """
+    base = read_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("bigint").alias("y"),
+        F.expr(
+            f"least(CAST(1000000 AS BIGINT),"
+            f" (1000000 * CAST(n_chars AS BIGINT)) div {HT_SIZE_CAP_CHARS})"
+        ).alias("pi_micro"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('ht:', doc_id)), 1, 12),"
+            " 16, 10) % 1000000 AS BIGINT)"
+        ).alias("u_micro"),
+    )
+    s = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        F.sum("y").cast("bigint").alias("true_total"),
+        F.sum(F.when(F.col("u_micro") < F.col("pi_micro"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.sum(
+            F.when(
+                F.col("u_micro") < F.col("pi_micro"),
+                F.expr("(2 * 1000000 * y + pi_micro) div (2 * pi_micro)"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ht_total_micro"),
+    )
+    return s.select(
+        "n_pop",
+        "n_sampled",
+        "true_total",
+        "ht_total_micro",
+        F.expr("CAST(ht_total_micro div 1000000 AS BIGINT)").alias(
+            "ht_total"
+        ),
+        F.expr(
+            "CAST(abs(ht_total_micro - 1000000 * true_total)"
+            " div true_total AS BIGINT)"
+        ).alias("abs_rel_err_micro"),
+        F.expr(
+            "abs(ht_total_micro - 1000000 * true_total) div true_total"
+            f" <= {HT_TOLERANCE_MICRO}"
+        ).alias("within_tolerance"),
+    )

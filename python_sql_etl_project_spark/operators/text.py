@@ -17,6 +17,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.advanced import _signed_half_up
 from ..registry import query
 from ..session import read_table, read_table_parallel
 
@@ -2181,3 +2182,120 @@ def txt_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank", F.row_number().over(w_rank).cast("bigint")
     ).select("rank", "phrase", "n_words", "n_occurrences", "score_micro")
+
+
+#: PMI co-occurrence: vocabulary cap (top tokens by document frequency,
+#: stopwords excluded) bounds the per-document pair space at vocab²;
+#: pairs must co-occur in at least this many documents to be scored.
+PMI_VOCAB_K = 64
+PMI_MIN_COOC = 5
+PMI_TOP_K = 20
+
+
+@query(
+    "txt_pmi_cooccurrence",
+    oracle=f"""
+    WITH dt AS MATERIALIZED (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
+                       AS tok
+              FROM documents)
+        WHERE tok NOT IN ({{stop}}) AND tok <> ''
+    ),
+    df AS MATERIALIZED (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok
+    ),
+    vocab AS MATERIALIZED (
+        SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT {PMI_VOCAB_K}
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt),
+    vt AS MATERIALIZED (
+        SELECT dt.doc_id, dt.tok FROM dt JOIN vocab USING (tok)
+    ),
+    cooc AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               CAST(count(*) AS BIGINT) AS c_xy
+        FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2
+        HAVING count(*) >= {PMI_MIN_COOC}
+    )
+    SELECT tok_a, tok_b, n.n_docs, va.df AS df_a, vb.df AS df_b, c_xy,
+           CAST({{ratio}} AS BIGINT) AS pmi_ratio_micro
+    FROM cooc
+    JOIN vocab va ON va.tok = tok_a
+    JOIN vocab vb ON vb.tok = tok_b, n
+    ORDER BY pmi_ratio_micro DESC, tok_a, tok_b
+    LIMIT {PMI_TOP_K}
+    """.format(
+        stop=_sql_list(STOPWORDS),
+        ratio=_signed_half_up(
+            "n.n_docs * c_xy", "va.df * vb.df", 1_000_000, "//"
+        ),
+    ),
+)
+def txt_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top document-level co-occurring token pairs ranked by PMI — the
+    collocation / topic-seed statistic (Church & Hanks 1990). PMI =
+    log(N·c_xy / (df_x·df_y)); since log is monotone, pairs are RANKED
+    by the exact integer ratio ``10⁶·N·c_xy / (df_x·df_y)`` instead —
+    zero transcendental calls, so the score is bit-identical across
+    engines (the overflow-safe half-up identity).
+
+    Scale shape: tokenization fans out via the hash-repartitioned scan;
+    document frequencies are one explode+distinct+groupBy census; the
+    quadratic stage is CAPPED by the top-{PMI_VOCAB_K} vocabulary
+    (df-desc, token-asc deterministic cut), so the per-doc pair space is
+    at most vocab² regardless of corpus size, and the co-occurrence
+    self-join runs on the vocab-filtered (doc, token) frame — the
+    standard blocked-candidate shape (`dd_` family precedent). The tiny
+    vocab and the 1-row doc count broadcast.
+    """
+    dt = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", F.explode(tokens()).alias("tok"))
+        .filter(~F.col("tok").isin(*STOPWORDS) & (F.col("tok") != ""))
+        .distinct()
+    )
+    df_census = dt.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    vocab = df_census.orderBy(F.desc("df"), F.asc("tok")).limit(PMI_VOCAB_K)
+    n = dt.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    vt = dt.join(F.broadcast(vocab.select("tok")), "tok").select(
+        "doc_id", "tok"
+    )
+    a = vt.select("doc_id", F.col("tok").alias("tok_a"))
+    b = vt.select(F.col("doc_id").alias("doc_id_b"), F.col("tok").alias("tok_b"))
+    cooc = (
+        a.join(
+            b,
+            (a.doc_id == b.doc_id_b) & (F.col("tok_a") < F.col("tok_b")),
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_COOC)
+    )
+    va = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        cooc.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_docs",
+            "df_a",
+            "df_b",
+            "c_xy",
+            F.expr(
+                "CAST("
+                + _signed_half_up(
+                    "n_docs * c_xy", "df_a * df_b", 1_000_000, "div"
+                )
+                + " AS BIGINT)"
+            ).alias("pmi_ratio_micro"),
+        )
+        .orderBy(F.desc("pmi_ratio_micro"), "tok_a", "tok_b")
+        .limit(PMI_TOP_K)
+    )

@@ -7000,3 +7000,143 @@ def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_distinct") == F.col("n_rows")).alias("is_unique_key"),
         )
     )
+
+
+#: Candidate seasonal periods (days) probed by the Goertzel-style
+#: periodogram. The fundamental-frequency cos/sin tables are baked in
+#: Python at import time as integer micro-unit literals and embedded
+#: IDENTICALLY into both engines' SQL — no runtime trig anywhere
+#: (the Poisson-threshold / NDCG-discount precedent).
+PERIODOGRAM_PERIODS = (7, 30)
+
+
+def _periodogram_tables() -> str:
+    """VALUES literal (p, r, cos_micro, sin_micro) for each candidate
+    period's fundamental frequency, r = day_index mod p."""
+    import math
+
+    rows = []
+    for p in PERIODOGRAM_PERIODS:
+        for r in range(p):
+            ang = 2.0 * math.pi * r / p
+            rows.append(
+                f"({p}, {r}, {int(round(math.cos(ang) * 1_000_000))},"
+                f" {int(round(math.sin(ang) * 1_000_000))})"
+            )
+    return ", ".join(rows)
+
+
+_PERIODOGRAM_VALUES = _periodogram_tables()
+
+
+@query(
+    "ts_seasonal_periodogram",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM daily
+    ),
+    trig(p, r, cos_micro, sin_micro) AS (
+        VALUES {_PERIODOGRAM_VALUES}
+    ),
+    proj AS (
+        SELECT t.p,
+               CAST(sum(CAST(daily.cents - m.s // m.n_days AS DECIMAL(38,0))
+                        * t.cos_micro) AS DECIMAL(38,0)) AS sc,
+               CAST(sum(CAST(daily.cents - m.s // m.n_days AS DECIMAL(38,0))
+                        * t.sin_micro) AS DECIMAL(38,0)) AS ss
+        FROM daily, m
+        JOIN trig t ON t.r = daily.d % t.p
+        GROUP BY t.p
+    )
+    SELECT p AS period_days, m.n_days,
+           CAST(CAST(sc AS HUGEINT) // 1000000 AS BIGINT) AS sc_cents,
+           CAST(CAST(ss AS HUGEINT) // 1000000 AS BIGINT) AS ss_cents,
+           round(sqrt((CAST(sc AS DOUBLE) / 1000000.0 / m.n_days)
+                      * (CAST(sc AS DOUBLE) / 1000000.0 / m.n_days)
+                      + (CAST(ss AS DOUBLE) / 1000000.0 / m.n_days)
+                      * (CAST(ss AS DOUBLE) / 1000000.0 / m.n_days))
+                 * 2.0 / 100.0, 6) AS amplitude_dollars
+    FROM proj, m
+    """,
+)
+def ts_seasonal_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goertzel-style seasonal periodogram: the spectral power of daily
+    revenue at each candidate period's fundamental frequency (weekly,
+    monthly), answering "which cycle dominates?" without an FFT. For
+    period p the projection is Σ xc_t·cos(2πt/p), Σ xc_t·sin(2πt/p)
+    over the de-meaned daily series; cos/sin enter as BAKED integer
+    micro-unit tables keyed on (p, t mod p) — identical literals in
+    both engines, so the projections are EXACT DECIMAL(38,0) integers
+    (no runtime trig; the constant-table pattern of the Poisson
+    thresholds and NDCG discounts). Only the final amplitude (one sqrt,
+    reported in dollars/day) is a rounded double with identical
+    expression order.
+
+    Scale shape: ONE fact shuffle to day grain; the trig join is a
+    37-row broadcast on (t mod p); projections are map-side-combinable
+    sums — calendar-grain cost from there. DECIMAL(38,0) holds the
+    projections to ~10^31 cent-micro mass (any SF). De-meaning uses the
+    integer floor mean (s div n): the residual DC offset is < 1 cent/day
+    and its projection onto a full cycle cancels to < p micro-units.
+    """
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    trig = spark.sql(
+        f"SELECT * FROM VALUES {_PERIODOGRAM_VALUES}"
+        " AS trig(p, r, cos_micro, sin_micro)"
+    )
+    proj = (
+        daily.crossJoin(F.broadcast(m))
+        .join(
+            F.broadcast(trig),
+            F.col("r") == F.expr("d % p"),
+        )
+        .groupBy("p")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(cents - s div n_days AS DECIMAL(38,0))"
+                " * cos_micro) AS DECIMAL(38,0))"
+            ).alias("sc"),
+            F.expr(
+                "CAST(sum(CAST(cents - s div n_days AS DECIMAL(38,0))"
+                " * sin_micro) AS DECIMAL(38,0))"
+            ).alias("ss"),
+        )
+    )
+    return proj.crossJoin(F.broadcast(m)).select(
+        F.col("p").alias("period_days"),
+        "n_days",
+        F.expr("CAST(sc div 1000000 AS BIGINT)").alias("sc_cents"),
+        F.expr("CAST(ss div 1000000 AS BIGINT)").alias("ss_cents"),
+        F.expr(
+            "round(sqrt((CAST(sc AS DOUBLE) / 1000000.0 / n_days)"
+            " * (CAST(sc AS DOUBLE) / 1000000.0 / n_days)"
+            " + (CAST(ss AS DOUBLE) / 1000000.0 / n_days)"
+            " * (CAST(ss AS DOUBLE) / 1000000.0 / n_days))"
+            " * 2.0 / 100.0, 6)"
+        ).alias("amplitude_dollars"),
+    )

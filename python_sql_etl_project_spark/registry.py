@@ -285,6 +285,11 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "agg_kendall_tau",
     "agg_cohens_kappa",
     "dq_uniqueness_profile",
+    # round-5 wave 9 (post-freeze, locally oracle-gated):
+    "graph_hits_hubs_authorities",
+    "txt_pmi_cooccurrence",
+    "smp_horvitz_thompson",
+    "ts_seasonal_periodogram",
 )
 
 

@@ -123,6 +123,17 @@ BNLJ_ALLOWED = {
         "two 1-row aggregate broadcasts (global N/ties total, then the "
         "decimal-summed H) onto the 5-row group frame"
     ),
+    "graph_hits_hubs_authorities": (
+        "1-row L1-normalization-total broadcast per half-iteration onto "
+        "the node-grain score vector"
+    ),
+    "txt_pmi_cooccurrence": (
+        "1-row corpus-doc-count broadcast onto the vocab-capped pair frame"
+    ),
+    "ts_seasonal_periodogram": (
+        "37-row baked trig table broadcast joined on (day mod period) + "
+        "1-row (n, sum) mean broadcast — day-grain frame, calendar-bounded"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
