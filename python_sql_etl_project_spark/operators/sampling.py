@@ -2669,3 +2669,147 @@ def smp_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" <= {HT_TOLERANCE_MICRO}"
         ).alias("within_tolerance"),
     )
+
+
+#: Percentile-bootstrap CI over the BOOT_REPLICATES replicate means:
+#: order-statistic ranks for the interval bounds and the lower median
+#: (with B=32: ranks 2/16/31 ≈ a 93.75% central interval — coarse by
+#: design; widen B for tighter quantiles).
+BOOT_CI_LO_RANK = 2
+BOOT_CI_MED_RANK = (BOOT_REPLICATES + 1) // 2
+BOOT_CI_HI_RANK = BOOT_REPLICATES - 1
+
+
+@query(
+    "smp_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, {BOOT_REPLICATES})) AS replicate),
+    drawn AS (
+        SELECT r.replicate,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               {_boot_weight_case(
+                   "('0x' || substr(md5('boot:' || r.replicate || ':' "
+                   "|| o.o_orderkey), 1, 12))::BIGINT"
+               )} AS w
+        FROM orders o CROSS JOIN reps r
+    ),
+    means AS (
+        SELECT replicate,
+               CAST((2 * 10000 * sum(w * cents) + sum(w))
+                    // (2 * sum(w)) AS BIGINT) AS boot_mean_micro
+        FROM drawn GROUP BY 1
+    ),
+    ranked AS (
+        SELECT boot_mean_micro,
+               row_number() OVER (ORDER BY boot_mean_micro, replicate) AS rn
+        FROM means
+    ),
+    point AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST((2 * 10000 * sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                          AS BIGINT)) + count(*))
+                    // (2 * count(*)) AS BIGINT) AS point_mean_micro
+        FROM orders
+    )
+    SELECT p.n_orders, CAST({BOOT_REPLICATES} AS BIGINT) AS n_replicates,
+           p.point_mean_micro,
+           CAST(max(CASE WHEN rn = {BOOT_CI_LO_RANK}
+                         THEN boot_mean_micro END) AS BIGINT) AS ci_lo_micro,
+           CAST(max(CASE WHEN rn = {BOOT_CI_MED_RANK}
+                         THEN boot_mean_micro END) AS BIGINT)
+               AS boot_median_micro,
+           CAST(max(CASE WHEN rn = {BOOT_CI_HI_RANK}
+                         THEN boot_mean_micro END) AS BIGINT) AS ci_hi_micro,
+           max(CASE WHEN rn = {BOOT_CI_LO_RANK} THEN boot_mean_micro END)
+               <= p.point_mean_micro
+           AND p.point_mean_micro
+               <= max(CASE WHEN rn = {BOOT_CI_HI_RANK} THEN boot_mean_micro END)
+               AS ci_covers_point
+    FROM ranked, point p
+    GROUP BY p.n_orders, p.point_mean_micro
+    """,
+)
+def smp_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean order value
+    — the report `smp_poisson_bootstrap`'s replicate distribution
+    exists FOR: order statistics of the {BOOT_REPLICATES} Poisson-
+    bootstrap replicate means give the interval bounds and the
+    bootstrap median, next to the full-sample point estimate and a
+    covers-the-point sanity boolean (the accuracy-contract pattern).
+
+    Determinism: replicate means are the exact integer micro-means of
+    `smp_poisson_bootstrap` (same md5 weights, same half-up identity);
+    the order statistics are integer comparisons with a replicate-id
+    tiebreak — nothing floats, both engines hash-match exactly.
+
+    Scale shape: identical to the bootstrap itself — a narrow
+    {BOOT_REPLICATES}× map-side explosion, ONE aggregate to replicate
+    grain, then windows/aggregates over {BOOT_REPLICATES} rows (the
+    documented post-aggregate tiny-frame window class) plus a 1-row
+    point-estimate broadcast.
+    """
+    u_sql = (
+        "CAST(conv(substring(md5(concat('boot:', CAST(replicate AS STRING),"
+        " ':', CAST(o_orderkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+    )
+    means = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .withColumn(
+            "replicate",
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICATES - 1))),
+        )
+        .withColumn("w", F.expr(_boot_weight_case(u_sql)))
+        .groupBy("replicate")
+        .agg(
+            F.expr(
+                "CAST((2 * 10000 * sum(w * cents) + sum(w))"
+                " div (2 * sum(w)) AS BIGINT)"
+            ).alias("boot_mean_micro")
+        )
+    )
+    ranked = means.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy("boot_mean_micro", "replicate")),
+    )
+    point = read_table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr(
+            "CAST((2 * 10000 * sum(CAST(floor(o_totalprice * 100 + 0.5)"
+            " AS BIGINT)) + count(*)) div (2 * count(*)) AS BIGINT)"
+        ).alias("point_mean_micro"),
+    )
+    stats = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == BOOT_CI_LO_RANK, F.col("boot_mean_micro"))
+        )
+        .cast("bigint")
+        .alias("ci_lo_micro"),
+        F.max(
+            F.when(F.col("rn") == BOOT_CI_MED_RANK, F.col("boot_mean_micro"))
+        )
+        .cast("bigint")
+        .alias("boot_median_micro"),
+        F.max(
+            F.when(F.col("rn") == BOOT_CI_HI_RANK, F.col("boot_mean_micro"))
+        )
+        .cast("bigint")
+        .alias("ci_hi_micro"),
+    )
+    return stats.crossJoin(F.broadcast(point)).select(
+        "n_orders",
+        F.lit(BOOT_REPLICATES).cast("bigint").alias("n_replicates"),
+        "point_mean_micro",
+        "ci_lo_micro",
+        "boot_median_micro",
+        "ci_hi_micro",
+        (
+            (F.col("ci_lo_micro") <= F.col("point_mean_micro"))
+            & (F.col("point_mean_micro") <= F.col("ci_hi_micro"))
+        ).alias("ci_covers_point"),
+    )

@@ -2785,3 +2785,147 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ndcg_micro"),
     )
+
+
+#: MMR diversified re-ranking: relevance pool size, picks, and the
+#: relevance-vs-diversity trade (λ = 0.7 — the Carbonell & Goldstein
+#: default region). The query is vec_id 0.
+MMR_POOL_SIZE = 16
+MMR_K = 5
+MMR_QUERY_ID = 0
+
+
+def _mmr_oracle() -> str:
+    """Generated MATERIALIZED CTE chain: pool → pick₁ → … → pick_k,
+    each pick the argmax of round(0.7·rel − 0.3·max-redundancy, 6)
+    over the not-yet-selected pool (ties to the smaller vec_id)."""
+    cos_ps = """round(
+      list_sum(list_transform(range(1, 65),
+               i -> CAST(p.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE)))
+      / sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))))
+      / sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))))
+    , 6)"""
+    parts = [
+        f"""pool AS MATERIALIZED (
+        SELECT b.vec_id, b.embedding, b.label, {_COS_SQL} AS rel
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id = {MMR_QUERY_ID}
+        ORDER BY rel DESC, b.vec_id LIMIT {MMR_POOL_SIZE}
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT vec_id, embedding, label, rel, 0.0 AS redundancy,
+               round(0.7 * rel, 6) AS mmr_score, 1 AS selection_rank
+        FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for k in range(2, MMR_K + 1):
+        prev = f"sel{k - 1}"
+        parts.append(f"""pick{k} AS MATERIALIZED (
+        SELECT p.vec_id, p.embedding, p.label, p.rel,
+               max({cos_ps}) AS redundancy,
+               round(0.7 * p.rel - 0.3 * max({cos_ps}), 6) AS mmr_score,
+               {k} AS selection_rank
+        FROM pool p JOIN {prev} s ON true
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+        GROUP BY p.vec_id, p.embedding, p.label, p.rel
+        ORDER BY mmr_score DESC, p.vec_id LIMIT 1
+    ),
+    sel{k} AS MATERIALIZED (
+        SELECT * FROM {prev} UNION ALL SELECT * FROM pick{k}
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT selection_rank, vec_id, label, rel AS relevance, redundancy,
+           mmr_score
+    FROM sel{MMR_K}
+    """
+
+
+@query("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversified top-k a retrieval/RAG pipeline uses so the
+    k results aren't k near-duplicates: greedily pick argmax of
+    ``0.7·relevance − 0.3·max-similarity-to-already-picked`` from a
+    relevance pool.
+
+    Scale shape: the expensive stage is the POOL build — broadcast
+    query, one corpus pass, global top-{MMR_POOL_SIZE} (TakeOrdered,
+    no full sort) — after which the greedy loop runs {MMR_K} rounds of
+    joins over a ≤{MMR_POOL_SIZE}-row checkpointed frame: pool-bounded
+    work, independent of corpus size, entirely in DataFrame ops (no
+    driver-side loop over collected vectors). Cosines are the module's
+    6-dp sequential folds; the MMR score is one double expression with
+    identical operation order in both engines, ties to the smaller
+    vec_id.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            _cosine(F.col("embedding"), F.col("q_emb")).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_POOL_SIZE)
+        .localCheckpoint()
+    )
+    selected = (
+        pool.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            "rel",
+            F.lit(0.0).alias("redundancy"),
+            F.round(0.7 * F.col("rel"), 6).alias("mmr_score"),
+            F.lit(1).alias("selection_rank"),
+        )
+        .localCheckpoint()
+    )
+    for k in range(2, MMR_K + 1):
+        remaining = pool.join(
+            selected.select("vec_id"), "vec_id", "left_anti"
+        )
+        s = selected.select(F.col("embedding").alias("s_emb"))
+        pick = (
+            remaining.crossJoin(F.broadcast(s))
+            .groupBy("vec_id", "embedding", "label", "rel")
+            .agg(
+                F.max(
+                    _cosine(F.col("embedding"), F.col("s_emb"))
+                ).alias("redundancy")
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                "label",
+                "rel",
+                "redundancy",
+                F.round(
+                    0.7 * F.col("rel") - 0.3 * F.col("redundancy"), 6
+                ).alias("mmr_score"),
+                F.lit(k).alias("selection_rank"),
+            )
+            .orderBy(F.desc("mmr_score"), "vec_id")
+            .limit(1)
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select(
+        "selection_rank",
+        "vec_id",
+        "label",
+        F.col("rel").alias("relevance"),
+        "redundancy",
+        "mmr_score",
+    )

@@ -7140,3 +7140,105 @@ def ts_seasonal_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 2.0 / 100.0, 6)"
         ).alias("amplitude_dollars"),
     )
+
+
+#: Fleiss kappa raters: three cheap labeling rules over each lineitem
+#: (small quantity, low price, deep discount), binary categories.
+FLEISS_QTY_MAX = 25
+FLEISS_CENTS_MAX = 2_500_000
+FLEISS_DISCOUNT_MIN = 0.05
+FLEISS_N_RATERS = 3
+
+
+@query(
+    "agg_fleiss_kappa",
+    oracle=f"""
+    WITH lab AS (
+        SELECT (CASE WHEN l_quantity <= {FLEISS_QTY_MAX} THEN 1 ELSE 0 END
+                + CASE WHEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            <= {FLEISS_CENTS_MAX} THEN 1 ELSE 0 END
+                + CASE WHEN l_discount >= {FLEISS_DISCOUNT_MIN}
+                       THEN 1 ELSE 0 END) AS n1
+        FROM lineitem
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n1) AS BIGINT) AS s1,
+               CAST(sum(n1 * n1 + ({FLEISS_N_RATERS} - n1)
+                                  * ({FLEISS_N_RATERS} - n1)
+                        - {FLEISS_N_RATERS}) AS BIGINT) AS t
+        FROM lab
+    )
+    SELECT n, s1, t,
+           CAST((1000000 * t) // (6 * n) AS BIGINT) AS p_bar_micro,
+           CAST((1000000 * (s1 * s1 + (3 * n - s1) * (3 * n - s1)))
+                // (9 * n * n) AS BIGINT) AS pe_micro,
+           CAST({_signed_half_up(
+               "3 * n * (t // 2) - s1 * s1 - (3 * n - s1) * (3 * n - s1)",
+               "9 * n * n - s1 * s1 - (3 * n - s1) * (3 * n - s1)",
+               1_000_000, "//")} AS BIGINT) AS fleiss_kappa_micro
+    FROM s
+    """,
+)
+def agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss kappa — chance-corrected agreement among THREE labeling
+    rules per lineitem (small-quantity, low-price, deep-discount; the
+    k-rater generalization of `agg_cohens_kappa`, the statistic a
+    weak-supervision pipeline reports for its full labeling-function
+    panel). With binary categories and m=3 raters everything reduces to
+    two exact integer sufficient statistics: S₁ = Σ positive votes and
+    T = Σ(n₁² + (3−n₁)² − 3) per item (T is always even, so the
+    3NT/2 term is integral); κ = (3NT/2 − S₁² − (3N−S₁)²) /
+    (9N² − S₁² − (3N−S₁)²) — micro-rounded with the shared half-up
+    identity. NO float anywhere.
+
+    Scale shape: ONE map-side-combinable conditional-sum pass over the
+    fact table, then 1-row arithmetic. 9N² stays in int64 to ~10⁹ rows;
+    past that widen to DECIMAL(38,0) unchanged.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    n1 = (
+        F.when(F.col("l_quantity") <= FLEISS_QTY_MAX, 1).otherwise(0)
+        + F.when(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                "bigint"
+            )
+            <= FLEISS_CENTS_MAX,
+            1,
+        ).otherwise(0)
+        + F.when(F.col("l_discount") >= FLEISS_DISCOUNT_MIN, 1).otherwise(0)
+    )
+    s = li.select(n1.alias("n1")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n1").cast("bigint").alias("s1"),
+        F.sum(
+            F.col("n1") * F.col("n1")
+            + (FLEISS_N_RATERS - F.col("n1"))
+            * (FLEISS_N_RATERS - F.col("n1"))
+            - FLEISS_N_RATERS
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    return s.select(
+        "n",
+        "s1",
+        "t",
+        F.expr("CAST((1000000 * t) div (6 * n) AS BIGINT)").alias(
+            "p_bar_micro"
+        ),
+        F.expr(
+            "CAST((1000000 * (s1 * s1 + (3 * n - s1) * (3 * n - s1)))"
+            " div (9 * n * n) AS BIGINT)"
+        ).alias("pe_micro"),
+        F.expr(
+            "CAST("
+            + _signed_half_up(
+                "3 * n * (t div 2) - s1 * s1 - (3 * n - s1) * (3 * n - s1)",
+                "9 * n * n - s1 * s1 - (3 * n - s1) * (3 * n - s1)",
+                1_000_000,
+                "div",
+            )
+            + " AS BIGINT)"
+        ).alias("fleiss_kappa_micro"),
+    )

@@ -290,6 +290,10 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "txt_pmi_cooccurrence",
     "smp_horvitz_thompson",
     "ts_seasonal_periodogram",
+    # round-5 wave 10 (post-freeze, locally oracle-gated):
+    "sim_mmr_diversify",
+    "agg_fleiss_kappa",
+    "smp_bootstrap_ci",
 )
 
 

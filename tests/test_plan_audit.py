@@ -134,6 +134,14 @@ BNLJ_ALLOWED = {
         "37-row baked trig table broadcast joined on (day mod period) + "
         "1-row (n, sum) mean broadcast — day-grain frame, calendar-bounded"
     ),
+    "sim_mmr_diversify": (
+        "1-row query-vector broadcast for the pool build, then the "
+        "<=5-row selected-set broadcast per greedy round (pool-bounded)"
+    ),
+    "smp_bootstrap_ci": (
+        "1-row point-estimate aggregate broadcast onto the 1-row "
+        "order-statistic frame"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
