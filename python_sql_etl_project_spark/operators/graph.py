@@ -1524,3 +1524,108 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return finalize_unpersist(out, e)
+
+
+#: Personalized PageRank: all teleport mass returns to the SEED node
+#: (the minimum part key — deterministic), so scores measure proximity
+#: to the seed rather than global centrality.
+PPR_SEED_SQL = "(SELECT min(src) FROM pairs)"
+N_PPR_ITERS = 3
+
+
+def _ppr_iter_sql(prev: str, this: str) -> str:
+    return f"""
+    {this} AS MATERIALIZED (
+        SELECT n.node,
+               CAST((CASE WHEN n.node = {PPR_SEED_SQL}
+                          THEN {15 * PR_SCALE // 100} ELSE 0 END)
+                    + coalesce((85 * f.flow) // 100, 0) AS BIGINT) AS pr
+        FROM (SELECT DISTINCT src AS node FROM pairs) n
+        LEFT JOIN (
+            SELECT e.dst AS node, sum({prev}.pr // e.deg) AS flow
+            FROM e JOIN {prev} ON {prev}.node = e.src
+            GROUP BY e.dst
+        ) f ON f.node = n.node
+    )"""
+
+
+@query(
+    "graph_personalized_pagerank",
+    oracle=f"""
+    WITH {_PR_EDGES_CTE},
+    p0 AS MATERIALIZED (
+        SELECT src AS node,
+               CAST(CASE WHEN src = {PPR_SEED_SQL}
+                         THEN {PR_SCALE} ELSE 0 END AS BIGINT) AS pr
+        FROM deg
+    ),
+    {_ppr_iter_sql("p0", "p1")},
+    {_ppr_iter_sql("p1", "p2")},
+    {_ppr_iter_sql("p2", "p3")}
+    SELECT node AS part_key, pr AS ppr_micro,
+           round(pr / {PR_SCALE}.0, 6) AS ppr
+    FROM p3 WHERE pr > 0
+    """,
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a deterministic seed (the minimum part
+    key) over the part co-purchase graph — the proximity / related-items
+    score behind 'customers who bought X': identical power iteration to
+    `graph_pagerank_3iter`, except ALL teleport mass returns to the seed
+    (standard PPR), so mass decays with distance from the seed and
+    unreached nodes stay at exactly zero (filtered — the output is the
+    seed's neighborhood, not the full vertex set).
+
+    Scale shape: same Pregel-as-joins plan as global PageRank — the
+    persisted edge list reused across {N_PPR_ITERS} iterations, each a
+    score-vector⋈edges hash join plus a map-side-combinable
+    re-aggregation; the per-iteration LEFT join against the node set
+    keeps zero-mass nodes addressable without densifying flow. Integer
+    micro-units throughout; seed selection is one cheap min() aggregate.
+    """
+    pairs = _copurchase_pairs(spark, sf_dir)
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges = pairs.join(deg, "src").persist()
+    nodes = pairs.select(F.col("src").alias("node")).distinct().persist()
+    seed = nodes.agg(F.min("node").alias("seed_node"))
+    ranks = nodes.crossJoin(F.broadcast(seed)).select(
+        "node",
+        F.when(F.col("node") == F.col("seed_node"), PR_SCALE)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("pr"),
+    )
+    for _ in range(N_PPR_ITERS):
+        flow = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("pr div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("flow"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(seed))
+            .join(flow.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("node") == F.col("seed_node"),
+                        15 * PR_SCALE // 100,
+                    ).otherwise(0)
+                    + F.coalesce(
+                        F.expr("(85 * flow) div 100"), F.lit(0)
+                    )
+                )
+                .cast("bigint")
+                .alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    out = ranks.filter(F.col("pr") > 0).select(
+        F.col("node").alias("part_key"),
+        F.col("pr").alias("ppr_micro"),
+        F.round(F.col("pr") / PR_SCALE, 6).alias("ppr"),
+    )
+    res = finalize_unpersist(out, edges)
+    nodes.unpersist()
+    return res

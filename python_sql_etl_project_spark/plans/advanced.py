@@ -7242,3 +7242,180 @@ def agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " AS BIGINT)"
         ).alias("fleiss_kappa_micro"),
     )
+
+
+#: Randomization test: replicate count for the md5-driven label
+#: reassignment (Bernoulli with the observed group-x fraction — the
+#: streaming-friendly approximation of an exact permutation, same
+#: asymptotics; Dwass 1957 / Chamandy's bootstrap argument).
+PERM_REPLICATES = 32
+PERM_X_PRIO = "1-URGENT"
+PERM_Y_PRIO = "5-LOW"
+_PERM_DEN = 16**12
+
+
+@query(
+    "agg_permutation_test",
+    oracle=f"""
+    WITH two AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority = '{PERM_X_PRIO}' THEN 1 ELSE 0 END
+                   AS is_x,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderpriority IN ('{PERM_X_PRIO}', '{PERM_Y_PRIO}')
+    ),
+    obs AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(is_x) AS BIGINT) AS n_x,
+               CAST(sum(is_x * cents) AS BIGINT) AS sum_x,
+               CAST(sum(cents) AS BIGINT) AS sum_all,
+               CAST((CAST({_PERM_DEN} AS HUGEINT) * sum(is_x)) // count(*)
+                    AS BIGINT) AS cut
+        FROM two
+    ),
+    obs_stat AS (
+        SELECT n, n_x,
+               CAST((2 * 10000 * sum_x + n_x) // (2 * n_x) AS BIGINT)
+               - CAST((2 * 10000 * (sum_all - sum_x) + (n - n_x))
+                      // (2 * (n - n_x)) AS BIGINT) AS obs_diff_micro
+        FROM obs
+    ),
+    reps AS (SELECT unnest(range(0, {PERM_REPLICATES})) AS b),
+    perm AS (
+        SELECT r.b,
+               CASE WHEN ('0x' || substr(md5('perm:' || r.b || ':'
+                          || t.o_orderkey), 1, 12))::BIGINT < o.cut
+                    THEN 1 ELSE 0 END AS px,
+               t.cents
+        FROM two t CROSS JOIN reps r, obs o
+    ),
+    perm_stats AS (
+        SELECT b,
+               CAST((2 * 10000 * sum(px * cents) + greatest(sum(px), 1))
+                    // (2 * greatest(sum(px), 1)) AS BIGINT)
+               - CAST((2 * 10000 * sum((1 - px) * cents)
+                       + greatest(sum(1 - px), 1))
+                      // (2 * greatest(sum(1 - px), 1)) AS BIGINT)
+                   AS diff_micro
+        FROM perm GROUP BY b
+    )
+    SELECT o.n, o.n_x, o.obs_diff_micro,
+           CAST({PERM_REPLICATES} AS BIGINT) AS n_replicates,
+           CAST(sum(CASE WHEN abs(p.diff_micro) >= abs(o.obs_diff_micro)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           CAST((1000000 * (1 + sum(CASE WHEN abs(p.diff_micro)
+                                              >= abs(o.obs_diff_micro)
+                                         THEN 1 ELSE 0 END)))
+                // ({PERM_REPLICATES} + 1) AS BIGINT) AS p_value_micro
+    FROM perm_stats p, obs_stat o
+    GROUP BY o.n, o.n_x, o.obs_diff_micro
+    """,
+)
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation) test for the mean-value gap between
+    '{PERM_X_PRIO}' and '{PERM_Y_PRIO}' orders — the assumption-free
+    significance test: reassign group labels {PERM_REPLICATES} times
+    (Bernoulli with the observed group-x fraction, md5-keyed — the
+    streaming approximation of an exact permutation) and report how
+    often the permuted mean gap is at least as extreme as the observed
+    one, as the standard (1 + extreme)/(B + 1) p-value.
+
+    Determinism: labels come from ``md5('perm:' || b || ':' || key)``
+    against an integer cut derived in HUGEINT/DECIMAL(38,0) from the
+    observed counts — both engines draw IDENTICAL pseudo-permutations;
+    means are the exact half-up integer micro identity; nothing floats.
+
+    Scale shape: the Poisson-bootstrap plan — one narrow
+    {PERM_REPLICATES}× map-side explosion, ONE aggregate to replicate
+    grain, a 1-row observed-stat broadcast, and a {PERM_REPLICATES}-row
+    final census. Embarrassingly parallel at any SF.
+    """
+    pr = F.col("o_orderpriority")
+    two = (
+        read_table(spark, sf_dir, "orders")
+        .filter(pr.isin(PERM_X_PRIO, PERM_Y_PRIO))
+        .select(
+            "o_orderkey",
+            F.when(pr == PERM_X_PRIO, 1).otherwise(0).alias("is_x"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    obs = two.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("is_x").cast("bigint").alias("n_x"),
+        F.sum(F.col("is_x") * F.col("cents")).cast("bigint").alias("sum_x"),
+        F.sum("cents").cast("bigint").alias("sum_all"),
+        F.expr(
+            f"CAST((CAST({_PERM_DEN} AS DECIMAL(38,0)) * sum(is_x))"
+            " div count(*) AS BIGINT)"
+        ).alias("cut"),
+    )
+    obs_stat = obs.select(
+        "n",
+        "n_x",
+        "cut",
+        (
+            F.expr("CAST((2 * 10000 * sum_x + n_x) div (2 * n_x) AS BIGINT)")
+            - F.expr(
+                "CAST((2 * 10000 * (sum_all - sum_x) + (n - n_x))"
+                " div (2 * (n - n_x)) AS BIGINT)"
+            )
+        ).alias("obs_diff_micro"),
+    )
+    u_sql = (
+        "CAST(conv(substring(md5(concat('perm:', CAST(b AS STRING), ':',"
+        " CAST(o_orderkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+    )
+    perm_stats = (
+        two.crossJoin(F.broadcast(obs_stat.select("cut")))
+        .withColumn(
+            "b", F.explode(F.sequence(F.lit(0), F.lit(PERM_REPLICATES - 1)))
+        )
+        .withColumn(
+            "px", F.when(F.expr(u_sql) < F.col("cut"), 1).otherwise(0)
+        )
+        .groupBy("b")
+        .agg(
+            F.expr(
+                "CAST((2 * 10000 * sum(px * cents) + greatest(sum(px), 1))"
+                " div (2 * greatest(sum(px), 1)) AS BIGINT)"
+                " - CAST((2 * 10000 * sum((1 - px) * cents)"
+                "         + greatest(sum(1 - px), 1))"
+                "        div (2 * greatest(sum(1 - px), 1)) AS BIGINT)"
+            ).alias("diff_micro")
+        )
+    )
+    return (
+        perm_stats.crossJoin(
+            F.broadcast(obs_stat.select("n", "n_x", "obs_diff_micro"))
+        )
+        .groupBy("n", "n_x", "obs_diff_micro")
+        .agg(
+            F.lit(PERM_REPLICATES).cast("bigint").alias("n_replicates"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("diff_micro"))
+                    >= F.abs(F.col("obs_diff_micro")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+            F.expr(
+                "CAST((1000000 * (1 + sum(CASE WHEN abs(diff_micro)"
+                " >= abs(obs_diff_micro) THEN 1 ELSE 0 END)))"
+                f" div ({PERM_REPLICATES} + 1) AS BIGINT)"
+            ).alias("p_value_micro"),
+        )
+        .select(
+            "n",
+            "n_x",
+            "obs_diff_micro",
+            "n_replicates",
+            "n_extreme",
+            "p_value_micro",
+        )
+    )

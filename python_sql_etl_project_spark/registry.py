@@ -294,6 +294,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "sim_mmr_diversify",
     "agg_fleiss_kappa",
     "smp_bootstrap_ci",
+    # round-5 wave 11 (post-freeze, locally oracle-gated):
+    "graph_personalized_pagerank",
+    "agg_permutation_test",
 )
 
 

@@ -142,6 +142,14 @@ BNLJ_ALLOWED = {
         "1-row point-estimate aggregate broadcast onto the 1-row "
         "order-statistic frame"
     ),
+    "graph_personalized_pagerank": (
+        "1-row seed-node aggregate broadcast onto the node set per "
+        "iteration"
+    ),
+    "agg_permutation_test": (
+        "1-row observed-counts (cut, stat) broadcast onto the fact scan "
+        "and the 32-row replicate census"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
