@@ -275,6 +275,48 @@ HEADLINE = [
     "mm_aspect_bucket_batches",
     "strm_replay_idempotent_load",
     "ld_incremental_agg_maintenance",
+    # round-5 waves (post-freeze additions, benched for the r5 record)
+    "agg_chi_square_independence",
+    "dq_functional_dependency_audit",
+    "jn_time_range_join",
+    "smp_poisson_bootstrap",
+    "dd_containment_pairs",
+    "sim_srp_lsh_pairs",
+    "sim_ndcg_eval",
+    "ts_theil_sen_trend",
+    "graph_multi_source_bfs",
+    "agg_mann_whitney_u",
+    "smp_neyman_allocation",
+    "agg_welch_ttest",
+    "graph_clustering_coefficient",
+    "txt_rake_keyphrases",
+    "ts_holt_linear_forecast",
+    "dq_table_fingerprint",
+    "src_fixed_width_ingest",
+    "fn_array_higher_order",
+    "ld_zorder_clustering_audit",
+    "agg_kruskal_wallis",
+    "agg_kendall_tau",
+    "agg_cohens_kappa",
+    "dq_uniqueness_profile",
+    "graph_hits_hubs_authorities",
+    "txt_pmi_cooccurrence",
+    "smp_horvitz_thompson",
+    "ts_seasonal_periodogram",
+    "sim_mmr_diversify",
+    "agg_fleiss_kappa",
+    "smp_bootstrap_ci",
+    "graph_personalized_pagerank",
+    "agg_permutation_test",
+    "graph_cc_pointer_doubling",
+    "sim_nndescent_round",
+    "txt_cdc_chunks",
+    "txt_mattr_diversity",
+    "mm_phash_dup_clusters",
+    "agg_theil_index",
+    "dq_completeness_matrix",
+    "dq_referential_integrity_sweep",
+    "asof_tolerance_join",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.
