@@ -7419,3 +7419,299 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_value_micro",
         )
     )
+
+
+#: Spearman rank correlation: shard span for the two-pass distributed
+#: ranking of the VALUE marginal (contiguous $10k cents bands; the date
+#: marginal is calendar-bounded, ranked over its tiny day census).
+SPEAR_SHARD_SPAN_CENTS = 1_000_000
+
+
+@query(
+    "agg_spearman_correlation",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS y
+        FROM orders
+    ),
+    joint AS MATERIALIZED (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY 1, 2
+    ),
+    cx AS (
+        SELECT x, CAST(sum(c) AS BIGINT) AS nv FROM joint GROUP BY 1
+    ),
+    rx AS (
+        SELECT x, 2 * (sum(nv) OVER (ORDER BY x) - nv) + nv + 1 AS r2x,
+               nv AS nvx
+        FROM cx
+    ),
+    cy AS (
+        SELECT y, CAST(sum(c) AS BIGINT) AS nv FROM joint GROUP BY 1
+    ),
+    ry AS (
+        SELECT y, 2 * (sum(nv) OVER (ORDER BY y) - nv) + nv + 1 AS r2y,
+               nv AS nvy
+        FROM cy
+    ),
+    sums AS (
+        SELECT CAST(sum(j.c) AS HUGEINT) AS n,
+               CAST(sum(CAST(j.c AS HUGEINT) * rx.r2x) AS HUGEINT) AS sx,
+               CAST(sum(CAST(j.c AS HUGEINT) * ry.r2y) AS HUGEINT) AS sy,
+               CAST(sum(CAST(j.c AS HUGEINT) * rx.r2x * rx.r2x)
+                    AS HUGEINT) AS sxx,
+               CAST(sum(CAST(j.c AS HUGEINT) * ry.r2y * ry.r2y)
+                    AS HUGEINT) AS syy,
+               CAST(sum(CAST(j.c AS HUGEINT) * rx.r2x * ry.r2y)
+                    AS HUGEINT) AS sxy
+        FROM joint j JOIN rx ON rx.x = j.x JOIN ry ON ry.y = j.y
+    ),
+    ties AS (
+        SELECT CAST((SELECT sum(nvx * nvx * nvx - nvx) FROM rx) AS BIGINT)
+                   AS ties_x3,
+               CAST((SELECT sum(nvy * nvy * nvy - nvy) FROM ry) AS BIGINT)
+                   AS ties_y3
+    )
+    SELECT CAST(n AS BIGINT) AS n, t.ties_x3, t.ties_y3,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS spearman_rho
+    FROM sums, ties t
+    """,
+)
+def agg_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order VALUE and order DATE —
+     'is the book drifting upmarket over time?' asked robustly (Pearson
+    on tied-average ranks — exact under ties, outlier-immune where raw
+    Pearson is not; complements `agg_exact_correlation`).
+
+    The scale story is DOUBLE distributed ranking: the value marginal
+    ranks via the two-pass shard plan (census → shard partial sums →
+    broadcast offsets → partitioned cumulative windows — no fact row
+    through a global window); the date marginal is calendar-bounded, so
+    its census ranks in a documented dim-grain window. The joint
+    (value, day) census is ONE fact shuffle; everything downstream is
+    census-grain. 2×-scaled ranks keep tie-averages integral; all six
+    moment sums are EXACT DECIMAL(38,0)/HUGEINT (headroom ~sf100+ — the
+    4n³ rank-square mass), so the only float is the final rho: one
+    expression, identical operation order, two IEEE sqrts, 6-dp round.
+    """
+    pts = read_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    joint = pts.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cx = (
+        joint.groupBy("x")
+        .agg(F.sum("c").cast("bigint").alias("nv"))
+        .withColumn("shard", F.expr(f"x div {SPEAR_SHARD_SPAN_CENTS}"))
+    )
+    shard_tot = cx.groupBy("shard").agg(F.sum("nv").alias("s_nv"))
+    w_shard = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = shard_tot.select(
+        "shard", (F.sum("s_nv").over(w_shard) - F.col("s_nv")).alias("off")
+    )
+    in_shard = Window.partitionBy("shard").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rx = cx.join(F.broadcast(offs), "shard").select(
+        "x",
+        (
+            2 * (F.col("off") + F.sum("nv").over(in_shard) - F.col("nv"))
+            + F.col("nv")
+            + 1
+        ).alias("r2x"),
+        F.col("nv").alias("nvx"),
+    )
+    cy = joint.groupBy("y").agg(F.sum("c").cast("bigint").alias("nv"))
+    ry = cy.select(
+        "y",
+        (
+            2
+            * (
+                F.sum("nv").over(
+                    Window.orderBy("y").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("nv")
+            )
+            + F.col("nv")
+            + 1
+        ).alias("r2y"),
+        F.col("nv").alias("nvy"),
+    )
+    sums = (
+        joint.join(rx, "x")
+        .join(F.broadcast(ry), "y")
+        .agg(
+            F.expr("CAST(sum(c) AS DECIMAL(38,0))").alias("n"),
+            F.expr(
+                "CAST(sum(CAST(c AS DECIMAL(38,0)) * r2x) AS DECIMAL(38,0))"
+            ).alias("sx"),
+            F.expr(
+                "CAST(sum(CAST(c AS DECIMAL(38,0)) * r2y) AS DECIMAL(38,0))"
+            ).alias("sy"),
+            F.expr(
+                "CAST(sum(CAST(c AS DECIMAL(38,0)) * r2x * r2x)"
+                " AS DECIMAL(38,0))"
+            ).alias("sxx"),
+            F.expr(
+                "CAST(sum(CAST(c AS DECIMAL(38,0)) * r2y * r2y)"
+                " AS DECIMAL(38,0))"
+            ).alias("syy"),
+            F.expr(
+                "CAST(sum(CAST(c AS DECIMAL(38,0)) * r2x * r2y)"
+                " AS DECIMAL(38,0))"
+            ).alias("sxy"),
+        )
+    )
+    ties = rx.agg(
+        F.sum(F.col("nvx") * F.col("nvx") * F.col("nvx") - F.col("nvx"))
+        .cast("bigint")
+        .alias("ties_x3")
+    ).crossJoin(
+        ry.agg(
+            F.sum(F.col("nvy") * F.col("nvy") * F.col("nvy") - F.col("nvy"))
+            .cast("bigint")
+            .alias("ties_y3")
+        )
+    )
+    return sums.crossJoin(F.broadcast(ties)).select(
+        F.col("n").cast("bigint").alias("n"),
+        "ties_x3",
+        "ties_y3",
+        F.expr(
+            "round(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            " / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)"
+        ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "jn_star_denormalize_fingerprint",
+    oracle=f"""
+    WITH wide AS (
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               p.p_brand, s.s_name, c.c_mktsegment,
+               ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               r.r_name AS cust_region
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+        JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = nc.n_regionkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(count(DISTINCT cust_region) AS BIGINT) AS n_regions,
+           CAST(sum(CAST(('0x' || substr(md5(
+                    CAST(l_orderkey AS VARCHAR) || '|'
+                    || CAST(l_linenumber AS VARCHAR) || '|'
+                    || CAST(cents AS VARCHAR) || '|' || p_brand || '|'
+                    || s_name || '|' || c_mktsegment || '|'
+                    || supp_nation || '|' || cust_nation || '|'
+                    || cust_region), 1, 12))::BIGINT AS HUGEINT))
+                % {FP_MODULUS} AS BIGINT) AS content_fingerprint
+    FROM wide
+    """,
+)
+def jn_star_denormalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full star-schema denormalization — the 7-way dimension join that
+    builds the wide training-feature table (every lineitem enriched
+    with part, supplier, customer, both nations, and region) — gated
+    end-to-end by the order-insensitive content FINGERPRINT of the
+    `dq_table_fingerprint` construction (canonical row render → 48-bit
+    md5 integer → exact commutative sum mod 2⁴⁸), because the wide
+    table itself is fact-sized and can't be emitted.
+
+    Scale shape: the textbook star plan — the ONE fact-fact edge
+    (lineitem⋈orders) is a co-partitioned shuffle join on orderkey;
+    every dimension joins as a BROADCAST hash join (explicitly hinted:
+    part/supplier/customer/nation/region are dim-bounded), so the fact
+    stream is scanned once and never re-shuffled after the orderkey
+    stage. The fingerprint aggregate is map-side combinable.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("c_rk"),
+    )
+    wide = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), s.s_nationkey == ns.s_nk)
+        .join(F.broadcast(nc), c.c_nationkey == nc.c_nk)
+        .join(F.broadcast(r), nc.c_rk == r.r_regionkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "cents",
+            "p_brand",
+            "s_name",
+            "c_mktsegment",
+            "supp_nation",
+            "cust_nation",
+            F.col("r_name").alias("cust_region"),
+        )
+    )
+    h = F.expr(
+        "CAST(conv(substring(md5("
+        "CAST(l_orderkey AS STRING) || '|'"
+        " || CAST(l_linenumber AS STRING) || '|'"
+        " || CAST(cents AS STRING) || '|' || p_brand || '|'"
+        " || s_name || '|' || c_mktsegment || '|'"
+        " || supp_nation || '|' || cust_nation || '|'"
+        " || cust_region), 1, 12), 16, 10) AS BIGINT)"
+    )
+    return wide.select(
+        "cents", "cust_region", h.alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        F.countDistinct("cust_region").cast("bigint").alias("n_regions"),
+        F.expr(
+            f"CAST(sum(CAST(h AS DECIMAL(38,0))) % {FP_MODULUS} AS BIGINT)"
+        ).alias("content_fingerprint"),
+    )

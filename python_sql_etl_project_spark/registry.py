@@ -297,6 +297,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     # round-5 wave 11 (post-freeze, locally oracle-gated):
     "graph_personalized_pagerank",
     "agg_permutation_test",
+    # round-5 wave 12 (post-freeze, locally oracle-gated):
+    "agg_spearman_correlation",
+    "jn_star_denormalize_fingerprint",
 )
 
 

@@ -150,6 +150,9 @@ BNLJ_ALLOWED = {
         "1-row observed-counts (cut, stat) broadcast onto the fact scan "
         "and the 32-row replicate census"
     ),
+    "agg_spearman_correlation": (
+        "pairing of 1-row aggregates (moment sums ⨯ the two tie totals)"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
