@@ -7715,3 +7715,429 @@ def jn_star_denormalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFra
             f"CAST(sum(CAST(h AS DECIMAL(38,0))) % {FP_MODULUS} AS BIGINT)"
         ).alias("content_fingerprint"),
     )
+
+
+#: Ljung–Box portmanteau lags (short-range whiteness check on the
+#: hourly series; reuses the ACF construction of ts_autocorrelation).
+LB_LAGS = (1, 2, 3)
+
+
+@query(
+    "ts_ljung_box",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                   AS m
+        FROM events GROUP BY 1, 2
+    ),
+    dev AS (
+        SELECT event_type, hour,
+               row_number() OVER (PARTITION BY event_type ORDER BY hour) AS h,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) * m
+                   - CAST(sum(m) OVER (PARTITION BY event_type) AS HUGEINT)
+                   AS d
+        FROM hourly
+    ),
+    lags AS (SELECT unnest(ARRAY{list(LB_LAGS)}) AS lag),
+    num AS (
+        SELECT a.event_type, l.lag, sum(a.d * b.d) AS cross_sum
+        FROM dev a
+        JOIN lags l ON TRUE
+        JOIN dev b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+        GROUP BY 1, 2
+    ),
+    den AS (
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n, sum(d * d) AS ss
+        FROM dev GROUP BY 1
+    ),
+    r AS (
+        SELECT n.event_type, n.lag, d.n,
+               CAST((2000000 * n.cross_sum
+                     + CASE WHEN n.cross_sum >= 0 THEN d.ss ELSE -d.ss END)
+                    // (2 * d.ss) AS BIGINT) AS r_micro
+        FROM num n JOIN den d ON d.event_type = n.event_type
+    ),
+    q AS (
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n_hours,
+               CAST(max(CASE WHEN lag = 1 THEN r_micro END) AS BIGINT)
+                   AS r1_micro,
+               CAST(max(CASE WHEN lag = 2 THEN r_micro END) AS BIGINT)
+                   AS r2_micro,
+               CAST(max(CASE WHEN lag = 3 THEN r_micro END) AS BIGINT)
+                   AS r3_micro,
+               CAST(max(n) * (max(n) + 2)
+                    * sum(r_micro * r_micro // (n - lag)) AS HUGEINT)
+                   AS q_pico
+        FROM r GROUP BY 1
+    )
+    SELECT event_type, n_hours, r1_micro, r2_micro, r3_micro,
+           round(CAST(q_pico AS DOUBLE) / 1e12, 6) AS ljung_box_q
+    FROM q
+    """,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test per event type: Q =
+    n(n+2)·Σ_k r_k²/(n−k) over lags {LB_LAGS} of the hourly-value
+    series — the standard 'is there ANY autocorrelation left?' check a
+    forecasting pipeline runs on its residuals (here on the raw series,
+    complementing `ts_autocorrelation`'s per-lag view with the joint
+    statistic).
+
+    Determinism: autocorrelations are exact integer micro-units (the
+    N·x−S de-meaning trick keeps deviations integral, half-up at 10⁻⁶);
+    each r_k²/(n−k) term is an INTEGER floor quotient of pico-units —
+    floored identically in both engines — so Q assembles exactly and
+    only the final 6-dp display division floats.
+
+    Scale shape: one shuffle to (type, hour) grain; the lag joins are
+    self-equi-joins on the calendar-bounded hour index; everything
+    after the hourly rollup is calendar-grain (the acf family class).
+    """
+    hourly = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000"
+                " AS BIGINT)"
+            ).alias("m")
+        )
+    )
+    w_t = Window.partitionBy("event_type")
+    dev = hourly.select(
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("hour"))
+        .alias("h"),
+        F.count(F.lit(1)).over(w_t).alias("n"),
+        (
+            F.count(F.lit(1)).over(w_t).cast("decimal(38,0)") * F.col("m")
+            - F.sum("m").over(w_t).cast("decimal(38,0)")
+        ).alias("d"),
+    )
+    lags = spark.range(1, len(LB_LAGS) + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = dev.select("event_type", "h", F.col("d").alias("da"))
+    b = dev.select(
+        F.col("event_type").alias("et_b"),
+        F.col("h").alias("hb"),
+        F.col("d").alias("db"),
+    )
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("et_b") == F.col("event_type"))
+            & (F.col("hb") == F.col("h") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("da") * F.col("db")).alias("cross_sum"))
+    )
+    den = dev.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.col("d") * F.col("d")).alias("ss"),
+    )
+    r = num.join(den, "event_type").select(
+        "event_type",
+        "lag",
+        "n",
+        F.expr(
+            "CAST((2000000 * cross_sum"
+            " + CASE WHEN cross_sum >= 0 THEN ss ELSE -ss END)"
+            " div (2 * ss) AS BIGINT)"
+        ).alias("r_micro"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_hours"),
+            F.max(F.when(F.col("lag") == 1, F.col("r_micro")))
+            .cast("bigint")
+            .alias("r1_micro"),
+            F.max(F.when(F.col("lag") == 2, F.col("r_micro")))
+            .cast("bigint")
+            .alias("r2_micro"),
+            F.max(F.when(F.col("lag") == 3, F.col("r_micro")))
+            .cast("bigint")
+            .alias("r3_micro"),
+            F.expr(
+                "CAST(max(n) * (max(n) + 2)"
+                " * sum(r_micro * r_micro div (n - lag))"
+                " AS DECIMAL(38,0))"
+            ).alias("q_pico"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "r1_micro",
+            "r2_micro",
+            "r3_micro",
+            F.expr("round(CAST(q_pico AS DOUBLE) / 1e12, 6)").alias(
+                "ljung_box_q"
+            ),
+        )
+    )
+
+
+#: BH multiple-testing correction over per-REGION randomization tests
+#: (one label-shuffle per replicate scores all five hypotheses at once).
+BH_REPLICATES = 32
+BH_ALPHA_MICRO = 200_000  # α = 0.20 — coarse replicate grid, see docstring
+_BH_DEN = 16**12
+
+
+@query(
+    "agg_benjamini_hochberg",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+        SELECT o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               r.r_name AS region
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+        FROM base
+    ),
+    obs AS (
+        SELECT region, CAST(count(*) AS BIGINT) AS n_r,
+               CAST(sum(cents) AS BIGINT) AS s_r
+        FROM base GROUP BY 1
+    ),
+    obs_stat AS (
+        SELECT o.region, o.n_r,
+               CAST((2 * 10000 * o.s_r + o.n_r) // (2 * o.n_r) AS BIGINT)
+               - CAST((2 * 10000 * (t.s - o.s_r) + (t.n - o.n_r))
+                      // (2 * (t.n - o.n_r)) AS BIGINT) AS obs_diff_micro
+        FROM obs o, tot t
+    ),
+    cuts AS MATERIALIZED (
+        SELECT region,
+               CAST((CAST({_BH_DEN} AS HUGEINT)
+                     * (sum(n_r) OVER (ORDER BY region) - n_r)) // t.n
+                    AS BIGINT) AS lo,
+               CASE WHEN region = (SELECT max(region) FROM obs)
+                    THEN {_BH_DEN}
+                    ELSE CAST((CAST({_BH_DEN} AS HUGEINT)
+                               * sum(n_r) OVER (ORDER BY region)) // t.n
+                              AS BIGINT) END AS hi
+        FROM obs, tot t
+    ),
+    reps AS (SELECT unnest(range(0, {BH_REPLICATES})) AS b),
+    perm AS (
+        SELECT rp.b, k.region, bs.cents
+        FROM base bs
+        CROSS JOIN reps rp
+        JOIN cuts k ON ('0x' || substr(md5('bh:' || rp.b || ':'
+                        || bs.o_orderkey), 1, 12))::BIGINT >= k.lo
+                   AND ('0x' || substr(md5('bh:' || rp.b || ':'
+                        || bs.o_orderkey), 1, 12))::BIGINT < k.hi
+    ),
+    perm_stats AS (
+        SELECT p.b, p.region,
+               CAST((2 * 10000 * sum(p.cents) + greatest(count(*), 1))
+                    // (2 * greatest(count(*), 1)) AS BIGINT)
+               - CAST((2 * 10000 * (t.s - sum(p.cents))
+                       + greatest(t.n - count(*), 1))
+                      // (2 * greatest(t.n - count(*), 1)) AS BIGINT)
+                   AS diff_micro
+        FROM perm p, tot t
+        GROUP BY p.b, p.region, t.s, t.n
+    ),
+    pvals AS (
+        SELECT o.region, o.n_r, o.obs_diff_micro,
+               CAST(sum(CASE WHEN abs(p.diff_micro) >= abs(o.obs_diff_micro)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+               CAST((1000000 * (1 + sum(CASE WHEN abs(p.diff_micro)
+                                                  >= abs(o.obs_diff_micro)
+                                             THEN 1 ELSE 0 END)))
+                    // ({BH_REPLICATES} + 1) AS BIGINT) AS p_value_micro
+        FROM obs_stat o JOIN perm_stats p ON p.region = o.region
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY p_value_micro, region) AS bh_rank,
+               count(*) OVER () AS m
+        FROM pvals
+    ),
+    kmax AS (
+        SELECT max(CASE WHEN m * p_value_micro <= bh_rank * {BH_ALPHA_MICRO}
+                        THEN bh_rank END) AS k
+        FROM ranked
+    )
+    SELECT region, n_r AS n_orders, obs_diff_micro, n_extreme,
+           p_value_micro, CAST(bh_rank AS BIGINT) AS bh_rank,
+           CAST((bh_rank * {BH_ALPHA_MICRO}) // m AS BIGINT)
+               AS bh_threshold_micro,
+           coalesce(bh_rank <= kmax.k, false) AS rejected
+    FROM ranked, kmax
+    """,
+)
+def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a PANEL of hypotheses —
+    'which regions' mean order value deviates from the rest?', the
+    multiple-testing discipline a metrics platform needs the moment it
+    tests more than one segment. Per-region p-values come from
+    {BH_REPLICATES} label-shuffle randomization replicates — ONE md5
+    reassignment per replicate scores all five regions at once
+    (multinomial assignment through the observed region-proportion cuts,
+    derived in HUGEINT so both engines draw identical pseudo-labels) —
+    then the BH step-up runs entirely in integers: reject ranks ≤ k
+    where k = max{{i : m·p₍ᵢ₎ ≤ i·α}} (α = 0.20: the replicate grid
+    quantizes p at 1/(B+1) ≈ 0.03, so a production α of 0.05 would need
+    B ≥ 100 — documented trade; the MACHINERY is B-independent).
+
+    Scale shape: dims broadcast onto one fact pass; a narrow
+    {BH_REPLICATES}× map-side explosion; ONE aggregate to
+    (replicate × region) grain; then everything is 5-row arithmetic.
+    No float anywhere — the full output hash-matches exactly.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("o_orderkey", "cents", F.col("r_name").alias("region"))
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    obs = base.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r"),
+        F.sum("cents").cast("bigint").alias("s_r"),
+    )
+    obs_stat = obs.crossJoin(F.broadcast(tot)).select(
+        "region",
+        "n_r",
+        F.expr(
+            "CAST((2 * 10000 * s_r + n_r) div (2 * n_r) AS BIGINT)"
+            " - CAST((2 * 10000 * (s - s_r) + (n - n_r))"
+            "        div (2 * (n - n_r)) AS BIGINT)"
+        ).alias("obs_diff_micro"),
+    )
+    w_cum = Window.orderBy("region").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cuts = (
+        obs.withColumn("cum_n", F.sum("n_r").over(w_cum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            F.expr(
+                f"CAST((CAST({_BH_DEN} AS DECIMAL(38,0))"
+                " * (cum_n - n_r)) div n AS BIGINT)"
+            ).alias("lo"),
+            F.when(
+                F.col("region") == F.max("region").over(w_all),
+                F.lit(_BH_DEN).cast("bigint"),
+            )
+            .otherwise(
+                F.expr(
+                    f"CAST((CAST({_BH_DEN} AS DECIMAL(38,0)) * cum_n)"
+                    " div n AS BIGINT)"
+                )
+            )
+            .alias("hi"),
+        )
+    )
+    u_sql = (
+        "CAST(conv(substring(md5(concat('bh:', CAST(b AS STRING), ':',"
+        " CAST(o_orderkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+    )
+    perm_stats = (
+        base.withColumn(
+            "b", F.explode(F.sequence(F.lit(0), F.lit(BH_REPLICATES - 1)))
+        )
+        .withColumn("u", F.expr(u_sql))
+        .join(
+            F.broadcast(cuts.withColumnRenamed("region", "p_region")),
+            (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")),
+        )
+        .groupBy("b", "p_region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_p"),
+            F.sum("cents").cast("bigint").alias("s_p"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("p_region").alias("region"),
+            F.expr(
+                "CAST((2 * 10000 * s_p + greatest(n_p, 1))"
+                " div (2 * greatest(n_p, 1)) AS BIGINT)"
+                " - CAST((2 * 10000 * (s - s_p) + greatest(n - n_p, 1))"
+                "        div (2 * greatest(n - n_p, 1)) AS BIGINT)"
+            ).alias("diff_micro"),
+        )
+    )
+    pvals = (
+        obs_stat.join(perm_stats, "region")
+        .groupBy("region", "n_r", "obs_diff_micro")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("diff_micro"))
+                    >= F.abs(F.col("obs_diff_micro")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme")
+        )
+        .withColumn(
+            "p_value_micro",
+            F.expr(
+                f"CAST((1000000 * (1 + n_extreme)) div ({BH_REPLICATES} + 1)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    ranked = pvals.withColumn(
+        "bh_rank", F.row_number().over(Window.orderBy("p_value_micro", "region"))
+    ).withColumn("m", F.count(F.lit(1)).over(w_all))
+    kmax = ranked.agg(
+        F.max(
+            F.when(
+                F.col("m") * F.col("p_value_micro")
+                <= F.col("bh_rank") * BH_ALPHA_MICRO,
+                F.col("bh_rank"),
+            )
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(kmax)).select(
+        "region",
+        F.col("n_r").alias("n_orders"),
+        "obs_diff_micro",
+        "n_extreme",
+        "p_value_micro",
+        F.col("bh_rank").cast("bigint").alias("bh_rank"),
+        F.expr(
+            f"CAST((bh_rank * {BH_ALPHA_MICRO}) div m AS BIGINT)"
+        ).alias("bh_threshold_micro"),
+        F.coalesce(F.col("bh_rank") <= F.col("k"), F.lit(False)).alias(
+            "rejected"
+        ),
+    )

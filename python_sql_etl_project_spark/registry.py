@@ -300,6 +300,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     # round-5 wave 12 (post-freeze, locally oracle-gated):
     "agg_spearman_correlation",
     "jn_star_denormalize_fingerprint",
+    # round-5 wave 13 (post-freeze, locally oracle-gated):
+    "ts_ljung_box",
+    "agg_benjamini_hochberg",
 )
 
 

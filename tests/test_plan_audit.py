@@ -153,6 +153,14 @@ BNLJ_ALLOWED = {
     "agg_spearman_correlation": (
         "pairing of 1-row aggregates (moment sums ⨯ the two tie totals)"
     ),
+    "agg_benjamini_hochberg": (
+        "5-row region-cut table broadcast (range-membership join) + 1-row "
+        "grand-total broadcasts onto the fact scan and the 5-row panel"
+    ),
+    "ts_ljung_box": (
+        "3-row lag table broadcast against the calendar-grain hourly "
+        "series (the ts_autocorrelation class)"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
