@@ -1616,3 +1616,80 @@ def ld_zorder_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_pairs_b",
         )
     )
+
+
+#: Compaction planner: pack per-(month, status) "files" (row-count
+#: proxies for byte sizes) into merge bins of this target size with the
+#: deterministic sorted shelf-packing rule (largest-first, new bin when
+#: the running total crosses a target multiple).
+COMPACT_TARGET_ROWS = 8192
+
+
+@query(
+    "ld_compaction_planning",
+    oracle=f"""
+    WITH files AS (
+        SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS part_month,
+               o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY 1, 2
+    ),
+    shelf AS (
+        SELECT *,
+               CAST((sum(n_rows) OVER (ORDER BY n_rows DESC, part_month,
+                                       status) - 1)
+                    // {COMPACT_TARGET_ROWS} AS BIGINT) AS bin_id
+        FROM files
+    )
+    SELECT bin_id,
+           CAST(count(*) AS BIGINT) AS n_input_files,
+           CAST(sum(n_rows) AS BIGINT) AS bin_rows,
+           CAST((1000000 * sum(n_rows)) // {COMPACT_TARGET_ROWS} AS BIGINT)
+               AS fill_micro
+    FROM shelf
+    GROUP BY 1
+    """,
+)
+def ld_compaction_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNER — the decision step in front of
+    `ld_compact_small_files`' mechanics: given the per-(month, status)
+    file census (row counts as the size proxy), group inputs into merge
+    bins of ~{COMPACT_TARGET_ROWS} rows with the deterministic sorted
+    shelf rule — largest first, a bin boundary wherever the running
+    total crosses a target multiple ((cumsum − 1) div target, the
+    closed-form greedy that needs no iteration). Emitted per bin with a
+    fill factor so an operator can see under/over-packed merges before
+    running them.
+
+    Scale shape: ONE fact shuffle to the file-census grain; the packing
+    window runs over the census (files, not rows — dim-grain by
+    construction: a real lakehouse tracks file metadata at exactly this
+    grain in its manifest). All-integer output.
+    """
+    from pyspark.sql import Window as W
+
+    files = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("part_month"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    w = W.orderBy(
+        F.desc("n_rows"), "part_month", "status"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    shelf = files.withColumn(
+        "cum_rows", F.sum("n_rows").over(w)
+    ).withColumn(
+        "bin_id",
+        F.expr(f"CAST((cum_rows - 1) div {COMPACT_TARGET_ROWS} AS BIGINT)"),
+    )
+    return shelf.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_input_files"),
+        F.sum("n_rows").cast("bigint").alias("bin_rows"),
+        F.expr(
+            f"CAST((1000000 * sum(n_rows)) div {COMPACT_TARGET_ROWS}"
+            " AS BIGINT)"
+        ).alias("fill_micro"),
+    )

@@ -2813,3 +2813,114 @@ def smp_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("point_mean_micro") <= F.col("ci_hi_micro"))
         ).alias("ci_covers_point"),
     )
+
+
+@query(
+    "smp_split_balance_audit",
+    oracle=f"""
+    WITH lab AS (
+        SELECT CASE WHEN substr(md5(concat('split:', doc_id)), 1, 2)
+                         < '{SPLIT_TRAIN_UPPER}' THEN 'train'
+                    WHEN substr(md5(concat('split:', doc_id)), 1, 2)
+                         < '{SPLIT_VAL_UPPER}' THEN 'val'
+                    ELSE 'test' END AS split,
+               source
+        FROM documents
+    ),
+    obs AS (
+        SELECT split, source, CAST(count(*) AS BIGINT) AS n
+        FROM lab GROUP BY 1, 2
+    ),
+    rt AS (SELECT split, CAST(sum(n) AS BIGINT) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT source, CAST(sum(n) AS BIGINT) AS c FROM obs GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n,
+                   CAST(count(DISTINCT split) AS BIGINT) AS n_r,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_c
+            FROM obs),
+    grid AS (
+        SELECT rt.split, ct.source, rt.r, ct.c, COALESCE(obs.n, 0) AS n
+        FROM rt CROSS JOIN ct
+        LEFT JOIN obs USING (split, source)
+    ),
+    terms AS (
+        SELECT CAST(round(
+                 CAST(CAST(n * t.big_n - r * c AS HUGEINT)
+                      * CAST(n * t.big_n - r * c AS HUGEINT) AS DOUBLE)
+                 / CAST(r * c * t.big_n AS DOUBLE), 6)
+               AS DECIMAL(18,6)) AS term,
+               t.big_n, t.n_r, t.n_c
+        FROM grid, tot t
+    )
+    SELECT max(big_n) AS n_docs,
+           max(n_r) AS n_splits,
+           max(n_c) AS n_sources,
+           (max(n_r) - 1) * (max(n_c) - 1) AS dof,
+           CAST(round(sum(term), 6) AS DOUBLE) AS chi2,
+           CAST(round(sum(term), 6) AS DOUBLE)
+               <= 2.0 * CAST((max(n_r) - 1) * (max(n_c) - 1) AS DOUBLE)
+               AS balanced
+    FROM terms
+    """,
+)
+def smp_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-balance audit: is the md5 train/val/test assignment
+    INDEPENDENT of document source? The check a data pipeline runs
+    before trusting val/test metrics — a hash split that correlates
+    with source silently trains on one distribution and evaluates on
+    another. Pearson chi² over the split×source contingency (the
+    `agg_chi_square_independence` identity: exact int128 cell terms,
+    each rounded at 6 dp and summed as exact DECIMAL), plus a
+    ``balanced`` verdict gating chi² ≤ 2·dof (≈ the 97.5th percentile
+    of the null for the small dof here — an accuracy contract on the
+    hash's uniformity, not a data-dependent fact).
+
+    Scale shape: one map-side-combinable contingency aggregate over the
+    corpus; everything downstream is |splits|×|sources| grain.
+    """
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 2
+    )
+    lab = read_table(spark, sf_dir, "documents").select(
+        F.when(bucket < SPLIT_TRAIN_UPPER, "train")
+        .when(bucket < SPLIT_VAL_UPPER, "val")
+        .otherwise("test")
+        .alias("split"),
+        "source",
+    )
+    obs = lab.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rt = obs.groupBy("split").agg(F.sum("n").cast("bigint").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("n").cast("bigint").alias("c"))
+    tot = obs.agg(
+        F.sum("n").cast("bigint").alias("big_n"),
+        F.countDistinct("split").cast("bigint").alias("n_r"),
+        F.countDistinct("source").cast("bigint").alias("n_c"),
+    )
+    grid = (
+        rt.crossJoin(ct)
+        .join(obs, ["split", "source"], "left")
+        .select("split", "source", "r", "c", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    terms = grid.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CAST(round("
+            "  CAST(CAST(n * big_n - r * c AS DECIMAL(38,0))"
+            "       * CAST(n * big_n - r * c AS DECIMAL(38,0)) AS DOUBLE)"
+            "  / CAST(r * c * big_n AS DOUBLE), 6) AS DECIMAL(18,6))"
+        ).alias("term"),
+        "big_n",
+        "n_r",
+        "n_c",
+    )
+    return terms.agg(
+        F.max("big_n").alias("n_docs"),
+        F.max("n_r").alias("n_splits"),
+        F.max("n_c").alias("n_sources"),
+        ((F.max("n_r") - 1) * (F.max("n_c") - 1)).alias("dof"),
+        F.expr("CAST(round(sum(term), 6) AS DOUBLE)").alias("chi2"),
+        F.expr(
+            "CAST(round(sum(term), 6) AS DOUBLE)"
+            " <= 2.0 * CAST((max(n_r) - 1) * (max(n_c) - 1) AS DOUBLE)"
+        ).alias("balanced"),
+    )

@@ -303,6 +303,9 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     # round-5 wave 13 (post-freeze, locally oracle-gated):
     "ts_ljung_box",
     "agg_benjamini_hochberg",
+    # round-5 wave 14 (post-freeze, locally oracle-gated):
+    "ld_compaction_planning",
+    "smp_split_balance_audit",
 )
 
 

@@ -161,6 +161,10 @@ BNLJ_ALLOWED = {
         "3-row lag table broadcast against the calendar-grain hourly "
         "series (the ts_autocorrelation class)"
     ),
+    "smp_split_balance_audit": (
+        "dense |splits|×|sources| grid from two dim-grain marginals + "
+        "1-row total broadcast (the agg_chi_square_independence class)"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
