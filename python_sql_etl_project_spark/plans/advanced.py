@@ -8141,3 +8141,147 @@ def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rejected"
         ),
     )
+
+
+#: Holt–Winters additive seasonal smoothing: season length (monthly
+#: series, yearly cycle), forecast horizon, exact-half coefficients
+#: (α = β = γ = ½ — every update is integer adds + truncating halvings,
+#: the ts_holt_linear_forecast determinism trick extended with a
+#: rotating 12-slot seasonal state).
+HW_SEASON = 12
+HW_FORECAST_H = 3
+
+_HW_L = "((y - element_at(acc.s, 1) + acc.l + acc.b) div 2)"
+_HW_STEP = (
+    "named_struct("
+    f"'l', {_HW_L}, "
+    f"'b', ({_HW_L} - acc.l + acc.b) div 2, "
+    f"'s', concat(slice(acc.s, 2, {HW_SEASON - 1}),"
+    f" array((y - {_HW_L} + element_at(acc.s, 1)) div 2)))"
+)
+
+
+@query(
+    "ts_holt_winters_seasonal",
+    oracle=f"""
+    WITH RECURSIVE monthly AS (
+        SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS ym,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT ym, cents, row_number() OVER (ORDER BY ym) AS i FROM monthly
+    ),
+    init AS (
+        SELECT CAST((SELECT sum(cents) FROM idx WHERE i <= {HW_SEASON})
+                    // {HW_SEASON} AS BIGINT) AS l0,
+               CAST((((SELECT sum(cents) FROM idx
+                       WHERE i > {HW_SEASON} AND i <= {2 * HW_SEASON})
+                      // {HW_SEASON})
+                     - ((SELECT sum(cents) FROM idx WHERE i <= {HW_SEASON})
+                        // {HW_SEASON})) // {HW_SEASON} AS BIGINT) AS b0,
+               (SELECT list(cents
+                            - ((SELECT sum(c2.cents) FROM idx c2
+                                WHERE c2.i <= {HW_SEASON}) // {HW_SEASON})
+                            ORDER BY i)
+                FROM idx WHERE i <= {HW_SEASON}) AS s0
+    ),
+    rec AS (
+        SELECT {HW_SEASON} AS i, l0 AS l, b0 AS b, s0 AS s FROM init
+        UNION ALL
+        SELECT r.i + 1,
+               (x.cents - r.s[1] + r.l + r.b) // 2,
+               (((x.cents - r.s[1] + r.l + r.b) // 2) - r.l + r.b) // 2,
+               r.s[2:{HW_SEASON}]
+                   || [(x.cents - ((x.cents - r.s[1] + r.l + r.b) // 2)
+                        + r.s[1]) // 2]
+        FROM rec r JOIN idx x ON x.i = r.i + 1
+    )
+    SELECT CAST((SELECT max(i) FROM idx) AS BIGINT) AS n_months,
+           CAST(l AS BIGINT) AS level_cents,
+           CAST(b AS BIGINT) AS trend_cents,
+           CAST(s[1] AS BIGINT) AS seasonal_next_cents,
+           CAST(l + 1 * b + s[1] AS BIGINT) AS forecast_1_cents,
+           CAST(l + 2 * b + s[2] AS BIGINT) AS forecast_2_cents,
+           CAST(l + 3 * b + s[3] AS BIGINT) AS forecast_3_cents
+    FROM rec WHERE i = (SELECT max(i) FROM idx)
+    """,
+)
+def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters ADDITIVE SEASONAL (triple) exponential smoothing
+    over monthly revenue with a {HW_FORECAST_H}-step seasonal forecast —
+    the classic level+trend+season forecaster (Winters 1960), one rung
+    above `ts_holt_linear_forecast`. Coefficients pinned at exact
+    halves (α = β = γ = ½), so the whole recursion — including the
+    rotating {HW_SEASON}-slot seasonal state — is integer adds and
+    truncating halvings: deterministic to the bit in both engines, no
+    rounding boundary anywhere. Initialization is the standard
+    first-two-seasons scheme (season-1 mean level, season-over-season
+    mean trend, first-season deviations as the seasonal state), all in
+    integer floor arithmetic.
+
+    Engine-specific evaluation, identical arithmetic: Spark folds the
+    collected month-array with ONE ``aggregate()`` carrying a
+    struct(level, trend, array-of-{HW_SEASON}) accumulator —
+    executor-side, no driver loop; the oracle runs the same recurrence
+    as a recursive CTE whose state row carries the seasonal LIST. The
+    inherently sequential series fold happens AFTER the one fact
+    shuffle reduces to calendar grain — the documented right shape.
+    """
+    monthly = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    arr = monthly.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ym, cents))),"
+            " x -> x.cents)"
+        ).alias("ys")
+    )
+    m = HW_SEASON
+    init = arr.select(
+        F.size("ys").cast("bigint").alias("n_months"),
+        "ys",
+        F.expr(
+            f"aggregate(slice(ys, 1, {m}), 0L, (a, x) -> a + x) div {m}"
+        ).alias("l0"),
+    ).select(
+        "n_months",
+        "ys",
+        "l0",
+        F.expr(
+            f"((aggregate(slice(ys, {m + 1}, {m}), 0L, (a, x) -> a + x)"
+            f" div {m}) - l0) div {m}"
+        ).alias("b0"),
+        F.expr(f"transform(slice(ys, 1, {m}), x -> x - l0)").alias("s0"),
+    )
+    folded = init.select(
+        "n_months",
+        F.expr(
+            f"aggregate(slice(ys, {m + 1}, size(ys) - {m}),"
+            " named_struct('l', l0, 'b', b0, 's', s0),"
+            f" (acc, y) -> {_HW_STEP},"
+            " acc -> acc)"
+        ).alias("st"),
+    )
+    return folded.select(
+        "n_months",
+        F.col("st.l").cast("bigint").alias("level_cents"),
+        F.col("st.b").cast("bigint").alias("trend_cents"),
+        F.expr("element_at(st.s, 1)").cast("bigint").alias(
+            "seasonal_next_cents"
+        ),
+        *[
+            F.expr(f"st.l + {h} * st.b + element_at(st.s, {h})")
+            .cast("bigint")
+            .alias(f"forecast_{h}_cents")
+            for h in range(1, HW_FORECAST_H + 1)
+        ],
+    )

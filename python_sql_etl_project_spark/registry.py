@@ -306,6 +306,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     # round-5 wave 14 (post-freeze, locally oracle-gated):
     "ld_compaction_planning",
     "smp_split_balance_audit",
+    # round-5 wave 15 (post-freeze, locally oracle-gated):
+    "ts_holt_winters_seasonal",
 )
 
 
