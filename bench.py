@@ -317,6 +317,13 @@ HEADLINE = [
     "dq_completeness_matrix",
     "dq_referential_integrity_sweep",
     "asof_tolerance_join",
+    "agg_spearman_correlation",
+    "jn_star_denormalize_fingerprint",
+    "ts_ljung_box",
+    "agg_benjamini_hochberg",
+    "ld_compaction_planning",
+    "smp_split_balance_audit",
+    "ts_holt_winters_seasonal",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.
