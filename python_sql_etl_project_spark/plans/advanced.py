@@ -8285,3 +8285,145 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h in range(1, HW_FORECAST_H + 1)
         ],
     )
+
+
+_KM_STEP = (
+    "named_struct("
+    "'s', (acc.s * (x.n - x.d)) div x.n, "
+    "'out', concat(acc.out, array(named_struct("
+    "'t', x.t, 'n', x.n, 'd', x.d,"
+    " 's', (acc.s * (x.n - x.d)) div x.n))))"
+)
+
+
+@query(
+    "ts_kaplan_meier_sessions",
+    oracle=f"""
+    WITH RECURSIVE marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {SESSION_GAP_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id,
+               sum(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq,
+               ts
+        FROM marked
+    ),
+    durs AS (
+        SELECT CAST((epoch_us(max(ts)) - epoch_us(min(ts)))
+                    // 60000000 AS BIGINT) AS t
+        FROM sessions GROUP BY user_id, session_seq
+    ),
+    census AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS d FROM durs GROUP BY 1
+    ),
+    idx AS (
+        SELECT t, d,
+               row_number() OVER (ORDER BY t) AS i,
+               CAST((SELECT count(*) FROM durs) AS BIGINT)
+                   - (sum(d) OVER (ORDER BY t) - d) AS n
+        FROM census
+    ),
+    rec AS (
+        SELECT 0 AS i, CAST(NULL AS BIGINT) AS t, CAST(NULL AS BIGINT) AS n,
+               CAST(NULL AS BIGINT) AS d, CAST(1000000 AS BIGINT) AS s
+        UNION ALL
+        SELECT x.i, x.t, x.n, x.d, (r.s * (x.n - x.d)) // x.n
+        FROM rec r JOIN idx x ON x.i = r.i + 1
+    )
+    SELECT t AS duration_min, n AS n_at_risk, d AS n_ending,
+           s AS survival_micro
+    FROM rec WHERE i > 0
+    """,
+)
+def ts_kaplan_meier_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve of SESSION DURATION —
+    'what fraction of sessions survive past t minutes?' — the estimator
+    a product team reads before setting timeouts and the canonical
+    survival-analysis primitive (Kaplan & Meier 1958). Sessions come
+    from the gap-{SESSION_GAP_MIN}-min rule of `win_sessionize_events`;
+    at each distinct minute-grain duration t the at-risk set n_t and
+    the ending count d_t update S ← S·(n_t−d_t)/n_t. (This corpus has
+    no censoring, so KM coincides with the empirical survival function
+    — but the PRODUCT-LIMIT machinery over the risk set is the real
+    estimator and takes censoring by subtracting censored sessions
+    from n without a d.)
+
+    Determinism: survival stays an integer micro-fraction — each step
+    is one integer multiply + floor divide, identical in both engines
+    (the exact-rational sibling of the Holt fold's halvings).
+
+    Scale shape: one shuffle on user_id (the sessionize cost), one
+    aggregate to the minute-grain duration census (bounded by the gap
+    rule: durations are minutes, not rows), then the sequential
+    product-limit fold runs over the TINY census — Spark as one
+    ``aggregate()`` accumulating the per-step curve in an array
+    (exploded back to rows), the oracle as the same recurrence in a
+    recursive CTE.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(w)
+    is_start = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > gap_us),
+        1,
+    ).otherwise(0)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    durs = (
+        ev.select("user_id", "ts", "event_id", is_start.alias("is_start"))
+        .withColumn("session_seq", F.sum("is_start").over(w_run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.expr(
+                "CAST((unix_micros(max(ts)) - unix_micros(min(ts)))"
+                " div 60000000 AS BIGINT)"
+            ).alias("t")
+        )
+    )
+    census = durs.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    total = census.agg(F.sum("d").cast("bigint").alias("tot"))
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    idx = census.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        (F.col("tot") - (F.sum("d").over(w_cum) - F.col("d"))).alias("n"),
+    )
+    arr = idx.agg(
+        F.expr(
+            "array_sort(collect_list(struct(t, n, d)))"
+        ).alias("xs")
+    )
+    folded = arr.select(
+        F.expr(
+            "aggregate(xs,"
+            " named_struct('s', CAST(1000000 AS BIGINT),"
+            "              'out', CAST(array() AS"
+            "              array<struct<t:bigint,n:bigint,d:bigint,"
+            "              s:bigint>>)),"
+            f" (acc, x) -> {_KM_STEP},"
+            " acc -> acc.out)"
+        ).alias("curve")
+    )
+    return folded.select(F.explode("curve").alias("c")).select(
+        F.col("c.t").alias("duration_min"),
+        F.col("c.n").alias("n_at_risk"),
+        F.col("c.d").alias("n_ending"),
+        F.col("c.s").alias("survival_micro"),
+    )

@@ -308,6 +308,8 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "smp_split_balance_audit",
     # round-5 wave 15 (post-freeze, locally oracle-gated):
     "ts_holt_winters_seasonal",
+    # round-5 wave 16 (post-freeze, locally oracle-gated):
+    "ts_kaplan_meier_sessions",
 )
 
 

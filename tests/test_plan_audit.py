@@ -165,6 +165,10 @@ BNLJ_ALLOWED = {
         "dense |splits|×|sources| grid from two dim-grain marginals + "
         "1-row total broadcast (the agg_chi_square_independence class)"
     ),
+    "ts_kaplan_meier_sessions": (
+        "1-row session-total broadcast onto the minute-grain duration "
+        "census (bounded by the gap rule)"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
