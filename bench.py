@@ -324,6 +324,7 @@ HEADLINE = [
     "ld_compaction_planning",
     "smp_split_balance_audit",
     "ts_holt_winters_seasonal",
+    "ts_kaplan_meier_sessions",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.
