@@ -1474,10 +1474,15 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     auth = None
     for _ in range(N_HITS_ITERS):
+        # Widen BEFORE the sum (sum(CAST .. AS DECIMAL(38,0))), as
+        # agg_welch_ttest does for sxx: Spark's sum(BIGINT) stays int64
+        # and would wrap at ~9.2e18 edge-mass, while DuckDB's natively
+        # widens to HUGEINT — the docstring's ~10^32 headroom holds on
+        # both sides only with the pre-widened accumulator.
         a_raw = (
             e.join(hub, "s")
             .groupBy("c")
-            .agg(F.expr("CAST(sum(hub) AS DECIMAL(38,0))").alias("raw"))
+            .agg(F.expr("sum(CAST(hub AS DECIMAL(38,0)))").alias("raw"))
         )
         a_tot = a_raw.agg(F.sum("raw").alias("tot"))
         # localCheckpoint per half-iteration: each normalization
@@ -1498,7 +1503,7 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         h_raw = (
             e.join(auth, "c")
             .groupBy("s")
-            .agg(F.expr("CAST(sum(auth) AS DECIMAL(38,0))").alias("raw"))
+            .agg(F.expr("sum(CAST(auth AS DECIMAL(38,0)))").alias("raw"))
         )
         h_tot = h_raw.agg(F.sum("raw").alias("tot"))
         hub = (

@@ -2501,9 +2501,14 @@ def _srp_sig_sql(side: str) -> str:
     is NOT shared, so the Spark side builds the same sum via F.get)."""
     bits = []
     for h, plane in enumerate(SRP_PLANES):
+        # CAST .. AS DOUBLE before scaling (the package's _MICRO_EL idiom):
+        # without it DuckDB evaluates embedding[i]*1000000 + 0.5 in FLOAT
+        # while Spark promotes the +0.5 step to DOUBLE, and once
+        # |element| >= ~8.39 (micro >= 2^23, float ulp > 0.5) the float
+        # tie rounds to even and the engines floor 1 apart.
         terms = " + ".join(
-            f"({sign}) * CAST(floor({side}.embedding[{dim + 1}] * 1000000"
-            " + 0.5) AS BIGINT)"
+            f"({sign}) * CAST(floor(CAST({side}.embedding[{dim + 1}] AS DOUBLE)"
+            " * 1000000 + 0.5) AS BIGINT)"
             for dim, sign in plane
         )
         bits.append(f"(CASE WHEN {terms} > 0 THEN {1 << h} ELSE 0 END)")
@@ -2515,7 +2520,9 @@ def _srp_sig_col(emb):
     for h, plane in enumerate(SRP_PLANES):
         proj = F.lit(0).cast("bigint")
         for dim, sign in plane:
-            q = F.floor(F.get(emb, dim) * 1000000 + F.lit(0.5)).cast("bigint")
+            q = F.floor(
+                F.get(emb, dim).cast("double") * 1000000 + F.lit(0.5)
+            ).cast("bigint")
             proj = proj + (F.lit(sign) * q)
         sig = sig + F.when(proj > 0, F.lit(1 << h)).otherwise(F.lit(0))
     return sig

@@ -470,10 +470,15 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.sum(
+                F.when(F.col("l_extendedprice") < F.col("apx_med"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rank_lt"),
+            F.sum(
                 F.when(F.col("l_extendedprice") <= F.col("apx_med"), 1).otherwise(0)
             )
             .cast("bigint")
-            .alias("rank_le")
+            .alias("rank_le"),
         )
     )
     return g.join(rank, "l_returnflag").select(
@@ -484,10 +489,20 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("hll_est") - F.col("exact_orders")) * 100
             <= F.col("exact_orders") * 6
         ).alias("hll_within_6pct"),
-        # |rank_le - n/2| <= n/100 + 1, in integers:
+        # Tie-robust rank contract: the returned median value occupies
+        # the whole rank interval [rank_lt, rank_le] (rank_lt = strict
+        # predecessors, rank_le = including the tie mass at the value);
+        # percentile_approx's guarantee is that SOME rank in that
+        # interval is within n/10000 of n/2, so assert the interval
+        # INTERSECTS [n/2 - n/100 - 1, n/2 + n/100 + 1] instead of
+        # pinning rank_le alone — a high-multiplicity price at the
+        # median would otherwise push rank_le past the band even when
+        # the sketch is within spec. Intersection in integers (×2):
+        # 2·rank_lt ≤ n + 2·(n div 100) + 2  AND
+        # 2·rank_le ≥ n − 2·(n div 100) − 2.
         (
-            F.abs(2 * F.col("rank_le") - F.col("n"))
-            <= F.expr("2 * (n div 100) + 2")
+            (2 * F.col("rank_lt") <= F.col("n") + F.expr("2 * (n div 100) + 2"))
+            & (2 * F.col("rank_le") >= F.col("n") - F.expr("2 * (n div 100) + 2"))
         ).alias("median_rank_within_1pct"),
     )
 
