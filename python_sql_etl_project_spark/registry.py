@@ -81,28 +81,31 @@ def load_all() -> None:
     from .functions import sqlfuncs, udafs  # noqa: F401
 
 
-#: Round-5 driver window: the external gate checks exactly the FIRST 50
+#: Round-6 driver window: the external gate checks exactly the FIRST 50
 #: entries of ``queries()``, so this list IS the round's
-#: external-verification budget, spent per the round-4 verdict's action
-#: item 1 (rotate into the never-externally-checked backlog):
+#: external-verification budget, spent per the round-5 verdict's action
+#: item 1 (all 38 free slots on never-externally-checked names):
 #:
 #: * slots 1-12 — the ``ref_`` reference-parity rows, pinned every round
-#:   (SURVEY §2's hard requirement; green four rounds running);
-#: * slots 13-28 — the 16 round-4 additions that registered after the
-#:   round-4 window froze (locally oracle-green all round, never
-#:   externally checked), led by the verdict-named heavies
-#:   (``sim_ivfpq_residual`` with the round-5 corpus-derived nlist,
-#:   connected components, replay-idempotent load, incremental view
-#:   maintenance, the HLL/ANOVA/cardinality audits);
-#: * slot 29 — ``agg_approx_sketches``, converted this round from the
-#:   registry's only oracle-less entry (and only-ever-FAIL driver row,
-#:   r1 ``no_oracle``) to the accuracy-contract pattern — windowed to
-#:   erase that historical FAIL with a green hash row;
-#: * slots 30-50 — the heaviest remaining ``pipe_``/``jn_``/``ts_``/
-#:   ``win_`` backlog names (verdict item 1's stated order).
-#: After this round union driver coverage reaches ≥195/268 distinct
+#:   (SURVEY §2's hard requirement; green five rounds running);
+#: * slots 13-20 — the verdict-named numerically riskiest round-5 waves
+#:   (Benjamini–Hochberg, personalized PageRank, HITS, Holt-Winters,
+#:   Kaplan–Meier, Spearman, SRP-LSH, permutation test) — HITS and
+#:   SRP-LSH additionally carry this round's ADVICE fixes (pre-widened
+#:   sums; DOUBLE-widened quantization), so their first external rows
+#:   also gate those changes;
+#: * slots 21-39 — the remaining round-5 statistical/numeric waves
+#:   (rank censuses, kappas, bootstrap/Neyman/HT estimators, Ljung–Box,
+#:   Theil–Sen, Holt, periodogram, NDCG/MMR, PMI, clustering
+#:   coefficient) plus the two pair-emission queries that gained
+#:   round-6 pair-budget caps (``dd_containment_pairs``,
+#:   ``mm_phash_dup_clusters`` — verdict item 5's "capped queries
+#:   CORRECTNESS-green");
+#: * slots 40-50 — the oldest ``txt_``/``smp_``/``dq_`` backlog
+#:   (registered round 2, never externally checked).
+#: After this round union driver coverage reaches ≥233/319 distinct
 #: names (QUERIES.md tracks the ledger); ~2 more rotations clear the
-#: 73-name remainder (:data:`PENDING_EXTERNAL`).
+#: 86-name remainder (:data:`PENDING_EXTERNAL`).
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- tier 0: reference parity (pinned) --------------------------------
     "ref_daily_cumulative_metrics",
@@ -117,51 +120,52 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ref_distinct_flags",
     "ref_status_counts",
     "ref_null_drop",
-    # -- round-4 additions, never externally checked ----------------------
-    "sim_ivfpq_residual",
-    "graph_connected_components",
-    "strm_replay_idempotent_load",
-    "ld_incremental_agg_maintenance",
-    "agg_hll_audit",
-    "agg_variance_decomposition",
-    "dq_join_cardinality_estimate",
-    "smp_temperature_sampling",
-    "mm_aspect_bucket_batches",
-    "mm_scene_cut_detect",
-    "txt_bpe_merge_census",
-    "agg_price_quantiles_approx",
-    "agg_weighted_median_approx",
-    "sk_kmv_distinct",
-    "pack_length_grouped_batches",
-    "decon_semantic_eval_overlap",
-    # -- the re-gated historical FAIL (round-5 accuracy-contract rebuild) -
-    "agg_approx_sketches",
-    # -- heaviest remaining pipe_/jn_/ts_/win_ backlog --------------------
-    "pipe_incremental_curation",
-    "pipe_training_mix_manifest",
-    "pipe_dataset_card",
-    "pipe_eval_suite_builder",
-    "jn_bucketed_colocated_revenue",
-    "jn_basket_brand_pairs",
-    "jn_association_rules",
-    "ts_anomaly_zscore",
-    "ts_seasonality_index",
-    "ts_ewma_hourly_value",
-    "ts_changepoint_cusum",
-    "ts_autocorrelation",
-    "ts_interval_union_coverage",
-    "win_cumulative_distinct_users",
-    "win_activity_islands",
-    "win_ntile_customer_quartiles",
-    "win_rfm_segments",
-    "win_top_session_paths",
-    "win_mom_growth",
-    "win_second_purchase_latency",
-    "win_revenue_bridge",
+    # -- verdict-named riskiest round-5 waves ------------------------------
+    "agg_benjamini_hochberg",
+    "graph_personalized_pagerank",
+    "graph_hits_hubs_authorities",
+    "ts_holt_winters_seasonal",
+    "ts_kaplan_meier_sessions",
+    "agg_spearman_correlation",
+    "sim_srp_lsh_pairs",
+    "agg_permutation_test",
+    # -- remaining round-5 numeric waves -----------------------------------
+    "agg_chi_square_independence",
+    "agg_mann_whitney_u",
+    "agg_welch_ttest",
+    "agg_kruskal_wallis",
+    "agg_kendall_tau",
+    "agg_cohens_kappa",
+    "agg_fleiss_kappa",
+    "smp_bootstrap_ci",
+    "ts_ljung_box",
+    "ts_theil_sen_trend",
+    "ts_holt_linear_forecast",
+    "ts_seasonal_periodogram",
+    "smp_horvitz_thompson",
+    "smp_neyman_allocation",
+    "smp_poisson_bootstrap",
+    "sim_ndcg_eval",
+    "sim_mmr_diversify",
+    "txt_pmi_cooccurrence",
+    "graph_clustering_coefficient",
+    # -- round-6 pair-budget-capped pair emitters (verdict item 5) --------
+    "dd_containment_pairs",
+    "mm_phash_dup_clusters",
+    # -- oldest txt_/smp_/dq_ backlog --------------------------------------
+    "txt_gopher_rules",
+    "txt_zipf_slope",
+    "txt_heaps_law_fit",
+    "txt_js_divergence",
+    "txt_bigram_lm_score",
+    "smp_dsir_importance",
+    "dq_benford_audit",
+    "dq_drift_ks",
+    "dq_batch_drift_psi",
 )
 
 #: Queries still awaiting their FIRST external driver row after the
-#: round-5 rotation: fully oracle-gated locally (tests/test_oracle_parity
+#: round-6 rotation: fully oracle-gated locally (tests/test_oracle_parity
 #: + tools/drive_contract.py at sf0.01 and the sf0.1 sweep) but the
 #: 50-slot window can only absorb 38 first-time names per round. They are
 #: the candidate pool for the next rotations (~2 rounds clears it,
@@ -171,31 +175,43 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: its invariants are pytest-pinned.)
 PENDING_EXTERNAL: tuple[str, ...] = (
     "agg_cohort_ltv",
+    "agg_entropy_mix",
     "agg_gini_concentration",
     "agg_hhi_concentration",
     "agg_higher_moments",
     "agg_median_abs_deviation",
     "agg_pareto_8020",
+    "agg_theil_index",
+    "asof_tolerance_join",
     "date_calendar_dim",
     "dd_minhash_estimate_audit",
-    "dq_batch_drift_psi",
-    "dq_benford_audit",
-    "dq_drift_ks",
+    "dq_completeness_matrix",
+    "dq_functional_dependency_audit",
     "dq_inflight_observation",
     "dq_iqr_outliers",
     "dq_join_key_skew",
     "dq_order_total_reconciliation",
+    "dq_referential_integrity_sweep",
     "dq_sentinel_values",
+    "dq_table_fingerprint",
+    "dq_uniqueness_profile",
+    "fn_array_higher_order",
     "fn_grouped_means_udaf",
     "fn_sql_scalar_udf",
     "funnel_view_click_purchase",
     "graph_assortativity",
+    "graph_cc_pointer_doubling",
     "graph_degree_distribution",
     "graph_link_prediction",
+    "graph_multi_source_bfs",
+    "jn_star_denormalize_fingerprint",
+    "jn_time_range_join",
     "ld_column_histogram",
     "ld_column_stats",
+    "ld_compaction_planning",
     "ld_partition_skew",
     "ld_snapshot_diff",
+    "ld_zorder_clustering_audit",
     "mm_byte_uniformity",
     "mm_payload_integrity",
     "mm_tile_grid",
@@ -207,6 +223,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "sim_hard_negatives",
     "sim_ivf_recall_audit",
     "sim_matryoshka_audit",
+    "sim_nndescent_round",
     "sim_pq_audit",
     "sim_semdedup_prune",
     "sk_countmin_heavy_hitters",
@@ -216,100 +233,33 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "smp_curriculum_phases",
     "smp_dedup_aware_split",
     "smp_deterministic_shuffle",
-    "smp_dsir_importance",
     "smp_kfold_assignment",
+    "smp_split_balance_audit",
     "smp_weighted_priority_sample",
+    "src_fixed_width_ingest",
+    "src_xml_roundtrip",
     "strm_python_stream_source",
     "strm_static_dim_enrich",
     "ts_backtest_seasonal_naive",
     "ts_linear_interpolation",
     "ts_m4_downsample",
     "ts_rolling_regression_slope",
-    "txt_bigram_lm_score",
     "txt_burstiness",
+    "txt_cdc_chunks",
     "txt_compression_ratio",
-    "txt_gopher_rules",
-    "txt_heaps_law_fit",
-    "txt_js_divergence",
     "txt_kwic_snippets",
+    "txt_mattr_diversity",
     "txt_novelty_decay_curve",
     "txt_oov_rate",
+    "txt_rake_keyphrases",
     "txt_shingle_novelty",
     "txt_tokenizer_fertility",
-    "txt_zipf_slope",
     "win_attribution_last_touch",
     "win_dau_mau_stickiness",
     "win_keyset_pagination",
     "win_lifecycle_stages",
     "win_new_vs_returning",
     "win_skyline_price_recency",
-    # round-5 additions after the window froze (locally oracle-gated;
-    # first candidates for the round-6 rotation):
-    "graph_cc_pointer_doubling",
-    "dq_completeness_matrix",
-    "dq_referential_integrity_sweep",
-    "agg_theil_index",
-    "txt_mattr_diversity",
-    "txt_cdc_chunks",
-    "mm_phash_dup_clusters",
-    "asof_tolerance_join",
-    "sim_nndescent_round",
-    "agg_entropy_mix",
-    "src_xml_roundtrip",
-    # round-5 wave 3 (post-freeze, locally oracle-gated):
-    "agg_chi_square_independence",
-    "dq_functional_dependency_audit",
-    "jn_time_range_join",
-    "smp_poisson_bootstrap",
-    "dd_containment_pairs",
-    "sim_srp_lsh_pairs",
-    # round-5 wave 4 (post-freeze, locally oracle-gated):
-    "sim_ndcg_eval",
-    "ts_theil_sen_trend",
-    "graph_multi_source_bfs",
-    # round-5 wave 5 (post-freeze, locally oracle-gated):
-    "agg_mann_whitney_u",
-    "smp_neyman_allocation",
-    # round-5 wave 6 (post-freeze, locally oracle-gated):
-    "agg_welch_ttest",
-    "graph_clustering_coefficient",
-    "txt_rake_keyphrases",
-    "ts_holt_linear_forecast",
-    "dq_table_fingerprint",
-    "src_fixed_width_ingest",
-    # round-5 wave 7 (post-freeze, locally oracle-gated):
-    "fn_array_higher_order",
-    "ld_zorder_clustering_audit",
-    # round-5 wave 8 (post-freeze, locally oracle-gated):
-    "agg_kruskal_wallis",
-    "agg_kendall_tau",
-    "agg_cohens_kappa",
-    "dq_uniqueness_profile",
-    # round-5 wave 9 (post-freeze, locally oracle-gated):
-    "graph_hits_hubs_authorities",
-    "txt_pmi_cooccurrence",
-    "smp_horvitz_thompson",
-    "ts_seasonal_periodogram",
-    # round-5 wave 10 (post-freeze, locally oracle-gated):
-    "sim_mmr_diversify",
-    "agg_fleiss_kappa",
-    "smp_bootstrap_ci",
-    # round-5 wave 11 (post-freeze, locally oracle-gated):
-    "graph_personalized_pagerank",
-    "agg_permutation_test",
-    # round-5 wave 12 (post-freeze, locally oracle-gated):
-    "agg_spearman_correlation",
-    "jn_star_denormalize_fingerprint",
-    # round-5 wave 13 (post-freeze, locally oracle-gated):
-    "ts_ljung_box",
-    "agg_benjamini_hochberg",
-    # round-5 wave 14 (post-freeze, locally oracle-gated):
-    "ld_compaction_planning",
-    "smp_split_balance_audit",
-    # round-5 wave 15 (post-freeze, locally oracle-gated):
-    "ts_holt_winters_seasonal",
-    # round-5 wave 16 (post-freeze, locally oracle-gated):
-    "ts_kaplan_meier_sessions",
 )
 
 
