@@ -186,6 +186,21 @@ def dd_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-anchor-doc pair-emission budget for the registered pair-emitting
+#: queries (``dd_shingle_jaccard_pairs``, ``dd_containment_pairs``): a
+#: pathological duplicate clique of size n otherwise emits Θ(n²) pairs —
+#: the PLAN is bucketed and fine, but the OUTPUT stage grows
+#: quadratically (round-5 probes: 3.49× / 4.44× at 8× data on replica
+#: cliques). With the budget, each anchor doc emits its top
+#: ``PAIR_EMIT_BUDGET`` qualifying pairs (largest shingle overlap first,
+#: ties to the smaller partner id — an integer-exact, cross-engine-stable
+#: order) plus an ``overflow`` column counting the suppressed qualifying
+#: pairs, so at 100 TB a dup storm degrades to a counted truncation
+#: instead of a quadratic emission. Internal consumers (cluster building,
+#: the LSH recall audit's ground truth) use the UNCAPPED `_exact_pairs`.
+PAIR_EMIT_BUDGET = 64
+
+
 @query(
     "dd_shingle_jaccard_pairs",
     oracle=f"""
@@ -196,26 +211,64 @@ def dd_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     ),
     scored AS (
-        SELECT d1, d2,
+        SELECT d1, d2, shared,
                round(CAST(shared AS DOUBLE) / (n1.n + n2.n - shared), 4) AS jaccard
         FROM pairs
         JOIN sh_n n1 ON n1.doc_id = d1
         JOIN sh_n n2 ON n2.doc_id = d2
+    ),
+    qualifying AS (
+        SELECT * FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    budgeted AS (
+        SELECT d1, d2, jaccard,
+               row_number() OVER (PARTITION BY d1 ORDER BY shared DESC, d2) AS prn,
+               count(*) OVER (PARTITION BY d1) AS tot
+        FROM qualifying
     )
-    SELECT d1, d2, jaccard FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+    SELECT d1, d2, jaccard,
+           CAST(greatest(tot - {PAIR_EMIT_BUDGET}, 0) AS BIGINT) AS overflow
+    FROM budgeted WHERE prn <= {PAIR_EMIT_BUDGET}
     """,
 )
 def dd_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-word-shingle Jaccard ≥ 0.8 (north-star 'n-gram
     Jaccard'). Candidates come from a shingle-equality self-join (blocked,
     hot shingles capped), then exact set-overlap scoring — the shuffle
-    keys are shingles and pairs, never a cross join."""
-    return _exact_pairs(shingles(spark, sf_dir))
+    keys are shingles and pairs, never a cross join. Emission is bounded
+    by ``PAIR_EMIT_BUDGET`` per anchor doc with an ``overflow`` counter
+    (the per-doc window runs over qualifying pairs only — per-key size is
+    clique-bounded, never corpus-bounded)."""
+    return _budget_pairs(_exact_pairs_scored(shingles(spark, sf_dir)))
 
 
-def _exact_pairs(sh: DataFrame) -> DataFrame:
-    """Exact Jaccard ≥ threshold pairs from the shingle set (the ground
-    truth the LSH recall audit measures against)."""
+def _budget_pairs(scored: DataFrame) -> DataFrame:
+    """Apply the per-anchor pair budget: keep each d1's top
+    ``PAIR_EMIT_BUDGET`` qualifying pairs by (shared DESC, d2 ASC) — an
+    integer-only ordering both engines sort identically (within a d1
+    partition the denominator inputs vary per pair, so raw overlap, not
+    the rounded ratio, is the stable key) — and annotate every kept row
+    with the count of suppressed qualifying pairs for that anchor."""
+    w_rank = Window.partitionBy("d1").orderBy(F.col("shared").desc(), "d2")
+    w_all = Window.partitionBy("d1")
+    return (
+        scored.withColumn("prn", F.row_number().over(w_rank))
+        .withColumn("tot", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("prn") <= PAIR_EMIT_BUDGET)
+        .select(
+            "d1",
+            "d2",
+            "jaccard",
+            F.greatest(F.col("tot") - PAIR_EMIT_BUDGET, F.lit(0))
+            .cast("bigint")
+            .alias("overflow"),
+        )
+    )
+
+
+def _exact_pairs_scored(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs from the shingle set, retaining
+    the integer ``shared`` overlap (the pair-budget sort key)."""
     a = sh.select(F.col("doc_id").alias("d1"), "s")
     b = sh.select(F.col("doc_id").alias("d2"), "s")
     pairs = (
@@ -231,12 +284,21 @@ def _exact_pairs(sh: DataFrame) -> DataFrame:
         .select(
             "d1",
             "d2",
+            "shared",
             F.round(
                 F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 4
             ).alias("jaccard"),
         )
     )
     return scored.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def _exact_pairs(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs from the shingle set (UNCAPPED —
+    the ground truth the LSH recall audit measures against and the edge
+    list cluster building consumes; the registered pair-emitting query
+    applies :data:`PAIR_EMIT_BUDGET` on top of this)."""
+    return _exact_pairs_scored(sh).select("d1", "d2", "jaccard")
 
 
 def _minhash_aggs_sql() -> str:
@@ -544,7 +606,7 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-run the whole shingle→pair→verify pipeline (measured 3× slower
     # at sf0.1). The edge list is the small output of the LSH stage.
     edges = (
-        dd_shingle_jaccard_pairs(spark, sf_dir)
+        _exact_pairs(shingles(spark, sf_dir))
         .select("d1", "d2")
         .localCheckpoint()
     )
@@ -1676,12 +1738,23 @@ MIN_SRC_SHINGLES = 5
         UNION ALL
         SELECT d2, d1, shared, nb, round(CAST(shared AS DOUBLE) / nb, 4)
         FROM sized
+    ),
+    qualifying AS (
+        SELECT * FROM directed
+        WHERE containment >= {SHINGLE_CONTAINMENT_THRESHOLD}
+          AND n_src >= {MIN_SRC_SHINGLES}
+    ),
+    budgeted AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY src_doc
+                                  ORDER BY shared DESC, dst_doc) AS prn,
+               count(*) OVER (PARTITION BY src_doc) AS tot
+        FROM qualifying
     )
     SELECT src_doc, dst_doc, CAST(shared AS BIGINT) AS shared,
-           CAST(n_src AS BIGINT) AS n_src, containment
-    FROM directed
-    WHERE containment >= {SHINGLE_CONTAINMENT_THRESHOLD}
-      AND n_src >= {MIN_SRC_SHINGLES}
+           CAST(n_src AS BIGINT) AS n_src, containment,
+           CAST(greatest(tot - {PAIR_EMIT_BUDGET}, 0) AS BIGINT) AS overflow
+    FROM budgeted WHERE prn <= {PAIR_EMIT_BUDGET}
     """,
 )
 def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1693,14 +1766,18 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Broder's 1997 resemblance-vs-containment distinction). Emits both
     directions of each candidate pair that clear C ≥
     {SHINGLE_CONTAINMENT_THRESHOLD} with at least {MIN_SRC_SHINGLES} source
-    shingles.
+    shingles, bounded to ``PAIR_EMIT_BUDGET`` emissions per source doc
+    (largest overlap first; ``overflow`` counts the suppressed
+    qualifying pairs — within a src_doc partition n_src is constant, so
+    ordering by the integer ``shared`` IS ordering by containment).
 
     Plan: the SAME blocked shingle-equality self-join + per-pair overlap
     count as `dd_shingle_jaccard_pairs` (hot shingles capped, so the
     self-join is skew-free), one extra projection per direction — the
     asymmetric score costs nothing over the symmetric one. The shared
     overlap count is computed ONCE per undirected pair; direction is a
-    union of two projections of the same aggregated frame.
+    union of two projections of the same aggregated frame; the budget
+    window runs per src_doc over qualifying pairs only.
     """
     sh = shingles(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("d1"), "s")
@@ -1730,17 +1807,26 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").alias("n_src"),
         F.round(F.col("shared") / F.col("nb"), 4).alias("containment"),
     )
+    qualifying = fwd.unionByName(rev).filter(
+        (F.col("containment") >= SHINGLE_CONTAINMENT_THRESHOLD)
+        & (F.col("n_src") >= MIN_SRC_SHINGLES)
+    )
+    w_rank = Window.partitionBy("src_doc").orderBy(
+        F.col("shared").desc(), "dst_doc"
+    )
+    w_all = Window.partitionBy("src_doc")
     return (
-        fwd.unionByName(rev)
-        .filter(
-            (F.col("containment") >= SHINGLE_CONTAINMENT_THRESHOLD)
-            & (F.col("n_src") >= MIN_SRC_SHINGLES)
-        )
+        qualifying.withColumn("prn", F.row_number().over(w_rank))
+        .withColumn("tot", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("prn") <= PAIR_EMIT_BUDGET)
         .select(
             "src_doc",
             "dst_doc",
             F.col("shared").cast("bigint").alias("shared"),
             F.col("n_src").cast("bigint").alias("n_src"),
             "containment",
+            F.greatest(F.col("tot") - PAIR_EMIT_BUDGET, F.lit(0))
+            .cast("bigint")
+            .alias("overflow"),
         )
     )

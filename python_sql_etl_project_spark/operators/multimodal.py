@@ -937,6 +937,18 @@ def mm_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: identity at the tested SFs.
 MM_CC_ROUNDS = 4
 
+#: Per-asset edge budget for the cluster graph: a replica clique of n
+#: copies otherwise contributes Θ(n²) edges (round-5 probe: 2.70× at 8×
+#: data — the pair GRAPH, not the plan, grew quadratically). Each asset
+#: keeps its ``MM_PAIR_BUDGET`` nearest pairs (Hamming ASC, partner id
+#: ASC — within a 0-distance clique every anchor keeps its next-id
+#: neighbors, a banded graph that stays CONNECTED, so clique clustering
+#: is unaffected while the edge mass drops from quadratic to linear);
+#: the suppressed-edge count is surfaced as a constant
+#: ``edges_truncated`` column so a 100 TB dup storm shows up as a
+#: counted truncation, not an unbounded intermediate.
+MM_PAIR_BUDGET = 32
+
 
 def _mm_cc_round_sql(prev: str, this: str) -> str:
     return f"""
@@ -954,9 +966,24 @@ def _mm_cc_round_sql(prev: str, this: str) -> str:
     "mm_phash_dup_clusters",
     oracle=f"""
     WITH {_PHASH_PAIRS_CTES},
-    prs AS MATERIALIZED (
-        SELECT a1, a2 FROM cand
+    prs_all AS MATERIALIZED (
+        SELECT a1, a2,
+               bit_count(CAST(xor(h1, h2) AS BIGINT)) AS hamming
+        FROM cand
         WHERE bit_count(CAST(xor(h1, h2) AS BIGINT)) <= {PHASH_MAX_HAMMING}
+    ),
+    ranked AS MATERIALIZED (
+        SELECT a1, a2,
+               row_number() OVER (PARTITION BY a1
+                                  ORDER BY hamming, a2) AS prn
+        FROM prs_all
+    ),
+    prs AS MATERIALIZED (
+        SELECT a1, a2 FROM ranked WHERE prn <= {MM_PAIR_BUDGET}
+    ),
+    trunc AS (
+        SELECT CAST(count(*) AS BIGINT) AS edges_truncated
+        FROM ranked WHERE prn > {MM_PAIR_BUDGET}
     ),
     medges AS MATERIALIZED (
         SELECT a1 AS src, a2 AS dst FROM prs
@@ -967,9 +994,10 @@ def _mm_cc_round_sql(prev: str, this: str) -> str:
     {",".join(_mm_cc_round_sql(f"m{i}", f"m{i + 1}") for i in range(MM_CC_ROUNDS))}
     SELECT label AS cluster_id,
            CAST(count(*) AS BIGINT) AS n_assets,
-           CAST(min(node) AS BIGINT) AS min_asset
-    FROM m{MM_CC_ROUNDS}
-    GROUP BY 1
+           CAST(min(node) AS BIGINT) AS min_asset,
+           t.edges_truncated
+    FROM m{MM_CC_ROUNDS} CROSS JOIN trunc t
+    GROUP BY 1, t.edges_truncated
     """,
 )
 def mm_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,15 +1016,27 @@ def mm_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     headroom at the tested SFs — the invariant test runs one extra
     round and asserts identity).
 
-    Scale shape: pair generation stays nibble-blocked (never corpus²);
-    the CC rounds are |cluster-members|-sized label vectors joining a
-    pair list that near-dup sparsity keeps tiny relative to the corpus
-    — the same Pregel-as-joins shape as `graph_connected_components`,
-    on a far smaller graph.
+    Scale shape: pair generation stays nibble-blocked (never corpus²),
+    and the pair GRAPH is edge-budgeted per asset (``MM_PAIR_BUDGET``
+    nearest pairs by Hamming, then partner id — clique-connectivity-
+    preserving; ``edges_truncated`` counts the suppressed edges), so a
+    replica-clique dup storm contributes linear, not quadratic, edge
+    mass; the CC rounds are |cluster-members|-sized label vectors
+    joining that bounded pair list — the same Pregel-as-joins shape as
+    `graph_connected_components`, on a far smaller graph.
     """
     from pyspark import StorageLevel
 
-    prs = mm_phash_neardup_pairs(spark, sf_dir).select("a1", "a2")
+    ranked = mm_phash_neardup_pairs(spark, sf_dir).withColumn(
+        "prn",
+        F.row_number().over(
+            Window.partitionBy("a1").orderBy("hamming", "a2")
+        ),
+    )
+    prs = ranked.filter(F.col("prn") <= MM_PAIR_BUDGET).select("a1", "a2")
+    trunc = ranked.filter(F.col("prn") > MM_PAIR_BUDGET).agg(
+        F.count(F.lit(1)).cast("bigint").alias("edges_truncated")
+    )
     edges = (
         prs.select(F.col("a1").alias("src"), F.col("a2").alias("dst"))
         .unionByName(
@@ -1037,9 +1077,15 @@ def mm_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = nxt
         if n_changed == 0:
             break
-    out = labels.groupBy(F.col("label").alias("cluster_id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
-        F.min("node").cast("bigint").alias("min_asset"),
+    out = (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+            F.min("node").cast("bigint").alias("min_asset"),
+        )
+        # 1-row truncation census broadcast onto every cluster row (the
+        # bounded-BNLJ pattern; allowlisted in the plan audit)
+        .crossJoin(F.broadcast(trunc))
     )
     from ..session import finalize_unpersist
 

@@ -49,6 +49,10 @@ BNLJ_ALLOWED = {
     "smp_balanced_upsample": "1-row max-count aggregate broadcast",
     "ld_column_histogram": "1-row (min, max) bounds broadcast",
     "graph_triangle_count": "two 1-row aggregates (census ⨯ triangle total)",
+    "mm_phash_dup_clusters": (
+        "1-row edges_truncated census broadcast onto the cluster rows "
+        "(pair-budget truncation counter)"
+    ),
     "agg_theil_index": "1-row grand-total (n, Σx) aggregate broadcast",
     "dq_referential_integrity_sweep": (
         "per-FK-edge pairing of two 1-row aggregates (base census ⨯ "
