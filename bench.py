@@ -325,6 +325,11 @@ HEADLINE = [
     "smp_split_balance_audit",
     "ts_holt_winters_seasonal",
     "ts_kaplan_meier_sessions",
+    # round-6 wave 1:
+    "pack_crossdoc_attention_mask",
+    "decon_eval_contamination_report",
+    "mm_audio_energy_segments",
+    "mm_video_bitrate_ladder",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -1092,3 +1092,228 @@ def mm_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = finalize_unpersist(out)
     edges.unpersist()
     return res
+
+
+#: Synthetic audio frame count: the 16 payload bytes, read as 16 frame
+#: energies (0..255). On real audio these would be per-window RMS values
+#: from the decoder; the engine-side contract — windowed energy, a
+#: strictly-above-mean activity gate, gaps-and-islands segmentation — is
+#: identical (same convention as the phash bit threshold).
+AUDIO_N_FRAMES = 16
+
+
+def _audio_byte_duck(h: str) -> str:
+    """Byte at exploded position ``i`` (0-based) of a 32-char md5 hex
+    string, 0..255 — the dynamic-position twin of `_byte_sql_duck`."""
+    n1 = f"(strpos('0123456789abcdef', substring({h}, CAST(2 * i + 1 AS INT), 1)) - 1)"
+    n2 = f"(strpos('0123456789abcdef', substring({h}, CAST(2 * i + 2 AS INT), 1)) - 1)"
+    return f"(16 * {n1} + {n2})"
+
+
+@query(
+    "mm_audio_energy_segments",
+    oracle=f"""
+    WITH au AS (
+        SELECT doc_id AS asset_id, md5(text) AS payload_hex
+        FROM documents WHERE doc_id % 4 = 2
+    ),
+    frames AS (
+        SELECT asset_id, n.i,
+               {_audio_byte_duck("payload_hex")} AS energy
+        FROM au, (SELECT unnest(range({AUDIO_N_FRAMES})) AS i) n
+    ),
+    gated AS (
+        SELECT asset_id, i, energy,
+               {AUDIO_N_FRAMES} * energy
+                 > sum(energy) OVER (PARTITION BY asset_id) AS active
+        FROM frames
+    ),
+    act AS (
+        SELECT asset_id, i,
+               i - row_number() OVER (PARTITION BY asset_id ORDER BY i) AS seg
+        FROM gated WHERE active
+    ),
+    runs AS (
+        SELECT asset_id, seg, count(*) AS run_len
+        FROM act GROUP BY asset_id, seg
+    ),
+    per_asset AS (
+        SELECT asset_id,
+               count(*) AS n_segments,
+               max(run_len) AS longest_segment,
+               sum(run_len) AS n_active_frames
+        FROM runs GROUP BY asset_id
+    )
+    SELECT a.asset_id,
+           CAST(coalesce(p.n_active_frames, 0) AS BIGINT) AS n_active_frames,
+           CAST(coalesce(p.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(coalesce(p.longest_segment, 0) AS BIGINT) AS longest_segment
+    FROM au a LEFT JOIN per_asset p USING (asset_id)
+    """,
+)
+def mm_audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity segmentation (VAD-shaped) over opaque payloads:
+    each audio asset's payload is read as {AUDIO_N_FRAMES} frame
+    energies; frames strictly above the asset's mean energy
+    ({AUDIO_N_FRAMES}·e > Σe — integer cross-multiplication, no
+    division) are "active", and maximal runs of consecutive active
+    frames become segments (gaps-and-islands: run id = i − row_number
+    over active frames). Per asset: active-frame count, segment count,
+    longest segment — the stats an audio-curation pass uses to drop
+    silence-only clips and pick training windows. On real audio the
+    energies come from the decoder; every Spark-side mechanism
+    (explode, windowed gate, island grouping) is unchanged.
+
+    Scale shape: all windows partition by asset_id over exactly
+    {AUDIO_N_FRAMES} rows per asset — per-key bounded, embarrassingly
+    parallel; one hash shuffle on asset_id end to end. Nothing is
+    corpus-grain.
+    """
+    au = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .filter(F.col("doc_id") % 4 == 2)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.md5("text").alias("payload_hex"),
+        )
+    )
+    frames = au.select(
+        "asset_id",
+        F.explode(F.sequence(F.lit(0), F.lit(AUDIO_N_FRAMES - 1))).alias("i"),
+        "payload_hex",
+    ).select(
+        "asset_id",
+        "i",
+        F.expr(
+            "CAST(conv(substring(payload_hex, 2 * i + 1, 2), 16, 10) AS INT)"
+        ).alias("energy"),
+    )
+    w_asset = Window.partitionBy("asset_id")
+    gated = frames.withColumn(
+        "active",
+        F.lit(AUDIO_N_FRAMES) * F.col("energy") > F.sum("energy").over(w_asset),
+    )
+    act = gated.filter("active").withColumn(
+        "seg",
+        F.col("i")
+        - F.row_number().over(Window.partitionBy("asset_id").orderBy("i")),
+    )
+    runs = act.groupBy("asset_id", "seg").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    per_asset = runs.groupBy("asset_id").agg(
+        F.sum("run_len").cast("bigint").alias("n_active_frames"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.max("run_len").cast("bigint").alias("longest_segment"),
+    )
+    return au.select("asset_id").join(per_asset, "asset_id", "left").select(
+        "asset_id",
+        F.coalesce("n_active_frames", F.lit(0)).cast("bigint").alias(
+            "n_active_frames"
+        ),
+        F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+        F.coalesce("longest_segment", F.lit(0)).cast("bigint").alias(
+            "longest_segment"
+        ),
+    )
+
+
+#: Transcode-target ladder for video assets: (label, pixel budget) rungs
+#: sized to the synthetic metadata range (widths 32–128, heights 32–84 →
+#: 1 024–10 752 px); on production video these would be the 240p/360p/…
+#: ABR rungs — the selection rule (highest rung whose pixel budget fits
+#: the source) is the standard one. A pure literal: the per-asset pick
+#: compiles to a CASE expression — no join at all.
+VIDEO_LADDER: tuple[tuple[str, int], ...] = (
+    ("r0_1024", 1024),
+    ("r1_2304", 2304),
+    ("r2_4096", 4096),
+    ("r3_9216", 9216),
+)
+
+
+def _ladder_case_sql() -> str:
+    """Highest rung whose pixel budget ≤ source pixels (shared SQL text
+    for both engines; VIDEO_LADDER is ascending so the CASE scans from
+    the top)."""
+    whens = " ".join(
+        f"WHEN px >= {p} THEN '{lbl}'"
+        for lbl, p in reversed(VIDEO_LADDER)
+    )
+    return f"(CASE {whens} END)"
+
+
+def _ladder_px_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN px >= {p} THEN {p}" for _, p in reversed(VIDEO_LADDER)
+    )
+    return f"(CASE {whens} END)"
+
+
+@query(
+    "mm_video_bitrate_ladder",
+    oracle=f"""
+    WITH vids AS (
+        SELECT doc_id AS asset_id,
+               CAST(32 + doc_id % 97 AS BIGINT) * CAST(32 + doc_id % 53 AS BIGINT) AS px,
+               CAST(10 + doc_id % 20 AS BIGINT) AS n_frames
+        FROM documents WHERE doc_id % 4 = 3
+    ),
+    assigned AS (
+        SELECT asset_id, px, n_frames,
+               {_ladder_case_sql()} AS rung,
+               {_ladder_px_case_sql()} AS rung_px
+        FROM vids
+    )
+    SELECT rung,
+           CAST(max(rung_px) AS BIGINT) AS rung_pixels,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(n_frames) AS BIGINT) AS total_frames,
+           CAST(sum(n_frames * rung_px) AS BIGINT) AS transcode_pixel_cost,
+           CAST((1000000 * sum(rung_px)) // sum(px) AS BIGINT) AS fill_ratio_micro
+    FROM assigned
+    GROUP BY rung
+    """,
+)
+def mm_video_bitrate_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcode-ladder planning for video assets — the ABR-encode
+    scheduling census: each video snaps to the highest ladder rung whose
+    pixel budget fits its source resolution (never upscale), and the
+    per-rung report carries asset/frame counts, the total transcode
+    pixel cost Σ frames·rung_px (the cluster-hours driver), and the
+    integer micro-unit fill ratio (rung pixels over source pixels — how
+    much resolution the ladder discards). The ladder is a literal: the
+    rung pick compiles to a CASE expression inside whole-stage codegen,
+    so the whole query is one metadata-only scan + one ≤{len(VIDEO_LADDER)}-row
+    aggregate. Payload bytes are never read.
+    """
+    vids = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .filter(F.col("doc_id") % 4 == 3)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            (
+                (F.lit(32) + F.col("doc_id") % 97).cast("bigint")
+                * (F.lit(32) + F.col("doc_id") % 53).cast("bigint")
+            ).alias("px"),
+            (F.lit(10) + F.col("doc_id") % 20).cast("bigint").alias("n_frames"),
+        )
+    )
+    assigned = vids.select(
+        "asset_id",
+        "px",
+        "n_frames",
+        F.expr(_ladder_case_sql()).alias("rung"),
+        F.expr(_ladder_px_case_sql()).alias("rung_px"),
+    )
+    return assigned.groupBy("rung").agg(
+        F.max("rung_px").cast("bigint").alias("rung_pixels"),
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.sum("n_frames").cast("bigint").alias("total_frames"),
+        F.sum(F.col("n_frames") * F.col("rung_px"))
+        .cast("bigint")
+        .alias("transcode_pixel_cost"),
+        F.expr(
+            "CAST((1000000 * sum(rung_px)) div sum(px) AS BIGINT)"
+        ).alias("fill_ratio_micro"),
+    )

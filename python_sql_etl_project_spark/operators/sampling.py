@@ -2924,3 +2924,215 @@ def smp_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " <= 2.0 * CAST((max(n_r) - 1) * (max(n_c) - 1) AS DOUBLE)"
         ).alias("balanced"),
     )
+
+
+@query(
+    "pack_crossdoc_attention_mask",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    runs AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS run_total
+        FROM toks
+    ),
+    packs AS (
+        SELECT source,
+               CAST((run_total - n_tokens) // {TOKEN_BUDGET} AS BIGINT) AS pack_id,
+               n_tokens
+        FROM runs
+    )
+    SELECT source, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(sum(n_tokens) * (sum(n_tokens) + 1) // 2 AS BIGINT)
+               AS attn_pairs_causal,
+           CAST(sum(n_tokens * (n_tokens + 1) // 2) AS BIGINT)
+               AS attn_pairs_blockdiag,
+           CAST(sum(n_tokens) * (sum(n_tokens) + 1) // 2
+                - sum(n_tokens * (n_tokens + 1) // 2) AS BIGINT)
+               AS crossdoc_pairs_masked,
+           CAST((1000000 * sum(n_tokens * (n_tokens + 1) // 2))
+                // (sum(n_tokens) * (sum(n_tokens) + 1) // 2) AS BIGINT)
+               AS mask_density_micro
+    FROM packs
+    GROUP BY source, pack_id
+    """,
+)
+def pack_crossdoc_attention_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document attention-mask accounting for packed sequences —
+    the audit behind the "packing with block-diagonal attention" recipe
+    (each training example concatenates several docs into one
+    {TOKEN_BUDGET}-token window; attention must NOT cross doc
+    boundaries, so the mask keeps the per-doc causal blocks and zeroes
+    the cross-doc region). Per pack (same concat-then-chunk assignment
+    as ``pack_token_budget``): the full causal pair count T·(T+1)/2,
+    the block-diagonal pair count Σ tᵢ·(tᵢ+1)/2, their difference (the
+    masked cross-doc pairs an unmasked packer would have leaked into
+    attention), and the mask density in integer micro-units — the
+    numbers that size the attention-kernel work and quantify the
+    packing leakage risk.
+
+    Scale shape: the running-token window runs per coarse ``source``
+    partition (never corpus-grain); everything else is one
+    map-side-combinable aggregate per (source, pack). All arithmetic is
+    integer-exact and pack-bounded (T ≤ budget + one doc), so the pair
+    counts are scale-invariant — they never grow with corpus size.
+    """
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("run_total", F.sum("n_tokens").over(w))
+        .select(
+            "source",
+            F.floor((F.col("run_total") - F.col("n_tokens")) / TOKEN_BUDGET)
+            .cast("bigint")
+            .alias("pack_id"),
+            "n_tokens",
+        )
+    )
+    return packs.groupBy("source", "pack_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        F.expr("CAST(sum(n_tokens) * (sum(n_tokens) + 1) div 2 AS BIGINT)").alias(
+            "attn_pairs_causal"
+        ),
+        F.expr("CAST(sum(n_tokens * (n_tokens + 1) div 2) AS BIGINT)").alias(
+            "attn_pairs_blockdiag"
+        ),
+        F.expr(
+            "CAST(sum(n_tokens) * (sum(n_tokens) + 1) div 2"
+            " - sum(n_tokens * (n_tokens + 1) div 2) AS BIGINT)"
+        ).alias("crossdoc_pairs_masked"),
+        F.expr(
+            "CAST((1000000 * sum(n_tokens * (n_tokens + 1) div 2))"
+            " div (sum(n_tokens) * (sum(n_tokens) + 1) div 2) AS BIGINT)"
+        ).alias("mask_density_micro"),
+    )
+
+
+@query(
+    "decon_eval_contamination_report",
+    oracle=f"""
+    WITH flag AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+               substr(md5(concat('bench:', doc_id)), 1, 2) < '{BENCH_UPPER}' AS is_bench
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, is_bench,
+               unnest(list_transform(range(1, len(w) - {DECON_K - 2}),
+                      i -> array_to_string(list_slice(w, i, i + {DECON_K - 1}), ' '))) AS s
+        FROM flag
+        WHERE len(w) >= {DECON_K}
+    ),
+    train_s AS (SELECT DISTINCT s FROM sh WHERE NOT is_bench),
+    bench_sh AS (SELECT doc_id, s FROM sh WHERE is_bench),
+    tot AS (SELECT doc_id, count(*) AS n_sh FROM bench_sh GROUP BY doc_id),
+    hits AS (
+        SELECT doc_id, count(*) AS n_hits
+        FROM bench_sh WHERE s IN (SELECT s FROM train_s)
+        GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT t.doc_id, t.n_sh, coalesce(h.n_hits, 0) AS n_hits
+        FROM tot t LEFT JOIN hits h USING (doc_id)
+    )
+    SELECT CAST(least((10 * n_hits) // n_sh, 9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_eval_docs,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           CAST(sum(n_sh) AS BIGINT) AS total_shingles,
+           CAST((1000000 * sum(n_hits)) // sum(n_sh) AS BIGINT)
+               AS contamination_micro
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def decon_eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side contamination report at corpus scale — the mirror image
+    of ``decon_benchmark_ngrams`` (which scores each TRAINING doc): here
+    every held-out benchmark document is scored by what fraction of its
+    distinct {DECON_K}-gram shingles appear ANYWHERE in the training
+    corpus, then the benchmark is summarized as a 10-bucket
+    contamination histogram (bucket = ⌊10·hits/shingles⌋, top-coded at
+    9) with exact integer hit/shingle masses and a micro-unit overall
+    rate — the report a data-quality review reads to decide whether an
+    eval suite is still trustworthy against a new corpus snapshot.
+
+    Scale shape: one narrow tokenize→shingle→array_distinct→explode
+    stage feeds both sides (persisted); the corpus side collapses to
+    DISTINCT shingles (shuffle on the shingle key, map-side partials);
+    the bench side is ~3% of docs by construction. The final histogram
+    is a ≤10-row aggregate. At 100 TB the shingle-key shuffle dominates
+    and parallelizes freely; nothing is corpus-grain on the driver.
+    """
+    from pyspark import StorageLevel
+
+    w = tokens()
+    shingle_arr = F.when(
+        F.size(w) >= DECON_K,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - DECON_K),
+            lambda i: F.concat_ws(
+                " ", *[F.get(w, i + j) for j in range(DECON_K)]
+            ),
+        ),
+    )
+    is_bench = (
+        F.substring(F.md5(F.concat(F.lit("bench:"), F.col("doc_id"))), 1, 2)
+        < BENCH_UPPER
+    )
+    sh = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select(
+            "doc_id",
+            is_bench.alias("is_bench"),
+            F.explode(F.array_distinct(shingle_arr)).alias("s"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    train_s = (
+        sh.filter(~F.col("is_bench")).select("s").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    scored = (
+        sh.filter("is_bench")
+        .select("doc_id", "s")
+        .join(train_s, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hits"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+        )
+    )
+    out = (
+        scored.select(
+            F.least(
+                F.expr("(10 * n_hits) div n_sh"), F.lit(9)
+            ).cast("bigint").alias("bucket"),
+            "n_hits",
+            "n_sh",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_docs"),
+            F.sum("n_hits").cast("bigint").alias("total_hits"),
+            F.sum("n_sh").cast("bigint").alias("total_shingles"),
+            F.expr(
+                "CAST((1000000 * sum(n_hits)) div sum(n_sh) AS BIGINT)"
+            ).alias("contamination_micro"),
+        )
+    )
+    from ..session import finalize_unpersist
+
+    return finalize_unpersist(out, sh)

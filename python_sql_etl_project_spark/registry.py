@@ -260,6 +260,12 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "win_lifecycle_stages",
     "win_new_vs_returning",
     "win_skyline_price_recency",
+    # round-6 wave 1 (pre-freeze, locally oracle-gated; thin-family
+    # growth per the round-5 verdict item 7):
+    "pack_crossdoc_attention_mask",
+    "decon_eval_contamination_report",
+    "mm_audio_energy_segments",
+    "mm_video_bitrate_ladder",
 )
 
 
