@@ -330,6 +330,10 @@ HEADLINE = [
     "decon_eval_contamination_report",
     "mm_audio_energy_segments",
     "mm_video_bitrate_ladder",
+    # round-6 wave 2:
+    "pack_span_corruption_plan",
+    "decon_source_quarantine",
+    "mm_caption_pair_stats",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -1317,3 +1317,89 @@ def mm_video_bitrate_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * sum(rung_px)) div sum(px) AS BIGINT)"
         ).alias("fill_ratio_micro"),
     )
+
+
+#: Caption-length bucket width (tokens) and top bucket for the
+#: image–text pair census.
+CAPTION_BUCKET_TOKENS = 16
+CAPTION_MAX_BUCKET = 7
+
+
+@query(
+    "mm_caption_pair_stats",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_id AS asset_id,
+               ['image/png', 'image/jpeg', 'audio/wav', 'video/mp4']
+                 [CAST(doc_id % 4 AS INT) + 1] AS mime,
+               CAST(32 + doc_id % 97 AS BIGINT) * CAST(32 + doc_id % 53 AS BIGINT)
+                   AS px,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS caption_tokens
+        FROM documents
+        WHERE doc_id % 4 IN (0, 1)
+    ),
+    bucketed AS (
+        SELECT mime,
+               least(caption_tokens // {CAPTION_BUCKET_TOKENS},
+                     {CAPTION_MAX_BUCKET}) AS len_bucket,
+               px, caption_tokens
+        FROM pairs
+    )
+    SELECT mime, CAST(len_bucket AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(caption_tokens) AS BIGINT) AS total_caption_tokens,
+           CAST(sum(px) AS BIGINT) AS total_pixels,
+           CAST((1000000 * sum(caption_tokens)) // sum(px) AS BIGINT)
+               AS tokens_per_pixel_micro
+    FROM bucketed
+    GROUP BY mime, len_bucket
+    """,
+)
+def mm_caption_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image–text pair census for vision-language training — each image
+    asset pairs with its source document's text as the caption
+    (CLIP/LAION-style pair curation), bucketed by caption length
+    ({CAPTION_BUCKET_TOKENS}-token rungs, top-coded) per mime: pair
+    counts, caption-token and pixel masses, and the integer micro
+    tokens-per-pixel density — the balance a VLM data mix reads to spot
+    sources whose captions are too thin for their resolution (or vice
+    versa).
+
+    Scale shape: metadata + tokenize map stage (payload bytes never
+    read), one map-side-combinable aggregate on the tiny
+    (mime × bucket) key space. No joins — the pairing is the identity
+    on doc_id by construction of the asset table.
+    """
+    d = F.col("doc_id")
+    pairs = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .filter(d % 4 < 2)
+        .select(
+            F.element_at(
+                F.array(*[F.lit(m) for m in MIMES]), (d % 4).cast("int") + 1
+            ).alias("mime"),
+            (
+                (F.lit(32) + d % 97).cast("bigint")
+                * (F.lit(32) + d % 53).cast("bigint")
+            ).alias("px"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("bigint")
+            .alias("caption_tokens"),
+        )
+    )
+    bucketed = pairs.withColumn(
+        "len_bucket",
+        F.least(
+            F.expr(f"caption_tokens div {CAPTION_BUCKET_TOKENS}"),
+            F.lit(CAPTION_MAX_BUCKET).cast("bigint"),
+        ).cast("bigint"),
+    )
+    return bucketed.groupBy("mime", "len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("caption_tokens").cast("bigint").alias("total_caption_tokens"),
+        F.sum("px").cast("bigint").alias("total_pixels"),
+        F.expr(
+            "CAST((1000000 * sum(caption_tokens)) div sum(px) AS BIGINT)"
+        ).alias("tokens_per_pixel_micro"),
+    )

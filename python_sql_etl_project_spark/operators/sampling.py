@@ -3136,3 +3136,215 @@ def decon_eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFra
     from ..session import finalize_unpersist
 
     return finalize_unpersist(out, sh)
+
+
+#: T5-style span-corruption plan: mask NOISE_PCT% of tokens in spans of
+#: mean length SPAN_MEAN (Raffel et al. 2020 §3.1.4 defaults). All
+#: derived lengths are exact integer arithmetic so both engines agree:
+#: n_masked = (NOISE_PCT·n) div 100, n_spans = max(1, n_masked div
+#: SPAN_MEAN) when any token is masked.
+NOISE_PCT = 15
+SPAN_MEAN = 3
+
+
+@query(
+    "pack_span_corruption_plan",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+        FROM documents
+    ),
+    plan AS (
+        SELECT source, n,
+               ({NOISE_PCT} * n) // 100 AS n_masked,
+               CASE WHEN ({NOISE_PCT} * n) // 100 = 0 THEN 0
+                    ELSE greatest(1, (({NOISE_PCT} * n) // 100) // {SPAN_MEAN})
+               END AS n_spans
+        FROM toks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(n_masked) AS BIGINT) AS total_masked,
+           CAST(sum(n_spans) AS BIGINT) AS total_spans,
+           CAST(sum(n - n_masked + n_spans) AS BIGINT) AS total_input_tokens,
+           CAST(sum(n_masked + n_spans + 1) AS BIGINT) AS total_target_tokens,
+           CAST((1000000 * sum(n_masked)) // sum(n) AS BIGINT)
+               AS noise_rate_micro
+    FROM plan
+    GROUP BY source
+    """,
+)
+def pack_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning — the length accounting a
+    seq2seq denoising pipeline needs BEFORE packing: per document,
+    {NOISE_PCT}% of tokens are masked in spans of mean length
+    {SPAN_MEAN}, each span replaced by one sentinel on the input side
+    and emitted with one sentinel (plus EOS) on the target side, so
+    input length = n − masked + spans and target length = masked +
+    spans + 1. The per-source census (doc/token/masked/span masses and
+    the realized integer noise rate) sizes the encoder/decoder token
+    budgets for the packed batches.
+
+    Scale shape: a narrow tokenize+arithmetic map stage and ONE
+    map-side-combinable aggregate on the coarse source key — no joins,
+    no windows; scale-out is trivial at any corpus size.
+    """
+    n = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    plan = (
+        read_table(spark, sf_dir, "documents")
+        .select("source", n.alias("n"))
+        .withColumn("n_masked", F.expr(f"({NOISE_PCT} * n) div 100"))
+        .withColumn(
+            "n_spans",
+            F.when(F.col("n_masked") == 0, F.lit(0)).otherwise(
+                F.greatest(F.lit(1), F.expr(f"n_masked div {SPAN_MEAN}"))
+            ),
+        )
+    )
+    return plan.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum("n_masked").cast("bigint").alias("total_masked"),
+        F.sum("n_spans").cast("bigint").alias("total_spans"),
+        F.sum(F.col("n") - F.col("n_masked") + F.col("n_spans"))
+        .cast("bigint")
+        .alias("total_input_tokens"),
+        F.sum(F.col("n_masked") + F.col("n_spans") + 1)
+        .cast("bigint")
+        .alias("total_target_tokens"),
+        F.expr("CAST((1000000 * sum(n_masked)) div sum(n) AS BIGINT)").alias(
+            "noise_rate_micro"
+        ),
+    )
+
+
+#: A training doc is CONTAMINATED when ≥ half its distinct shingles hit
+#: the benchmark slice (2·hits ≥ shingles); a source is QUARANTINED when
+#: strictly more than 2% of its scoreable docs are contaminated
+#: (100·n_contaminated > 2·n_docs) — both pure integer predicates.
+QUARANTINE_PCT = 2
+
+
+@query(
+    "decon_source_quarantine",
+    oracle=f"""
+    WITH flag AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w,
+               substr(md5(concat('bench:', doc_id)), 1, 2) < '{BENCH_UPPER}' AS is_bench
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, source, is_bench,
+               unnest(list_transform(range(1, len(w) - {DECON_K - 2}),
+                      i -> array_to_string(list_slice(w, i, i + {DECON_K - 1}), ' '))) AS s
+        FROM flag
+        WHERE len(w) >= {DECON_K}
+    ),
+    bench_s AS (SELECT DISTINCT s FROM sh WHERE is_bench),
+    scored AS (
+        SELECT doc_id, any_value(source) AS source,
+               count(*) AS n_sh,
+               sum(CASE WHEN s IN (SELECT s FROM bench_s) THEN 1 ELSE 0 END) AS n_hits
+        FROM sh WHERE NOT is_bench
+        GROUP BY doc_id
+    ),
+    marked AS (
+        SELECT source, n_sh, n_hits,
+               CASE WHEN 2 * n_hits >= n_sh THEN 1 ELSE 0 END AS contaminated
+        FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(contaminated) AS BIGINT) AS n_contaminated,
+           CAST(sum(CASE WHEN contaminated = 1 THEN n_sh ELSE 0 END) AS BIGINT)
+               AS contaminated_shingle_mass,
+           CAST(sum(CASE WHEN contaminated = 0 THEN n_sh ELSE 0 END) AS BIGINT)
+               AS retained_shingle_mass,
+           CAST((1000000 * sum(contaminated)) // count(*) AS BIGINT)
+               AS contamination_rate_micro,
+           100 * sum(contaminated) > {QUARANTINE_PCT} * count(*) AS quarantined
+    FROM marked
+    GROUP BY source
+    """,
+)
+def decon_source_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level decontamination DECISION — the actionable step after
+    the per-doc audit (``decon_benchmark_ngrams``): a training doc is
+    contaminated when at least half its distinct {DECON_K}-gram shingles
+    hit the held-out benchmark slice, and a whole source is quarantined
+    when more than {QUARANTINE_PCT}% of its scoreable docs are
+    contaminated — the "drop this crawl snapshot, it memorized the eval"
+    rule. Per source: doc and contaminated-doc counts, contaminated vs
+    retained shingle masses, the integer micro contamination rate, and
+    the quarantine boolean.
+
+    Scale shape: same persisted shingle stage as the sibling decon
+    queries; the hit marker is ONE left semi-style join on the shingle
+    key folded into the per-doc aggregate; the verdict is a coarse
+    source-grain aggregate. Integer predicates end to end.
+    """
+    from pyspark import StorageLevel
+
+    w = tokens()
+    shingle_arr = F.when(
+        F.size(w) >= DECON_K,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - DECON_K),
+            lambda i: F.concat_ws(
+                " ", *[F.get(w, i + j) for j in range(DECON_K)]
+            ),
+        ),
+    )
+    is_bench = (
+        F.substring(F.md5(F.concat(F.lit("bench:"), F.col("doc_id"))), 1, 2)
+        < BENCH_UPPER
+    )
+    sh = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            is_bench.alias("is_bench"),
+            F.explode(F.array_distinct(shingle_arr)).alias("s"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bench_s = (
+        sh.filter("is_bench").select("s").distinct().withColumn("hit", F.lit(1))
+    )
+    scored = (
+        sh.filter(~F.col("is_bench"))
+        .select("doc_id", "source", "s")
+        .join(bench_s, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("hit").alias("n_hits"),
+        )
+        .withColumn(
+            "contaminated",
+            F.when(2 * F.col("n_hits") >= F.col("n_sh"), 1).otherwise(0),
+        )
+    )
+    out = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("contaminated").cast("bigint").alias("n_contaminated"),
+        F.sum(F.when(F.col("contaminated") == 1, F.col("n_sh")).otherwise(0))
+        .cast("bigint")
+        .alias("contaminated_shingle_mass"),
+        F.sum(F.when(F.col("contaminated") == 0, F.col("n_sh")).otherwise(0))
+        .cast("bigint")
+        .alias("retained_shingle_mass"),
+        F.expr(
+            "CAST((1000000 * sum(contaminated)) div count(*) AS BIGINT)"
+        ).alias("contamination_rate_micro"),
+        (
+            100 * F.sum("contaminated") > QUARANTINE_PCT * F.count(F.lit(1))
+        ).alias("quarantined"),
+    )
+    from ..session import finalize_unpersist
+
+    return finalize_unpersist(out, sh)

@@ -266,6 +266,10 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "decon_eval_contamination_report",
     "mm_audio_energy_segments",
     "mm_video_bitrate_ladder",
+    # round-6 wave 2 (pre-freeze, locally oracle-gated):
+    "pack_span_corruption_plan",
+    "decon_source_quarantine",
+    "mm_caption_pair_stats",
 )
 
 
