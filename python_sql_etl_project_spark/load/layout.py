@@ -1622,7 +1622,7 @@ def ld_zorder_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: proxies for byte sizes) into merge bins of this target size with the
 #: deterministic sorted shelf-packing rule (largest-first, new bin when
 #: the running total crosses a target multiple).
-COMPACT_TARGET_ROWS = 8192
+COMPACT_BIN_TARGET_ROWS = 8192
 
 
 @query(
@@ -1638,13 +1638,13 @@ COMPACT_TARGET_ROWS = 8192
         SELECT *,
                CAST((sum(n_rows) OVER (ORDER BY n_rows DESC, part_month,
                                        status) - 1)
-                    // {COMPACT_TARGET_ROWS} AS BIGINT) AS bin_id
+                    // {COMPACT_BIN_TARGET_ROWS} AS BIGINT) AS bin_id
         FROM files
     )
     SELECT bin_id,
            CAST(count(*) AS BIGINT) AS n_input_files,
            CAST(sum(n_rows) AS BIGINT) AS bin_rows,
-           CAST((1000000 * sum(n_rows)) // {COMPACT_TARGET_ROWS} AS BIGINT)
+           CAST((1000000 * sum(n_rows)) // {COMPACT_BIN_TARGET_ROWS} AS BIGINT)
                AS fill_micro
     FROM shelf
     GROUP BY 1
@@ -1654,7 +1654,7 @@ def ld_compaction_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction PLANNER — the decision step in front of
     `ld_compact_small_files`' mechanics: given the per-(month, status)
     file census (row counts as the size proxy), group inputs into merge
-    bins of ~{COMPACT_TARGET_ROWS} rows with the deterministic sorted
+    bins of ~{COMPACT_BIN_TARGET_ROWS} rows with the deterministic sorted
     shelf rule — largest first, a bin boundary wherever the running
     total crosses a target multiple ((cumsum − 1) div target, the
     closed-form greedy that needs no iteration). Emitted per bin with a
@@ -1683,13 +1683,13 @@ def ld_compaction_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_rows", F.sum("n_rows").over(w)
     ).withColumn(
         "bin_id",
-        F.expr(f"CAST((cum_rows - 1) div {COMPACT_TARGET_ROWS} AS BIGINT)"),
+        F.expr(f"CAST((cum_rows - 1) div {COMPACT_BIN_TARGET_ROWS} AS BIGINT)"),
     )
     return shelf.groupBy("bin_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_input_files"),
         F.sum("n_rows").cast("bigint").alias("bin_rows"),
         F.expr(
-            f"CAST((1000000 * sum(n_rows)) div {COMPACT_TARGET_ROWS}"
+            f"CAST((1000000 * sum(n_rows)) div {COMPACT_BIN_TARGET_ROWS}"
             " AS BIGINT)"
         ).alias("fill_micro"),
     )
