@@ -186,6 +186,17 @@ SHOWCASE = {
         "(band, code) with md5-ranked bucket caps — fan-out bounded "
         "by cap², never corpus²."
     ),
+    "dd_containment_pairs": (
+        "Pair-emission budget (round 6): qualifying directed pairs "
+        "flow through one per-anchor rank window (integer sort key) "
+        "that truncates to PAIR_EMIT_BUDGET rows and stamps the exact "
+        "overflow — the emitted set is hard-bounded per anchor."
+    ),
+    "mm_video_bitrate_ladder": (
+        "Literal-ladder planning: the rung pick is a CASE expression "
+        "inside whole-stage codegen — a metadata-only scan plus one "
+        "tiny-key aggregate; no join, payload column never read."
+    ),
 }
 
 
