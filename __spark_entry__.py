@@ -25,9 +25,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
+    """Flagship smoke query on sf0.001 — rotated each round so the
+    driver's smoke check exercises a different green query (round 6:
+    ``q1_pricing_summary``; round 7: the SURVEY §2.9 orphan-key repair
+    composite, driver-green six rounds running)."""
     registry.load_all()
-    return registry.QUERIES["q1_pricing_summary"](spark, SMOKE_SF_DIR)
+    return registry.QUERIES["ref_orphan_repair"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

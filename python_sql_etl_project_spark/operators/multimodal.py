@@ -990,7 +990,16 @@ def _mm_cc_round_sql(prev: str, this: str) -> str:
         UNION ALL
         SELECT a2 AS src, a1 AS dst FROM prs
     ),
-    m0 AS (SELECT DISTINCT src AS node, src AS label FROM medges),
+    -- label seed = the UNCAPPED pair node set: an asset whose every edge
+    -- hangs off saturated anchors keeps a singleton row instead of
+    -- vanishing when the budget truncates all its edges
+    m0 AS (
+        SELECT DISTINCT node, node AS label FROM (
+            SELECT a1 AS node FROM prs_all
+            UNION ALL
+            SELECT a2 AS node FROM prs_all
+        )
+    ),
     {",".join(_mm_cc_round_sql(f"m{i}", f"m{i + 1}") for i in range(MM_CC_ROUNDS))}
     SELECT label AS cluster_id,
            CAST(count(*) AS BIGINT) AS n_assets,
@@ -1008,7 +1017,11 @@ def mm_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components by hash-to-min label propagation, so transitive chains
     (A≈B≈C with A,C beyond the Hamming threshold) land in ONE cluster
     and keep-best selection can run per cluster. Only assets appearing
-    in some pair are clustered — singletons need no dedup decision.
+    in some QUALIFYING pair are clustered — and the label seed is the
+    UNCAPPED pair node set, so an asset whose every edge hangs off
+    budget-saturated anchors degrades to a singleton cluster row rather
+    than disappearing (the cluster output covers exactly the uncapped
+    pair-node mass by construction, at every scale).
 
     Determinism: the pair stage is the registered pairs query verbatim
     (one shared definition both engines); label updates are pure min
@@ -1027,11 +1040,16 @@ def mm_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    ranked = mm_phash_neardup_pairs(spark, sf_dir).withColumn(
-        "prn",
-        F.row_number().over(
-            Window.partitionBy("a1").orderBy("hamming", "a2")
-        ),
+    ranked = (
+        mm_phash_neardup_pairs(spark, sf_dir)
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                Window.partitionBy("a1").orderBy("hamming", "a2")
+            ),
+        )
+        # three consumers (budgeted edges, truncation census, label seed)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prs = ranked.filter(F.col("prn") <= MM_PAIR_BUDGET).select("a1", "a2")
     trunc = ranked.filter(F.col("prn") > MM_PAIR_BUDGET).agg(
@@ -1044,8 +1062,11 @@ def mm_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # label seed from the UNCAPPED pair node set (see docstring): nodes
+    # orphaned by the edge budget survive as singleton clusters
     labels = (
-        edges.select(F.col("src").alias("node"))
+        ranked.select(F.col("a1").alias("node"))
+        .unionByName(ranked.select(F.col("a2").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
@@ -1091,6 +1112,7 @@ def mm_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = finalize_unpersist(out)
     edges.unpersist()
+    ranked.unpersist()
     return res
 
 
@@ -1313,8 +1335,12 @@ def mm_video_bitrate_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_frames") * F.col("rung_px"))
         .cast("bigint")
         .alias("transcode_pixel_cost"),
+        # pre-widen per the HITS-sums pattern: Spark sum(BIGINT) stays
+        # int64 while DuckDB widens to HUGEINT; DECIMAL(38,0) sums keep
+        # the ×1e6 numerator exact at any corpus size.
         F.expr(
-            "CAST((1000000 * sum(rung_px)) div sum(px) AS BIGINT)"
+            "CAST((1000000 * sum(CAST(rung_px AS DECIMAL(38,0))))"
+            " div sum(CAST(px AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("fill_ratio_micro"),
     )
 
@@ -1399,7 +1425,9 @@ def mm_caption_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum("caption_tokens").cast("bigint").alias("total_caption_tokens"),
         F.sum("px").cast("bigint").alias("total_pixels"),
+        # pre-widened ×1e6 numerator (see fill_ratio_micro note)
         F.expr(
-            "CAST((1000000 * sum(caption_tokens)) div sum(px) AS BIGINT)"
+            "CAST((1000000 * sum(CAST(caption_tokens AS DECIMAL(38,0))))"
+            " div sum(CAST(px AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("tokens_per_pixel_micro"),
     )

@@ -67,6 +67,73 @@ TOKEN_BUDGET = 2048
 BENCH_UPPER = "08"
 DECON_K = 8
 
+#: Contiguous doc_id span per prefix-sum shard — the
+#: ``smp_systematic_resample`` two-pass pattern, generalized (round 7) to
+#: EVERY per-source running window in this module: a single
+#: ``Window.partitionBy("source")`` running frame caps parallelism at the
+#: number of sources (~5 coarse sources would push terabytes through 5
+#: tasks at 100 TB); sharding by ``doc_id div span`` lifts it to
+#: sources × N/span with identical integer outputs.
+PACK_SHARD_SPAN = 4096
+
+#: Token-length span per shard for VALUE-ordered running windows (the
+#: length-sorted straddle / batch frames): ``n_tokens div span`` is
+#: monotone in the sort key, so shard-wise prefixes compose exactly;
+#: parallelism = sources × (max_len / span), bounded by the length
+#: distribution rather than the corpus size (documented skew bound).
+PACK_TOK_SPAN = 16
+
+
+def _sharded_running(
+    df: DataFrame,
+    value,
+    order_cols,
+    shard,
+    shard_desc: bool = False,
+    out: str = "run",
+) -> DataFrame:
+    """Shard-parallel per-source running sum (two-pass prefix pattern).
+
+    Computes ``sum(value) OVER (PARTITION BY source ORDER BY order_cols
+    ROWS UNBOUNDED PRECEDING)`` without ever collapsing a source to one
+    task: pass 1 reduces each shard (``shard`` must be monotone
+    nondecreasing in the total order — use ``doc_id div span`` for
+    id-ordered frames, ``n_tokens div span`` for length-ordered ones,
+    ``shard_desc=True`` when the order is descending) to one map-side-
+    combined partial; shard offsets are an exclusive prefix over the
+    shard-grain frame (dim-sized: sources × N/span rows); pass 2
+    broadcasts the offsets back and every shard finishes its rows
+    independently. Integer-exact — bit-identical to the one-window form,
+    so oracles keep their single ``ROWS UNBOUNDED PRECEDING`` window.
+
+    ``value`` of ``F.lit(1)`` yields the per-source ``row_number``.
+    """
+    base = df.withColumn("_shard", shard)
+    partials = base.groupBy("source", "_shard").agg(
+        F.sum(value).alias("_sw")
+    )
+    shard_ord = F.desc("_shard") if shard_desc else F.asc("_shard")
+    off_w = (
+        Window.partitionBy("source")
+        .orderBy(shard_ord)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = partials.select(
+        "source",
+        "_shard",
+        (F.sum("_sw").over(off_w) - F.col("_sw")).alias("_off"),
+    )
+    in_shard = (
+        Window.partitionBy("source", "_shard")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(offs), ["source", "_shard"])
+        .withColumn(out, F.col("_off") + F.sum(value).over(in_shard))
+        .drop("_shard", "_off")
+    )
+
 
 @query(
     "smp_hash_split",
@@ -203,24 +270,29 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     and cut into {TOKEN_BUDGET}-token context windows; a doc belongs to
     the pack where its first token lands.
 
-    One window scan per source group (running token sum), then the pack
-    assignment is pure arithmetic — the standard "concat-then-chunk"
-    packing used for LLM pretraining batches, as a single shuffle on the
-    coarse ``source`` key. Returns the per-pack audit (docs, token mass).
+    The running token sum is the SHARD-PARALLEL two-pass prefix
+    (``_sharded_running``: per-``doc_id div {PACK_SHARD_SPAN}`` partials,
+    exclusive shard-grain prefix, broadcast offsets — never one task per
+    source), then the pack assignment is pure integer arithmetic
+    (``div`` in both engines) — the standard "concat-then-chunk" packing
+    used for LLM pretraining batches. Returns the per-pack audit (docs,
+    token mass).
     """
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "source", n_tokens.alias("n_tokens")
+    )
+    runs = _sharded_running(
+        toks,
+        F.col("n_tokens"),
+        ["doc_id"],
+        F.expr(f"doc_id div {PACK_SHARD_SPAN}"),
+        out="run_total",
     )
     return (
-        read_table(spark, sf_dir, "documents")
-        .select("doc_id", "source", n_tokens.alias("n_tokens"))
-        .withColumn("run_total", F.sum("n_tokens").over(w))
-        .select(
+        runs.select(
             "source",
-            F.floor((F.col("run_total") - F.col("n_tokens")) / TOKEN_BUDGET)
+            F.expr(f"(run_total - n_tokens) div {TOKEN_BUDGET}")
             .cast("bigint")
             .alias("pack_id"),
             "n_tokens",
@@ -997,27 +1069,28 @@ def pack_order_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncate context), and ordering by length is the classic zero-cost
     mitigation; this query measures the improvement per source with pure
     window arithmetic (a doc straddles iff its first and last token land
-    in different chunks). Two window passes over the same coarse
-    ``source`` shuffle; everything integer.
+    in different chunks). Both running sums are shard-parallel two-pass
+    prefixes (``_sharded_running``) — the arrival frame shards on
+    contiguous ``doc_id`` spans, the length-sorted frame on
+    ``n_tokens div {PACK_TOK_SPAN}`` rungs (monotone in the DESC sort
+    key) — so neither pass ever serializes a source; everything integer.
     """
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
-    toks = read_table(spark, sf_dir, "documents").select(
+    toks = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", "source", n_tokens.alias("n_tokens")
     )
-    frame = (Window.unboundedPreceding, Window.currentRow)
-    runs_a = toks.withColumn(
-        "run",
-        F.sum("n_tokens").over(
-            Window.partitionBy("source").orderBy("doc_id").rowsBetween(*frame)
-        ),
+    runs_a = _sharded_running(
+        toks,
+        F.col("n_tokens"),
+        ["doc_id"],
+        F.expr(f"doc_id div {PACK_SHARD_SPAN}"),
     )
-    runs_s = toks.withColumn(
-        "run",
-        F.sum("n_tokens").over(
-            Window.partitionBy("source")
-            .orderBy(F.desc("n_tokens"), "doc_id")
-            .rowsBetween(*frame)
-        ),
+    runs_s = _sharded_running(
+        toks,
+        F.col("n_tokens"),
+        [F.desc("n_tokens"), "doc_id"],
+        F.expr(f"n_tokens div {PACK_TOK_SPAN}"),
+        shard_desc=True,
     )
     straddle = F.when(
         F.expr(
@@ -1411,26 +1484,28 @@ def pack_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing (document splits); this audits padded batching (wasted
     FLOPs), the other standard collation.
 
-    Batching is per source partition (window over the coarse
-    ``source`` shuffle, exactly like the fragmentation audit — never
-    a global sort); both strategies read the one tokenized scan, and
-    the waste rate is rounded half-up in integer arithmetic. At 100 TB
-    the per-shard batch numbering IS how loaders batch (global order
-    is neither needed nor wanted for shuffled training data).
+    Batching is per source partition but never one task per source:
+    both row numberings are shard-parallel two-pass prefixes
+    (``_sharded_running`` with ``value=1`` — arrival order shards on
+    contiguous ``doc_id`` spans, length order on
+    ``n_tokens div {PACK_TOK_SPAN}`` rungs); both strategies read the
+    one tokenized scan, and the waste rate is rounded half-up in
+    integer arithmetic (``div``, no float boundary). At 100 TB the
+    per-shard batch numbering IS how loaders batch (global order is
+    neither needed nor wanted for shuffled training data).
     """
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
     toks = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", "source", n_tokens.alias("n_tokens")
     )
-    wa = Window.partitionBy("source").orderBy("doc_id")
-    wl = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
 
-    def batched(w, strategy: str) -> DataFrame:
+    def batched(order_cols, shard, strategy: str) -> DataFrame:
         return (
-            toks.select(
+            _sharded_running(toks, F.lit(1), order_cols, shard, out="rn")
+            .select(
                 "source",
                 "n_tokens",
-                ((F.row_number().over(w) - 1) / PAD_BATCH)
+                F.expr(f"(rn - 1) div {PAD_BATCH}")
                 .cast("bigint")
                 .alias("batch"),
             )
@@ -1443,7 +1518,15 @@ def pack_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(strategy).alias("strategy"), "bn", "bmax", "bsum")
         )
 
-    u = batched(wa, "arrival").unionByName(batched(wl, "length_sorted"))
+    u = batched(
+        ["doc_id"], F.expr(f"doc_id div {PACK_SHARD_SPAN}"), "arrival"
+    ).unionByName(
+        batched(
+            ["n_tokens", "doc_id"],
+            F.expr(f"n_tokens div {PACK_TOK_SPAN}"),
+            "length_sorted",
+        )
+    )
     return u.groupBy("strategy").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_batches"),
         F.sum("bsum").cast("bigint").alias("total_tokens"),
@@ -2977,29 +3060,31 @@ def pack_crossdoc_attention_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers that size the attention-kernel work and quantify the
     packing leakage risk.
 
-    Scale shape: the running-token window runs per coarse ``source``
-    partition (never corpus-grain); everything else is one
-    map-side-combinable aggregate per (source, pack). All arithmetic is
-    integer-exact and pack-bounded (T ≤ budget + one doc), so the pair
-    counts are scale-invariant — they never grow with corpus size.
+    Scale shape: the running-token prefix is the shard-parallel
+    two-pass plan (``_sharded_running`` — per-``doc_id div
+    {PACK_SHARD_SPAN}`` partials, broadcast offsets; parallelism is
+    sources × N/span, never one task per source); everything else is
+    one map-side-combinable aggregate per (source, pack). All
+    arithmetic is integer-exact (pack_id via ``div`` in both engines)
+    and pack-bounded (T ≤ budget + one doc), so the pair counts are
+    scale-invariant — they never grow with corpus size.
     """
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "source", n_tokens.alias("n_tokens")
     )
-    packs = (
-        read_table(spark, sf_dir, "documents")
-        .select("doc_id", "source", n_tokens.alias("n_tokens"))
-        .withColumn("run_total", F.sum("n_tokens").over(w))
-        .select(
-            "source",
-            F.floor((F.col("run_total") - F.col("n_tokens")) / TOKEN_BUDGET)
-            .cast("bigint")
-            .alias("pack_id"),
-            "n_tokens",
-        )
+    packs = _sharded_running(
+        toks,
+        F.col("n_tokens"),
+        ["doc_id"],
+        F.expr(f"doc_id div {PACK_SHARD_SPAN}"),
+        out="run_total",
+    ).select(
+        "source",
+        F.expr(f"(run_total - n_tokens) div {TOKEN_BUDGET}")
+        .cast("bigint")
+        .alias("pack_id"),
+        "n_tokens",
     )
     return packs.groupBy("source", "pack_id").agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -3128,8 +3213,13 @@ def decon_eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFra
             F.count(F.lit(1)).cast("bigint").alias("n_eval_docs"),
             F.sum("n_hits").cast("bigint").alias("total_hits"),
             F.sum("n_sh").cast("bigint").alias("total_shingles"),
+            # pre-widen per the HITS-sums pattern: Spark sum(BIGINT) stays
+            # int64 (wraps past ~9.2e18) while the DuckDB oracle widens to
+            # HUGEINT; DECIMAL(38,0) sums keep the ×1e6 numerator exact at
+            # any corpus size, and the quotient (≤ 1e6) fits BIGINT.
             F.expr(
-                "CAST((1000000 * sum(n_hits)) div sum(n_sh) AS BIGINT)"
+                "CAST((1000000 * sum(CAST(n_hits AS DECIMAL(38,0))))"
+                " div sum(CAST(n_sh AS DECIMAL(38,0))) AS BIGINT)"
             ).alias("contamination_micro"),
         )
     )
@@ -3214,9 +3304,11 @@ def pack_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_masked") + F.col("n_spans") + 1)
         .cast("bigint")
         .alias("total_target_tokens"),
-        F.expr("CAST((1000000 * sum(n_masked)) div sum(n) AS BIGINT)").alias(
-            "noise_rate_micro"
-        ),
+        # pre-widened ×1e6 numerator (see contamination_micro note)
+        F.expr(
+            "CAST((1000000 * sum(CAST(n_masked AS DECIMAL(38,0))))"
+            " div sum(CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("noise_rate_micro"),
     )
 
 
@@ -3338,8 +3430,10 @@ def decon_source_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("contaminated") == 0, F.col("n_sh")).otherwise(0))
         .cast("bigint")
         .alias("retained_shingle_mass"),
+        # pre-widened ×1e6 numerator (see contamination_micro note)
         F.expr(
-            "CAST((1000000 * sum(contaminated)) div count(*) AS BIGINT)"
+            "CAST((1000000 * sum(CAST(contaminated AS DECIMAL(38,0))))"
+            " div count(*) AS BIGINT)"
         ).alias("contamination_rate_micro"),
         (
             100 * F.sum("contaminated") > QUARANTINE_PCT * F.count(F.lit(1))

@@ -81,31 +81,28 @@ def load_all() -> None:
     from .functions import sqlfuncs, udafs  # noqa: F401
 
 
-#: Round-6 driver window: the external gate checks exactly the FIRST 50
+#: Round-7 driver window: the external gate checks exactly the FIRST 50
 #: entries of ``queries()``, so this list IS the round's
-#: external-verification budget, spent per the round-5 verdict's action
-#: item 1 (all 38 free slots on never-externally-checked names):
+#: external-verification budget, spent per the round-6 verdict's action
+#: item 1 (all 38 free slots on the OLDEST round-3-registered backlog —
+#: 64 r3 names hit the staleness ceiling at round 8; the 26 deferred
+#: here are scheduled for the round-8 window):
 #:
 #: * slots 1-12 — the ``ref_`` reference-parity rows, pinned every round
-#:   (SURVEY §2's hard requirement; green five rounds running);
-#: * slots 13-20 — the verdict-named numerically riskiest round-5 waves
-#:   (Benjamini–Hochberg, personalized PageRank, HITS, Holt-Winters,
-#:   Kaplan–Meier, Spearman, SRP-LSH, permutation test) — HITS and
-#:   SRP-LSH additionally carry this round's ADVICE fixes (pre-widened
-#:   sums; DOUBLE-widened quantization), so their first external rows
-#:   also gate those changes;
-#: * slots 21-39 — the remaining round-5 statistical/numeric waves
-#:   (rank censuses, kappas, bootstrap/Neyman/HT estimators, Ljung–Box,
-#:   Theil–Sen, Holt, periodogram, NDCG/MMR, PMI, clustering
-#:   coefficient) plus the two pair-emission queries that gained
-#:   round-6 pair-budget caps (``dd_containment_pairs``,
-#:   ``mm_phash_dup_clusters`` — verdict item 5's "capped queries
-#:   CORRECTNESS-green");
-#: * slots 40-50 — the oldest ``txt_``/``smp_``/``dq_`` backlog
-#:   (registered round 2, never externally checked).
-#: After this round union driver coverage reaches ≥233/319 distinct
-#: names (QUERIES.md tracks the ledger); ~2 more rotations clear the
-#: 86-name remainder (:data:`PENDING_EXTERNAL`).
+#:   (SURVEY §2's hard requirement; green six rounds running);
+#: * slots 13-14 — the two r3 packing audits REWRITTEN this round onto
+#:   the shard-parallel two-pass prefix pattern (verdict item 2), so
+#:   their first external rows also gate that rewrite;
+#: * slots 15-50 — the remaining oldest r3 names, riskiest families
+#:   first: the embedding/similarity audits, graph statistics, the
+#:   numeric agg_/ts_/smp_ estimators, and the txt_ corpus statistics
+#:   (including ``txt_compression_ratio``, the registry's single
+#:   rows-only entry — its only possible external evidence is the
+#:   driver's rows-only check, and the staleness ceiling forbids
+#:   holding it back further).
+#: After this round union driver coverage reaches ≥271/326 distinct
+#: names (QUERIES.md tracks the ledger); the round-8 rotation takes the
+#: 26 deferred r3 names plus the oldest r5 backlog.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- tier 0: reference parity (pinned) --------------------------------
     "ref_daily_cumulative_metrics",
@@ -120,113 +117,35 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ref_distinct_flags",
     "ref_status_counts",
     "ref_null_drop",
-    # -- verdict-named riskiest round-5 waves ------------------------------
-    "agg_benjamini_hochberg",
-    "graph_personalized_pagerank",
-    "graph_hits_hubs_authorities",
-    "ts_holt_winters_seasonal",
-    "ts_kaplan_meier_sessions",
-    "agg_spearman_correlation",
-    "sim_srp_lsh_pairs",
-    "agg_permutation_test",
-    # -- remaining round-5 numeric waves -----------------------------------
-    "agg_chi_square_independence",
-    "agg_mann_whitney_u",
-    "agg_welch_ttest",
-    "agg_kruskal_wallis",
-    "agg_kendall_tau",
-    "agg_cohens_kappa",
-    "agg_fleiss_kappa",
-    "smp_bootstrap_ci",
-    "ts_ljung_box",
-    "ts_theil_sen_trend",
-    "ts_holt_linear_forecast",
-    "ts_seasonal_periodogram",
-    "smp_horvitz_thompson",
-    "smp_neyman_allocation",
-    "smp_poisson_bootstrap",
-    "sim_ndcg_eval",
-    "sim_mmr_diversify",
-    "txt_pmi_cooccurrence",
-    "graph_clustering_coefficient",
-    # -- round-6 pair-budget-capped pair emitters (verdict item 5) --------
-    "dd_containment_pairs",
-    "mm_phash_dup_clusters",
-    # -- oldest txt_/smp_/dq_ backlog --------------------------------------
-    "txt_gopher_rules",
-    "txt_zipf_slope",
-    "txt_heaps_law_fit",
-    "txt_js_divergence",
-    "txt_bigram_lm_score",
-    "smp_dsir_importance",
-    "dq_benford_audit",
-    "dq_drift_ks",
-    "dq_batch_drift_psi",
-)
-
-#: Queries still awaiting their FIRST external driver row after the
-#: round-6 rotation: fully oracle-gated locally (tests/test_oracle_parity
-#: + tools/drive_contract.py at sf0.01 and the sf0.1 sweep) but the
-#: 50-slot window can only absorb 38 first-time names per round. They are
-#: the candidate pool for the next rotations (~2 rounds clears it,
-#: heaviest families first). The union-coverage test allows exactly
-#: these names to lack a historical driver row. (``txt_compression_ratio``
-#: is the one rows-only entry: zlib output is computable only engine-side;
-#: its invariants are pytest-pinned.)
-PENDING_EXTERNAL: tuple[str, ...] = (
+    # -- r3 packing audits carrying this round's prefix-sum rewrite -------
+    "pack_order_fragmentation",
+    "pack_padding_efficiency",
+    # -- r3 embedding/similarity audits ------------------------------------
+    "sim_embedding_collapse_audit",
+    "sim_hard_negatives",
+    "sim_ivf_recall_audit",
+    "sim_matryoshka_audit",
+    "sim_pq_audit",
+    "sim_semdedup_prune",
+    "dd_minhash_estimate_audit",
+    # -- r3 graph statistics ------------------------------------------------
+    "graph_assortativity",
+    "graph_degree_distribution",
+    "graph_link_prediction",
+    # -- r3 numeric aggregates / estimators ---------------------------------
     "agg_cohort_ltv",
-    "agg_entropy_mix",
     "agg_gini_concentration",
     "agg_hhi_concentration",
     "agg_higher_moments",
     "agg_median_abs_deviation",
     "agg_pareto_8020",
-    "agg_theil_index",
-    "asof_tolerance_join",
-    "date_calendar_dim",
-    "dd_minhash_estimate_audit",
-    "dq_completeness_matrix",
-    "dq_functional_dependency_audit",
-    "dq_inflight_observation",
-    "dq_iqr_outliers",
-    "dq_join_key_skew",
-    "dq_order_total_reconciliation",
-    "dq_referential_integrity_sweep",
-    "dq_sentinel_values",
-    "dq_table_fingerprint",
-    "dq_uniqueness_profile",
-    "fn_array_higher_order",
-    "fn_grouped_means_udaf",
-    "fn_sql_scalar_udf",
-    "funnel_view_click_purchase",
-    "graph_assortativity",
-    "graph_cc_pointer_doubling",
-    "graph_degree_distribution",
-    "graph_link_prediction",
-    "graph_multi_source_bfs",
-    "jn_star_denormalize_fingerprint",
-    "jn_time_range_join",
-    "ld_column_histogram",
-    "ld_column_stats",
-    "ld_compaction_planning",
-    "ld_partition_skew",
-    "ld_snapshot_diff",
-    "ld_zorder_clustering_audit",
-    "mm_byte_uniformity",
-    "mm_payload_integrity",
-    "mm_tile_grid",
-    "pack_order_fragmentation",
-    "pack_padding_efficiency",
-    "rng_session_concurrency",
-    "scd2_interval_integrity",
-    "sim_embedding_collapse_audit",
-    "sim_hard_negatives",
-    "sim_ivf_recall_audit",
-    "sim_matryoshka_audit",
-    "sim_nndescent_round",
-    "sim_pq_audit",
-    "sim_semdedup_prune",
     "sk_countmin_heavy_hitters",
+    # -- r3 time-series -----------------------------------------------------
+    "ts_backtest_seasonal_naive",
+    "ts_linear_interpolation",
+    "ts_m4_downsample",
+    "ts_rolling_regression_slope",
+    # -- r3 sampling / splitting --------------------------------------------
     "smp_balanced_upsample",
     "smp_budget_apportionment",
     "smp_coreset_kcenter",
@@ -234,39 +153,81 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "smp_dedup_aware_split",
     "smp_deterministic_shuffle",
     "smp_kfold_assignment",
-    "smp_split_balance_audit",
     "smp_weighted_priority_sample",
-    "src_fixed_width_ingest",
-    "src_xml_roundtrip",
-    "strm_python_stream_source",
-    "strm_static_dim_enrich",
-    "ts_backtest_seasonal_naive",
-    "ts_linear_interpolation",
-    "ts_m4_downsample",
-    "ts_rolling_regression_slope",
+    # -- r3 text corpus statistics ------------------------------------------
     "txt_burstiness",
-    "txt_cdc_chunks",
     "txt_compression_ratio",
     "txt_kwic_snippets",
-    "txt_mattr_diversity",
     "txt_novelty_decay_curve",
     "txt_oov_rate",
-    "txt_rake_keyphrases",
     "txt_shingle_novelty",
     "txt_tokenizer_fertility",
+)
+
+#: Queries still awaiting their FIRST external driver row after the
+#: round-7 rotation: fully oracle-gated locally (tests/test_oracle_parity
+#: + tools/drive_contract.py at sf0.01 and the sf0.1 sweep) but the
+#: 50-slot window can only absorb 38 first-time names per round. The
+#: 26 remaining r3-registered names listed first are COMMITTED to the
+#: round-8 window (they hit the staleness ceiling otherwise); the r5/r6
+#: names follow in round 9+. The union-coverage test allows exactly
+#: these names to lack a historical driver row.
+PENDING_EXTERNAL: tuple[str, ...] = (
+    # -- r3-registered, deferred to round 8 (staleness-ceiling deadline) --
+    "date_calendar_dim",
+    "dq_inflight_observation",
+    "dq_iqr_outliers",
+    "dq_join_key_skew",
+    "dq_order_total_reconciliation",
+    "dq_sentinel_values",
+    "fn_grouped_means_udaf",
+    "fn_sql_scalar_udf",
+    "funnel_view_click_purchase",
+    "ld_column_histogram",
+    "ld_column_stats",
+    "ld_partition_skew",
+    "ld_snapshot_diff",
+    "mm_byte_uniformity",
+    "mm_payload_integrity",
+    "mm_tile_grid",
+    "rng_session_concurrency",
+    "scd2_interval_integrity",
+    "strm_python_stream_source",
+    "strm_static_dim_enrich",
     "win_attribution_last_touch",
     "win_dau_mau_stickiness",
     "win_keyset_pagination",
     "win_lifecycle_stages",
     "win_new_vs_returning",
     "win_skyline_price_recency",
-    # round-6 wave 1 (pre-freeze, locally oracle-gated; thin-family
-    # growth per the round-5 verdict item 7):
+    # -- r5-registered (round-9 deadline) ----------------------------------
+    "agg_entropy_mix",
+    "agg_theil_index",
+    "asof_tolerance_join",
+    "dq_completeness_matrix",
+    "dq_functional_dependency_audit",
+    "dq_referential_integrity_sweep",
+    "dq_table_fingerprint",
+    "dq_uniqueness_profile",
+    "fn_array_higher_order",
+    "graph_cc_pointer_doubling",
+    "graph_multi_source_bfs",
+    "jn_star_denormalize_fingerprint",
+    "jn_time_range_join",
+    "ld_compaction_planning",
+    "ld_zorder_clustering_audit",
+    "sim_nndescent_round",
+    "smp_split_balance_audit",
+    "src_fixed_width_ingest",
+    "src_xml_roundtrip",
+    "txt_cdc_chunks",
+    "txt_mattr_diversity",
+    "txt_rake_keyphrases",
+    # -- r6-registered waves (round-10 deadline) ----------------------------
     "pack_crossdoc_attention_mask",
     "decon_eval_contamination_report",
     "mm_audio_energy_segments",
     "mm_video_bitrate_ladder",
-    # round-6 wave 2 (pre-freeze, locally oracle-gated):
     "pack_span_corruption_plan",
     "decon_source_quarantine",
     "mm_caption_pair_stats",

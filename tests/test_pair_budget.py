@@ -52,8 +52,14 @@ def test_anchor_budget_and_overflow(spark, qs, name, anchor):
 
 
 def test_phash_cluster_membership_stable_under_edge_budget(spark, qs):
-    """The budgeted cluster graph must cluster the same ASSETS as the
-    uncapped pair graph at the tested SFs (clique-connectivity claim)."""
+    """The cluster output must cover exactly the UNCAPPED pair-node set.
+
+    Round 7 made this invariant structural (it previously held only
+    because truncation didn't orphan any node at sf0.01): the label seed
+    is now the uncapped pair node set in both engines, so an asset whose
+    every edge hangs off budget-saturated anchors degrades to a
+    singleton cluster row instead of vanishing — the equality below is
+    guaranteed at every scale, not just the tested one."""
     from python_sql_etl_project_spark.operators import multimodal as mm
 
     clusters = qs["mm_phash_dup_clusters"](spark, SF)
