@@ -334,6 +334,12 @@ HEADLINE = [
     "pack_span_corruption_plan",
     "decon_source_quarantine",
     "mm_caption_pair_stats",
+    # round-7 wave (strm_/fn_/src_ thin families):
+    "strm_chained_window_rollup",
+    "strm_topk_users_complete",
+    "strm_session_windows_typed",
+    "fn_sql_table_function",
+    "src_partition_pruned_scan",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -214,3 +214,66 @@ def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emb_hof"
     )
     return spark.sql(_hof_spark_sql())
+
+
+@query(
+    "fn_sql_table_function",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders,
+           o.total_spend,
+           o.last_order
+    FROM customer c LEFT JOIN (
+        SELECT o_custkey,
+               count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                    AS DOUBLE) AS total_spend,
+               strftime(max(o_orderdate), '%Y-%m-%d') AS last_order
+        FROM orders GROUP BY 1
+    ) o ON o.o_custkey = c.c_custkey
+    WHERE c.c_nationkey = 7
+    """,
+)
+def fn_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE function (``CREATE FUNCTION ... RETURNS TABLE``, Spark
+    4.0+) applied through a correlated LATERAL join — the catalog-level
+    table macro that packages "the order profile of customer X" as a
+    reusable relation. The aggregate body decorrelates into a plain
+    LeftOuter hash join against the grouped orders (verified in the
+    physical plan — no per-row re-scan, no nested loop), so the TVF
+    costs the same as writing the join by hand while keeping one shared
+    definition in the catalog; order-less customers still emit a row
+    (COUNT over an empty correlated group is 0 — the classic COUNT-bug
+    case, handled by Spark's decorrelation).
+
+    Deliberate sharp-edge note: an ORDER BY ... LIMIT body does NOT
+    decorrelate per-row in Spark 4.1 (the limit is applied globally
+    before the join — silently wrong results); TVF bodies here are
+    restricted to aggregate/projection shapes, which decorrelate
+    soundly. The oracle is the hand-written LEFT JOIN.
+    """
+    # the function BODY is re-resolved at call time, so it must reference
+    # a named temp view (a `{df}` template placeholder is an ephemeral
+    # view that is gone by then — TABLE_OR_VIEW_NOT_FOUND)
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_tvf_src"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION customer_order_profile("
+        "ck BIGINT) "
+        "RETURNS TABLE(n_orders BIGINT, total_spend DOUBLE,"
+        " last_order STRING) "
+        "RETURN SELECT count(*),"
+        " CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2)"
+        "      AS DOUBLE),"
+        " date_format(max(o_orderdate), 'yyyy-MM-dd')"
+        " FROM orders_tvf_src WHERE o_custkey = ck"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.n_orders, t.total_spend, t.last_order
+        FROM {customer} c, LATERAL customer_order_profile(c.c_custkey) t
+        WHERE c.c_nationkey = 7
+        """,
+        customer=read_table(spark, sf_dir, "customer"),
+    )

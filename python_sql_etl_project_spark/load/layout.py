@@ -1693,3 +1693,58 @@ def ld_compaction_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("fill_micro"),
     )
+
+
+@query(
+    "src_partition_pruned_scan",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    """,
+)
+def src_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned LAYOUT round-trip with partition PRUNING —
+    the directory convention every lakehouse table uses: documents are
+    written ``partitionBy("lang")`` (one ``lang=<v>/`` directory per
+    value), then read back with a ``lang = 'en'`` predicate. The filter
+    is a partition filter, so Spark prunes at PLANNING time — the scan
+    lists and reads ONLY the ``lang=en`` directory; the other
+    partitions' files are never opened (the plan's ``PartitionFilters``
+    carries the predicate; pinned by tests/test_r7_wave.py). At 100 TB
+    this is the difference between reading one language's share and
+    reading the whole corpus to throw most of it away.
+
+    The oracle aggregates the original table under the same predicate —
+    a hash match proves the partitioned layout is value-preserving AND
+    the pruned read is complete (no partition dropped or double-read).
+    Same eager-materialize-then-reclaim pattern as the format
+    round-trips — no temp leak.
+    """
+    target = tempfile.mkdtemp(prefix="part_pruned_")
+    try:
+        (
+            read_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "source", "n_chars")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(target)
+        )
+        rows = (
+            spark.read.parquet(target)
+            .filter(F.col("lang") == "en")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "source string, n_docs bigint, total_chars bigint"
+    )

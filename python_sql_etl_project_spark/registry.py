@@ -231,6 +231,13 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "pack_span_corruption_plan",
     "decon_source_quarantine",
     "mm_caption_pair_stats",
+    # -- round-7 wave (pre-freeze, locally oracle-gated; thin-family
+    # growth per the round-6 verdict item 5: strm_/fn_/src_) -------------
+    "strm_chained_window_rollup",
+    "strm_topk_users_complete",
+    "strm_session_windows_typed",
+    "fn_sql_table_function",
+    "src_partition_pruned_scan",
 )
 
 

@@ -1187,3 +1187,171 @@ def strm_replay_idempotent_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_events bigint, id_checksum bigint,"
         " total_value double",
     )
+
+
+#: Gap for the re-keyed (user, event_type) session windows — longer than
+#: SESSION_GAP because per-type event streams are sparser than per-user
+#: streams (the gap should scale with the keyed stream's inter-arrival
+#: time, the standard sessionization knob).
+TYPED_SESSION_GAP = "4 hours"
+
+#: Size of the streaming leaderboard maintained in complete mode.
+TOPK_USERS = 20
+
+
+@query(
+    "strm_chained_window_rollup",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT date_trunc('day', h) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(max(n) AS BIGINT) AS peak_hour_events
+    FROM hourly, wm
+    WHERE date_trunc('day', h) + INTERVAL 1 DAY <= wm.w
+    GROUP BY 1
+    """,
+)
+def strm_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED streaming window aggregation (Spark 3.4+ multi-stateful
+    support): a tumbling 1-hour count feeds a second windowed aggregate
+    over ``window_time`` that rolls the hours up to daily
+    traffic-profile stats (active hours, event mass, peak hour) — the
+    two-level rollup a monitoring pipeline runs as ONE streaming query
+    instead of a stream plus a batch job over its sink.
+
+    Chained stateful operators require APPEND mode: a day emits only
+    once the watermark (max event time − 1 hour) passes its end, so the
+    trailing partial day is withheld — the oracle mirrors that emission
+    rule exactly (``day_end <= max(ts) − 1 hour``). State is two bounded
+    window maps (hours, then days), both evicted at the watermark; at
+    100 TB/day the first-level state is ≤ 24 rows per shuffle partition
+    and the rollup sees hour-grain rows only — the cheapest possible
+    second stage.
+    """
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    hourly = ev.groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("window"), "1 day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.max("n").cast("bigint").alias("peak_hour_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_hours",
+            "n_events",
+            "peak_hour_events",
+        )
+    )
+    return _run_to_table(spark, daily, "strm_chained_window_rollup", "append")
+
+
+@query(
+    "strm_topk_users_complete",
+    oracle=f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT {TOPK_USERS}
+    """,
+)
+def strm_topk_users_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LEADERBOARD — the global top-{TOPK_USERS} most active
+    users, maintained by the stream itself: sorting and LIMIT are legal
+    in streaming queries ONLY under complete output mode (the sink
+    rewrites the whole small result each trigger), which is exactly the
+    right trade for a leaderboard — state is one row per user (bounded
+    by the key domain, not the stream), and the sink holds k rows.
+    Deterministic under ties: rank order is (count DESC, user_id).
+
+    At 100 TB the same query stands, because complete mode re-emits only
+    the aggregated state (|users| rows), never the stream; the k-row
+    sort is a TakeOrderedAndProject over the aggregate, not a global
+    sort of events.
+    """
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    topk = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(TOPK_USERS)
+    )
+    return _run_to_table(spark, topk, "strm_topk_users_complete", "complete")
+
+
+@query(
+    "strm_session_windows_typed",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, value,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL {TYPED_SESSION_GAP}
+                       THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    islands AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts, prev_ts
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS session_no
+        FROM flagged
+    )
+    SELECT user_id, event_type,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL {TYPED_SESSION_GAP} AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM islands
+    GROUP BY user_id, event_type, session_no
+    """,
+)
+def strm_session_windows_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-KEYED session windows — the session-rotation companion to
+    ``strm_session_windows``: sessions close per (user, event_type)
+    stream with a {TYPED_SESSION_GAP} gap (per-type streams are sparser,
+    so the gap is wider — the knob every sessionizer retunes when the
+    key changes). Same native merging-session state
+    (``F.session_window``), different key and gap, proving the operator
+    family is parameterized rather than hard-wired; the oracle derives
+    identical islands with the gaps-and-islands chain partitioned on the
+    rotated key. State is per (user, type, open session), evicted at the
+    watermark — bounded by active keys, not stream length.
+    """
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(
+            F.session_window("ts", TYPED_SESSION_GAP), "user_id", "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_table(spark, agg, "strm_session_windows_typed", "complete")

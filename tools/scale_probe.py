@@ -56,7 +56,19 @@ DEFAULT_QUERIES = [
 SHIFT = 1_000_000_000
 
 
-def build_replica(spark, mult: int, out_dir: str) -> None:
+def build_replica(
+    spark, mult: int, out_dir: str, distinct_docs: bool = False
+) -> None:
+    """``distinct_docs=True`` builds the clique-controlled variant: the
+    replica copies of ``documents`` get every TOKEN suffixed with the
+    copy index, so copies of the same base doc share NO shingles / text
+    hashes (cross-copy near-dup cliques cannot form) while within-copy
+    similarity structure is bit-identical to the base — the probe then
+    measures how a pair operator's PLAN scales with corpus size when
+    clique sizes are a held data property, separating genuine
+    superlinear scoring from the replica's clique-inflation artifact
+    (a plain replica multiplies every dup clique by ``mult``, which real
+    corpus growth does not do)."""
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
@@ -75,6 +87,17 @@ def build_replica(spark, mult: int, out_dir: str) -> None:
             p = df
             for c in cols:
                 p = p.withColumn(c, F.col(c) + F.lit(i * SHIFT))
+            if distinct_docs and name == "documents" and i > 0:
+                p = p.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), r"\s+"),
+                            lambda t: F.concat(t, F.lit(f"_{i}")),
+                        ),
+                        " ",
+                    ),
+                )
             parts.append(p)
         out = parts[0]
         for p in parts[1:]:
@@ -95,6 +118,11 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=8)
     ap.add_argument("--queries", default=None)
     ap.add_argument("--out", default="/tmp/scale_probe")
+    ap.add_argument(
+        "--distinct-docs",
+        action="store_true",
+        help="clique-controlled documents replica (see build_replica)",
+    )
     args = ap.parse_args()
 
     from python_sql_etl_project_spark import registry
@@ -108,8 +136,9 @@ def main() -> None:
         else DEFAULT_QUERIES
     )
 
-    rep_dir = os.path.join(args.out, f"x{args.mult}")
-    build_replica(spark, args.mult, rep_dir)
+    suffix = "d" if args.distinct_docs else ""
+    rep_dir = os.path.join(args.out, f"x{args.mult}{suffix}")
+    build_replica(spark, args.mult, rep_dir, distinct_docs=args.distinct_docs)
 
     results = {}
     for name in names:
