@@ -197,6 +197,20 @@ SHOWCASE = {
         "inside whole-stage codegen — a metadata-only scan plus one "
         "tiny-key aggregate; no join, payload column never read."
     ),
+    # -- round 7 ----------------------------------------------------------
+    "pack_token_budget": (
+        "Shard-parallel prefix sum (round 7): per-(source, doc_id div "
+        "4096) partials reduce map-side, the exclusive prefix runs over "
+        "the shard-grain frame only, and the offsets re-join as a "
+        "BROADCAST — no per-source serial window anywhere; parallelism "
+        "is sources × N/span."
+    ),
+    "fn_sql_table_function": (
+        "SQL table function through LATERAL: the correlated aggregate "
+        "body decorrelates into a LeftOuter hash join against the "
+        "grouped orders — the TVF costs the same as the hand-written "
+        "join; no nested loop, no per-row re-scan."
+    ),
 }
 
 
