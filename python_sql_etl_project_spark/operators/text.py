@@ -1970,8 +1970,13 @@ def txt_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform/zip_with over the token array — no shuffle, no UDF); the
     sharing census is one groupBy on chunk hash (map-side combinable)
     plus one join back — the same two-shuffle shape as the exact-dedup
-    operator, with fan-out bounded by tokens/chunk ≈ 8.
+    operator, with fan-out bounded by tokens/chunk ≈ 8. The chunked
+    stage is ``persist``-ed because it feeds BOTH the hash census and
+    the final per-doc join — without the cache the rolling per-token
+    md5 pipeline (the dominant CPU) runs twice (measured ~1.9× at
+    sf0.1, round 7).
     """
+    from pyspark import StorageLevel
     bpos = (
         f"CASE WHEN size(w) > {CDC_K} THEN"
         f" filter(sequence({CDC_K}, size(w) - 1),"
@@ -2001,6 +2006,7 @@ def txt_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " (s, e) -> md5(concat_ws(' ', slice(w, s, e - s + 1))))"
             ).alias("hs"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     expl = doc.select("doc_id", F.explode("hs").alias("h"))
     freq = expl.groupBy("h").agg(
@@ -2012,7 +2018,7 @@ def txt_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
-    return (
+    out = (
         doc.join(shared, "doc_id", "left")
         .select(
             "doc_id",
@@ -2026,6 +2032,9 @@ def txt_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from ..session import finalize_unpersist
+
+    return finalize_unpersist(out, doc)
 
 
 #: RAKE report size.
