@@ -63,25 +63,31 @@ def fn_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "li_sqlfunc"
     )
-    return spark.sql(
-        """
-        SELECT l_returnflag,
-               CAST(round(sum(disc_price(CAST(l_extendedprice AS
-                                              DECIMAL(14,2)),
-                                         CAST(l_discount AS
-                                              DECIMAL(4,2)))), 2)
-                    AS DOUBLE) AS disc_revenue,
-               CAST(round(sum(charged_price(CAST(l_extendedprice AS
-                                                 DECIMAL(14,2)),
-                                            CAST(l_discount AS
-                                                 DECIMAL(4,2)),
-                                            CAST(l_tax AS
-                                                 DECIMAL(4,2)))), 2)
-                    AS DOUBLE) AS charged_revenue
-        FROM li_sqlfunc
-        GROUP BY l_returnflag
-        """
-    )
+    try:
+        # eager analysis inlines the view + UDF bodies into the returned
+        # plan, so the sf_dir-dependent catalog state is reclaimed below
+        # (same no-residue rule as fn_sql_table_function).
+        return spark.sql(
+            """
+            SELECT l_returnflag,
+                   CAST(round(sum(disc_price(CAST(l_extendedprice AS
+                                                  DECIMAL(14,2)),
+                                             CAST(l_discount AS
+                                                  DECIMAL(4,2)))), 2)
+                        AS DOUBLE) AS disc_revenue,
+                   CAST(round(sum(charged_price(CAST(l_extendedprice AS
+                                                     DECIMAL(14,2)),
+                                                CAST(l_discount AS
+                                                     DECIMAL(4,2)),
+                                                CAST(l_tax AS
+                                                     DECIMAL(4,2)))), 2)
+                        AS DOUBLE) AS charged_revenue
+            FROM li_sqlfunc
+            GROUP BY l_returnflag
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("li_sqlfunc")
 
 
 #: The SQL:1999 recursive query run VERBATIM on both engines — Spark 4's
@@ -213,7 +219,10 @@ def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "emb_hof"
     )
-    return spark.sql(_hof_spark_sql())
+    try:
+        return spark.sql(_hof_spark_sql())  # eager analysis inlines the view
+    finally:
+        spark.catalog.dropTempView("emb_hof")
 
 
 @query(
@@ -269,11 +278,24 @@ def fn_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         " date_format(max(o_orderdate), 'yyyy-MM-dd')"
         " FROM orders_tvf_src WHERE o_custkey = ck"
     )
-    return spark.sql(
-        """
-        SELECT c.c_custkey, t.n_orders, t.total_spend, t.last_order
-        FROM {customer} c, LATERAL customer_order_profile(c.c_custkey) t
-        WHERE c.c_nationkey = 7
-        """,
-        customer=read_table(spark, sf_dir, "customer"),
-    )
+    try:
+        # spark.sql analyzes eagerly: the view relation and the SQL-UDF
+        # body are inlined into the returned plan HERE, so the catalog
+        # entries can be dropped immediately below without affecting the
+        # (still lazy) result.
+        return spark.sql(
+            """
+            SELECT c.c_custkey, t.n_orders, t.total_spend, t.last_order
+            FROM {customer} c, LATERAL customer_order_profile(c.c_custkey) t
+            WHERE c.c_nationkey = 7
+            """,
+            customer=read_table(spark, sf_dir, "customer"),
+        )
+    finally:
+        # no session-global residue: a later call with a DIFFERENT sf_dir
+        # must not silently repoint shared state under any consumer that
+        # still re-analyzes lazily (ADVICE r7).
+        spark.catalog.dropTempView("orders_tvf_src")
+        spark.sql(
+            "DROP TEMPORARY FUNCTION IF EXISTS customer_order_profile"
+        )

@@ -107,6 +107,20 @@ def _sharded_running(
     so oracles keep their single ``ROWS UNBOUNDED PRECEDING`` window.
 
     ``value`` of ``F.lit(1)`` yields the per-source ``row_number``.
+
+    Offsets-frame / broadcast bound (pinned here so scale audits don't
+    re-derive it): the offsets table has exactly ``N / span`` rows per
+    source — at span 4096 that is ~2.4e8 tiny rows per source even at a
+    10^12-doc corpus, i.e. the single-task offsets window and the
+    ``F.broadcast(offs)`` hint (~3 longs/row → low-GB at that extreme)
+    are the knowingly-bounded small stages of the plan. Two escape
+    hatches if a probe ever shows them hot: (a) raise ``span`` — the
+    bound is inverse-linear in it and correctness is span-independent
+    (``test_sharded_running`` pins a pathologically tiny span); (b) nest
+    the same two-pass pattern one level — shard the OFFSETS frame by
+    ``_shard div span2`` and prefix at that grain — which multiplies the
+    bound by another 1/span2. Past ~1e8 offsets rows also drop the
+    broadcast hint and let AQE pick the join side.
     """
     base = df.withColumn("_shard", shard)
     partials = base.groupBy("source", "_shard").agg(

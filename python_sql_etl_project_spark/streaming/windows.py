@@ -230,7 +230,7 @@ def strm_sliding_2d_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "strm_session_windows",
     oracle=f"""
     WITH ordered AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                  AS prev_ts
         FROM events
@@ -242,8 +242,12 @@ def strm_sliding_2d_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ordered
     ),
     islands AS (
+        -- the islands sum MUST ride the same (ts, event_id) key the lag
+        -- used: ordering by prev_ts would sort the partition-opening row
+        -- (prev_ts NULL → NULLS LAST in DuckDB) AFTER a tied peer and
+        -- split one session in two when the first two events share a ts.
         SELECT *, sum(new_session) OVER (PARTITION BY user_id
-                                         ORDER BY ts, prev_ts
+                                         ORDER BY ts, event_id
                                          ROWS UNBOUNDED PRECEDING)
                   AS session_no
         FROM flagged
@@ -1297,7 +1301,7 @@ def strm_topk_users_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     "strm_session_windows_typed",
     oracle=f"""
     WITH ordered AS (
-        SELECT user_id, event_type, ts, value,
+        SELECT user_id, event_type, event_id, ts, value,
                lag(ts) OVER (PARTITION BY user_id, event_type
                              ORDER BY ts, event_id) AS prev_ts
         FROM events
@@ -1309,8 +1313,11 @@ def strm_topk_users_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ordered
     ),
     islands AS (
+        -- same (ts, event_id) key as the lag: see strm_session_windows —
+        -- ordering by prev_ts mis-sorts the NULL-prev opening row under
+        -- DuckDB's NULLS LAST when the first two events of a key tie on ts.
         SELECT *, sum(new_session) OVER (PARTITION BY user_id, event_type
-                                         ORDER BY ts, prev_ts
+                                         ORDER BY ts, event_id
                                          ROWS UNBOUNDED PRECEDING)
                   AS session_no
         FROM flagged

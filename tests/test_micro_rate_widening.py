@@ -12,9 +12,14 @@ on the explicit bounded-grain allowlist — the same
 make-the-bug-class-impossible posture as
 ``tests/test_no_shadowed_constants.py``.
 
-Classification: a match whose immediate context divides with ``//`` is
-DuckDB oracle SQL (HUGEINT-safe by construction) and is skipped; Spark
-``F.expr`` strings divide with ``div``.
+Classification: the engine a match belongs to is decided by which
+division marker appears FIRST in the trailing context — ``//`` means
+DuckDB oracle SQL (HUGEINT-safe by construction, skipped), `` div ``
+means a Spark ``F.expr`` string (must be pre-widened or allowlisted).
+The window is wide (600 chars) and marker-ordered rather than a fixed
+short prefix, so a long oracle sum expression whose ``//`` falls late
+is not misclassified as Spark (round-7 ADVICE); a match with NEITHER
+marker is conservatively treated as Spark.
 """
 
 from __future__ import annotations
@@ -55,8 +60,12 @@ def test_corpus_grain_micro_rates_are_prewidened():
         rel = os.path.relpath(path, PKG)
         src = open(path).read()
         for m in _PAT.finditer(src):
-            ctx = src[m.start() : m.start() + 220]
-            if "//" in ctx[:90]:
+            ctx = src[m.start() : m.start() + 600]
+            floor_div = ctx.find("//")
+            spark_div = ctx.find(" div ")
+            if floor_div != -1 and (
+                spark_div == -1 or floor_div < spark_div
+            ):
                 continue  # DuckDB oracle SQL: sum() is HUGEINT-safe
             if ctx.startswith("1000000 * sum(CAST("):
                 continue  # pre-widened (the HITS pattern)

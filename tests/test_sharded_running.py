@@ -97,3 +97,22 @@ def test_row_number_value_ordered(spark):
         F.expr(f"n_tokens div {PACK_TOK_SPAN}"),
         ["n_tokens", "doc_id"],
     )
+
+
+def test_tiny_span_thousands_of_shards(spark):
+    """The documented offsets-frame bound (N/span rows per source) is a
+    SIZE bound, not a correctness condition: force >1k shards with a
+    pathologically tiny span (doc_id div 8 over ids spanning ~12000) and
+    the output must still be bit-identical to the naive window."""
+    df = _synthetic(spark)
+    _assert_same(
+        df,
+        F.col("n_tokens"),
+        ["doc_id"],
+        F.expr("doc_id div 8"),
+        ["doc_id"],
+    )
+    n_shards = df.select(
+        "source", F.expr("doc_id div 8").alias("s")
+    ).distinct().count()
+    assert n_shards > 1000
