@@ -1,0 +1,123 @@
+"""Value-sharded GLOBAL rank / running-sum plans (round 8).
+
+The unpartitioned companion of ``sampling._sharded_running``: a global
+``ORDER BY`` window (``row_number``, ``ntile``, ``percent_rank``,
+``cume_dist``, running sums) executes in Spark as a single-partition
+sort — one task holding every row. That is fine for provably bounded
+grains (days, regions, shards, histograms) but a scale-killer on any
+fact-proportional grain: TPC-H customers scale with SF, so "rank the
+customers" at the 100 TB north star would push 10^9–10^10 rows through
+one window task.
+
+The fix is the ``agg_mann_whitney_u`` two-pass prefix plan, packaged
+here once for every global-ranking consumer:
+
+1. shard each row by a contiguous range of the SORT KEY (``cents div
+   span`` — any expression monotone in the total order, constant on
+   ties);
+2. reduce each shard to one map-side-combined partial per running
+   value;
+3. exclusive-prefix the shard-grain frame (the ONLY remaining
+   single-task window — ``N/span`` tiny rows, bound documented in
+   ``sampling._sharded_running``);
+4. broadcast the offsets back and finish every shard's rows
+   independently with a ``partitionBy(_shard)`` window.
+
+Integer-exact: outputs are bit-identical to the single-window form, so
+DuckDB oracles keep their plain ``OVER (ORDER BY ...)`` text and the
+driver's hash gate is unchanged.
+
+``ntile_from_rank`` then derives NTILE(k) from (row_number, n) with the
+standard SQL remainder rule — the first ``n mod k`` buckets take one
+extra row — as pure integer arithmetic, so quartile banding never needs
+the global window at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sharded_global_running(
+    df: DataFrame,
+    shard: Column,
+    order_cols: Sequence,
+    values: Sequence[tuple[Column, str]],
+    shard_desc: bool = False,
+) -> DataFrame:
+    """Add inclusive global running sums over ``ORDER BY order_cols``.
+
+    ``values`` is a sequence of ``(column, out_name)`` pairs; each
+    ``out_name`` becomes ``sum(column) OVER (ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING)`` — computed shard-parallel, bit-identical to
+    the naive global window (pinned by ``tests/test_global_ranking.py``).
+
+    ``shard`` must be monotone nondecreasing along the total order and
+    constant on tied sort keys (pass ``shard_desc=True`` when the order
+    is descending, with ``shard`` still ASCENDING in the underlying
+    value). ``(F.lit(1), "r")`` yields the global ``row_number``.
+    """
+    sums = [F.sum(v).alias(f"_sw{i}") for i, (v, _) in enumerate(values)]
+    base = df.withColumn("_shard", shard)
+    partials = base.groupBy("_shard").agg(*sums)
+    off_w = (
+        Window.orderBy(F.desc("_shard") if shard_desc else F.asc("_shard"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )  # grain: shard (N/span rows — the documented bounded offsets frame)
+    offs = partials.select(
+        "_shard",
+        *[
+            (F.sum(f"_sw{i}").over(off_w) - F.col(f"_sw{i}")).alias(
+                f"_off{i}"
+            )
+            for i in range(len(values))
+        ],
+    )
+    in_shard = (
+        Window.partitionBy("_shard")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = base.join(F.broadcast(offs), "_shard")
+    for i, (v, name) in enumerate(values):
+        out = out.withColumn(
+            name, F.col(f"_off{i}") + F.sum(v).over(in_shard)
+        )
+    return out.drop("_shard", *[f"_off{i}" for i in range(len(values))])
+
+
+def sharded_global_row_number(
+    df: DataFrame,
+    shard: Column,
+    order_cols: Sequence,
+    out: str = "r",
+    shard_desc: bool = False,
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY order_cols)`` without the
+    single-partition sort (running count through the sharded plan)."""
+    return sharded_global_running(
+        df, shard, order_cols, [(F.lit(1), out)], shard_desc=shard_desc
+    )
+
+
+def ntile_from_rank(rank: str, n: str, k: int) -> Column:
+    """NTILE(k) as integer arithmetic on (global row_number, total n).
+
+    Standard SQL remainder rule (both engines): with ``q = n div k`` and
+    ``rem = n mod k``, the first ``rem`` buckets hold ``q + 1`` rows and
+    the rest hold ``q``. Rows ``1 .. rem*(q+1)`` land in bucket
+    ``ceil(r / (q+1))``; later rows in ``rem + ceil((r - rem*(q+1)) / q)``.
+    When ``n < k`` the ELSE branch is unreachable (``rem = n`` covers
+    every row), so its ``div q`` with ``q = 0`` never evaluates.
+    """
+    q = f"({n} div {k})"
+    rem = f"({n} % {k})"
+    head = f"({rem} * ({q} + 1))"
+    return F.expr(
+        f"CASE WHEN {rank} <= {head}"
+        f" THEN ({rank} + {q}) div ({q} + 1)"
+        f" ELSE {rem} + 1 + ({rank} - {head} - 1) div {q} END"
+    )

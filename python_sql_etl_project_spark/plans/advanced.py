@@ -11,6 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.ranking import (
+    ntile_from_rank,
+    sharded_global_row_number,
+    sharded_global_running,
+)
 from ..operators.relational import salted_join
 from ..registry import query
 from ..session import read_table
@@ -1182,11 +1187,15 @@ def win_ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey tiebreaker so band boundaries are deterministic cross-engine;
     revenue totals run in exact DECIMAL before the final round.
 
-    Scale note: NTILE over a global ORDER BY is a single-partition
-    window — fine for customer-grain aggregates (orders of magnitude
-    smaller than the fact), and the docstringed alternative for
-    fact-grain data is percentile-boundary banding via approx quantiles.
+    Scale plan (round 8): customer grain is fact-proportional, so NTILE
+    does NOT ride a global single-partition window — the quartile comes
+    from the value-sharded global row_number (``operators/ranking.py``;
+    shard = revenue-dollar range, shard-grain prefix, broadcast offsets)
+    and the SQL remainder rule on (r, n). Bit-identical to native ntile
+    (pinned by tests/test_global_ranking.py), oracle unchanged.
     """
+    from ..session import finalize_unpersist
+
     rev = (
         read_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1195,10 +1204,17 @@ def win_ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue")
         )
-    )
-    w = Window.orderBy(F.desc("revenue"), "o_custkey")
-    return (
-        rev.withColumn("quartile", F.ntile(4).over(w))
+    ).persist()  # read by the n-agg + both passes of the sharded rank
+    ranked = sharded_global_row_number(
+        rev,
+        F.expr("CAST(floor(revenue) AS BIGINT) div 4096"),
+        [F.desc("revenue"), "o_custkey"],
+        shard_desc=True,
+    ).crossJoin(F.broadcast(rev.agg(F.count(F.lit(1)).alias("n"))))
+    out = (
+        ranked.withColumn(
+            "quartile", ntile_from_rank("r", "n", 4).cast("int")
+        )
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
@@ -1209,6 +1225,7 @@ def win_ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("revenue"), 2).alias("max_revenue"),
         )
     )
+    return finalize_unpersist(out, rev)
 
 
 def _session_concurrency_oracle() -> str:
@@ -1531,12 +1548,20 @@ def win_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic CRM banding query: quartile-score each customer on how
     recently, how often and how much they ordered (1 = best on every
     axis), then census the 3-digit segments. One shuffled agg builds the
-    customer grain; the three NTILEs ride one global window sort of the
-    customer table (dim-sized — same documented posture as
-    ``win_ntile_customer_quartiles``; fact-grain would band on approx
-    quantile boundaries instead). Monetary runs in exact DECIMAL;
-    everything hashed is integer, string or exactly-rounded decimal.
+    customer grain. Monetary runs in exact DECIMAL; everything hashed is
+    integer, string or exactly-rounded decimal.
+
+    Scale plan (round 8): customer grain is fact-proportional, so none
+    of the three NTILEs rides a global single-partition window — each
+    score is the SQL remainder rule on (r, n) with r from the
+    value-sharded global row_number along its own axis (recency-day
+    range / frequency range / monetary-cents range shards), and the
+    anchor date + n come from ONE broadcast 1-row aggregate instead of
+    an unpartitioned MAX window. Bit-identical to the window forms,
+    oracle unchanged.
     """
+    from ..session import finalize_unpersist
+
     cust = (
         read_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1545,26 +1570,49 @@ def win_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("frequency"),
             F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("monetary"),
         )
+    ).persist()  # read by the totals agg + three sharded rank passes
+    totals = cust.agg(
+        F.max("last_order").alias("_anchor"),
+        F.count(F.lit(1)).alias("n"),
     )
-    anchor = F.max("last_order").over(Window.partitionBy())
-    scored = cust.withColumn(
-        "recency_days", F.datediff(anchor, F.col("last_order"))
+    scored = cust.crossJoin(F.broadcast(totals)).withColumn(
+        "recency_days", F.datediff(F.col("_anchor"), F.col("last_order"))
+    ).withColumn(
+        "_mcents", (F.col("monetary") * 100).cast("bigint")
     )
-    r_w = Window.orderBy("recency_days", "o_custkey")
-    f_w = Window.orderBy(F.desc("frequency"), "o_custkey")
-    m_w = Window.orderBy(F.desc("monetary"), "o_custkey")
+    scored = sharded_global_row_number(
+        scored,
+        F.expr("recency_days div 64"),
+        ["recency_days", "o_custkey"],
+        out="r_r",
+    )
+    scored = sharded_global_row_number(
+        scored,
+        F.expr("frequency div 4"),
+        [F.desc("frequency"), "o_custkey"],
+        out="r_f",
+        shard_desc=True,
+    )
+    scored = sharded_global_row_number(
+        scored,
+        F.expr("_mcents div 65536"),
+        [F.desc("monetary"), "o_custkey"],
+        out="r_m",
+        shard_desc=True,
+    )
     seg = scored.select(
         F.concat(
-            F.ntile(4).over(r_w).cast("string"),
-            F.ntile(4).over(f_w).cast("string"),
-            F.ntile(4).over(m_w).cast("string"),
+            ntile_from_rank("r_r", "n", 4).cast("string"),
+            ntile_from_rank("r_f", "n", 4).cast("string"),
+            ntile_from_rank("r_m", "n", 4).cast("string"),
         ).alias("rfm_segment"),
         "monetary",
     )
-    return seg.groupBy("rfm_segment").agg(
+    out = seg.groupBy("rfm_segment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.round(F.sum("monetary"), 2).cast("double").alias("segment_monetary"),
     )
+    return finalize_unpersist(out, cust)
 
 
 EWMA_WINDOW = 16  # half-life 1 step: weights 2^0 .. 2^15, oldest smallest
@@ -1889,10 +1937,16 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Revenue is exact integer cents, the rank-weighted sum is exact
     38-digit integer arithmetic, and G rounds half-up in one integer
     division — bit-identical cross-engine, no floating math at all.
-    The global sort is customer-grain (dim-sized; the documented window
-    posture) — at fact scale the estimator switches to the quantile-
-    bucket approximation over ``approx_percentile`` boundaries.
+
+    Scale plan (round 8): customer grain is fact-proportional, so the
+    rank does NOT ride a global single-partition sort — ``i`` comes from
+    the value-sharded global row_number (``operators/ranking.py``: shard
+    on the cents range, shard-grain exclusive prefix, broadcast offsets,
+    per-shard windows), after which Σ i·xᵢ is one map-side-combinable
+    aggregate. Bit-identical ranks, oracle unchanged.
     """
+    from ..session import finalize_unpersist
+
     rev = (
         read_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1902,9 +1956,9 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("cents")
         )
-    )
-    ranked = rev.withColumn(
-        "i", F.row_number().over(Window.orderBy("cents", "o_custkey"))
+    ).persist()
+    ranked = sharded_global_row_number(
+        rev, F.expr("cents div 65536"), ["cents", "o_custkey"], out="i"
     )
     sums = ranked.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
@@ -1913,16 +1967,19 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted"
         ),
     )
-    return sums.select(
-        F.col("n").cast("bigint").alias("n_customers"),
-        F.col("t").cast("bigint").alias("total_cents"),
-        (
-            F.expr(
-                "CAST((20000 * (2 * weighted - (n + 1) * t) + n * t)"
-                " div (2 * n * t) AS BIGINT)"
-            ).cast("double")
-            / 10000
-        ).alias("gini"),
+    return finalize_unpersist(
+        sums.select(
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.col("t").cast("bigint").alias("total_cents"),
+            (
+                F.expr(
+                    "CAST((20000 * (2 * weighted - (n + 1) * t) + n * t)"
+                    " div (2 * n * t) AS BIGINT)"
+                ).cast("double")
+                / 10000
+            ).alias("gini"),
+        ),
+        rev,
     )
 
 
@@ -2215,9 +2272,17 @@ def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     (full-distribution) and ``q11_revenue_concentration`` (fixed-share
     list). The crossing point uses the INTEGER inequality 5·prefix ≥ 4·T
     (no 0.8 float anywhere), so the threshold row is exact; the customer
-    share rounds half-up in integer arithmetic. One customer-grain
-    aggregate plus a dim-sized global window (documented posture).
+    share rounds half-up in integer arithmetic.
+
+    Scale plan (round 8): customer grain is fact-proportional, so both
+    the rank and the revenue prefix come from ONE value-sharded two-pass
+    plan (``operators/ranking.py``: two running values — row count and
+    cents — share the shard partials/offsets), and the scalar (t, n)
+    pair is a broadcast 1-row aggregate instead of unpartitioned
+    windows. Bit-identical outputs, oracle unchanged.
     """
+    from ..session import finalize_unpersist
+
     rev = (
         read_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -2227,21 +2292,23 @@ def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("cents")
         )
+    ).persist()
+    run = sharded_global_running(
+        rev,
+        F.expr("cents div 65536"),
+        [F.desc("cents"), "o_custkey"],
+        [(F.lit(1), "i"), (F.col("cents"), "prefix")],
+        shard_desc=True,
     )
-    w_ord = Window.orderBy(F.desc("cents"), "o_custkey")
-    ranked = rev.select(
-        F.row_number().over(w_ord).alias("i"),
-        F.sum("cents")
-        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("prefix"),
-        F.sum("cents").over(Window.partitionBy()).alias("t"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    totals = rev.agg(
+        F.sum("cents").alias("t"), F.count(F.lit(1)).alias("n")
     )
+    ranked = run.crossJoin(F.broadcast(totals))
     hit = ranked.filter(
         5 * F.col("prefix").cast("decimal(38,0)")
         >= 4 * F.col("t").cast("decimal(38,0)")
     )
-    return hit.groupBy("n").agg(
+    pareto = hit.groupBy("n").agg(
         F.min("i").cast("bigint").alias("top_customers_for_80pct"),
         F.expr(
             "CAST((20000 * CAST(min(i) AS DECIMAL(38,0))"
@@ -2253,6 +2320,7 @@ def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_customers_for_80pct",
         (F.col("share_scaled") / 10000).alias("share_of_customers"),
     )
+    return finalize_unpersist(pareto, rev)
 
 
 @query(
@@ -2838,17 +2906,21 @@ def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback (``jn_salted_priority_revenue`` is the remedy this report
     prescribes; AQE's skew-join split handles the residual tail).
 
-    One map-side-combinable count per key, a windowed grand total over
-    the (small) key census, and a top-10 with the key itself as the tie
-    break. Shares round half-up in integer arithmetic.
+    One map-side-combinable count per key, the grand total as a
+    broadcast 1-row count of the base table (NOT an unpartitioned
+    window over the key census — supplier count is fact-proportional,
+    so even the census must never collapse to one task), and a top-10
+    with the key itself as the tie break. Shares round half-up in
+    integer arithmetic.
     """
+    li = read_table(spark, sf_dir, "lineitem")
     freq = (
-        read_table(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_suppkey").alias("key"))
+        li.groupBy(F.col("l_suppkey").alias("key"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-        .withColumn(
-            "total_rows",
-            F.sum("n_rows").over(Window.partitionBy()).cast("bigint"),
+        .crossJoin(
+            F.broadcast(
+                li.agg(F.count(F.lit(1)).cast("bigint").alias("total_rows"))
+            )
         )
     )
     return (

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.ranking import ntile_from_rank, sharded_global_row_number
 from ..operators.relational import (
     anti_join,
     coercion_filter,
@@ -506,19 +507,42 @@ def win_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile / percent_rank / cume_dist)
     over per-customer spend, with the customer key as the deterministic
-    tiebreaker in every ordering. Single global window: fine for a
-    ranked report (the series is already one row per customer); a
-    per-group partition restores full parallelism when one exists."""
+    tiebreaker in every ordering.
+
+    Scale plan (round 8): customer count is FACT-proportional in this
+    schema, so the oracle's single global window would funnel every
+    customer through one sort task. The engine instead derives all three
+    distribution functions from the value-sharded global row_number
+    (``operators/ranking.py`` — shard on the spend range, shard-grain
+    exclusive prefix, broadcast offsets) plus one broadcast scalar n:
+    ntile is the SQL remainder rule on (r, n), percent_rank is
+    (r−1)/(n−1), cume_dist is r/n — bit-identical to the window forms
+    because the (total, o_custkey) order is tie-free."""
+    from ..session import finalize_unpersist
+
     spend = (
         read_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("total"))
-    )
-    w = Window.orderBy("total", "o_custkey")
-    return spend.select(
+    ).persist()  # read by the n-agg + both passes of the sharded rank
+    ranked = sharded_global_row_number(
+        spend,
+        F.expr("CAST(floor(total) AS BIGINT) div 4096"),
+        ["total", "o_custkey"],
+    ).crossJoin(F.broadcast(spend.agg(F.count(F.lit(1)).alias("n"))))
+    out = ranked.select(
         "o_custkey",
         F.round("total", 2).alias("total_spend"),
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ntile_from_rank("r", "n", 4).cast("int").alias("quartile"),
+        F.round(
+            F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+                (F.col("r") - 1).cast("double")
+                / (F.col("n") - 1).cast("double")
+            ),
+            6,
+        ).alias("pct_rank"),
+        F.round(
+            F.col("r").cast("double") / F.col("n").cast("double"), 6
+        ).alias("cume"),
     )
+    return finalize_unpersist(out, spend)

@@ -1,0 +1,107 @@
+"""Direct equivalence tests for ``operators/ranking.py`` (round 8).
+
+The five rewritten customer-grain queries are oracle-gated end-to-end,
+but the helper is a shared primitive — pin its contract directly:
+
+* ``sharded_global_running`` must be bit-identical to the naive
+  unpartitioned window for ascending, descending and multi-value
+  frames, on seam-stressing data (shard-straddling runs, duplicate sort
+  keys across shards, a span forcing >1k shards);
+* ``ntile_from_rank`` must reproduce Spark's native ``ntile`` for every
+  n in a range crossing all remainder classes (n mod 4 ∈ {0,1,2,3} and
+  n < k), and DuckDB's ``ntile`` on the same frames.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from python_sql_etl_project_spark.operators.ranking import (
+    ntile_from_rank,
+    sharded_global_running,
+    sharded_global_row_number,
+)
+
+
+def _synthetic(spark):
+    # duplicate sort keys across shard seams + a skewed value range
+    rows = [(i, (i * 7) % 97, 1 + (i * 13) % 5) for i in range(5000)]
+    rows += [(10_000 + i, 96, 3) for i in range(50)]  # heavy tied key
+    return spark.createDataFrame(rows, "id bigint, v bigint, w bigint")
+
+
+def test_running_sums_match_naive_window(spark):
+    df = _synthetic(spark)
+    got = sharded_global_running(
+        df,
+        F.expr("v div 8"),
+        ["v", "id"],
+        [(F.lit(1), "r"), (F.col("w"), "wsum")],
+    )
+    naive = Window.orderBy("v", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # grain: test-only naive reference
+    want = df.select(
+        "id",
+        F.count(F.lit(1)).over(naive).alias("r"),
+        F.sum("w").over(naive).alias("wsum"),
+    )
+    assert got.select("id", "r", "wsum").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("id", "r", "wsum")).count() == 0
+
+
+def test_desc_row_number_matches_naive_window(spark):
+    df = _synthetic(spark)
+    got = sharded_global_row_number(
+        df, F.expr("v div 8"), [F.desc("v"), "id"], shard_desc=True
+    )
+    naive = Window.orderBy(F.desc("v"), "id")
+    # grain: test-only naive reference
+    want = df.select("id", F.row_number().over(naive).alias("r"))
+    assert got.select("id", "r").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("id", "r")).count() == 0
+
+
+def test_tiny_span_forces_many_shards(spark):
+    df = _synthetic(spark)
+    got = sharded_global_row_number(df, F.expr("id div 4"), ["id"])
+    n_shards = df.select(F.expr("id div 4")).distinct().count()
+    assert n_shards > 1000
+    naive = Window.orderBy("id")  # grain: test-only naive reference
+    want = df.select("id", F.row_number().over(naive).alias("r"))
+    assert got.select("id", "r").exceptAll(want).count() == 0
+
+
+def test_ntile_matches_both_engines(spark):
+    for n in (1, 2, 3, 4, 5, 7, 8, 101, 1000):
+        rows = [(i + 1,) for i in range(n)]
+        df = spark.createDataFrame(rows, "x bigint")
+        w = Window.orderBy("x")  # grain: test-only native-ntile reference
+        native = {
+            r["x"]: r["t"]
+            for r in df.select(
+                "x", F.ntile(4).over(w).alias("t")
+            ).collect()
+        }
+        derived = {
+            r["x"]: r["t"]
+            for r in df.select(
+                "x",
+                F.row_number().over(w).alias("r"),
+            )
+            .crossJoin(df.agg(F.count(F.lit(1)).alias("n")))
+            .select("x", ntile_from_rank("r", "n", 4).alias("t"))
+            .collect()
+        }
+        assert native == derived, f"spark ntile mismatch at n={n}"
+        duck = dict(
+            duckdb.sql(
+                f"SELECT x, ntile(4) OVER (ORDER BY x) FROM "
+                f"(SELECT unnest(range(1, {n + 1})) AS x)"
+            ).fetchall()
+        )
+        assert {k: v for k, v in native.items()} == {
+            int(k): int(v) for k, v in duck.items()
+        }, f"duckdb ntile mismatch at n={n}"

@@ -173,6 +173,17 @@ BNLJ_ALLOWED = {
         "1-row session-total broadcast onto the minute-grain duration "
         "census (bounded by the gap rule)"
     ),
+    # round-8 sharded-rank rewrites: the n / (t, n) / (anchor, n) scalar
+    # that ntile/percent_rank/cume/pareto arithmetic needs is ONE 1-row
+    # aggregate broadcast instead of an unpartitioned window
+    "win_customer_spend_quartiles": "1-row customer-count broadcast",
+    "win_ntile_customer_quartiles": "1-row customer-count broadcast",
+    "win_rfm_segments": "1-row (anchor-date, customer-count) broadcast",
+    "agg_pareto_8020": "1-row (total-cents, customer-count) broadcast",
+    "dq_join_key_skew": (
+        "1-row fact-count broadcast onto the key census (replaces the "
+        "unpartitioned census-total window)"
+    ),
 }
 
 #: Streaming queries execute eagerly on .explain of the memory table;
