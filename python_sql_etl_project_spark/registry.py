@@ -81,28 +81,28 @@ def load_all() -> None:
     from .functions import sqlfuncs, udafs  # noqa: F401
 
 
-#: Round-7 driver window: the external gate checks exactly the FIRST 50
+#: Round-8 driver window: the external gate checks exactly the FIRST 50
 #: entries of ``queries()``, so this list IS the round's
-#: external-verification budget, spent per the round-6 verdict's action
-#: item 1 (all 38 free slots on the OLDEST round-3-registered backlog —
-#: 64 r3 names hit the staleness ceiling at round 8; the 26 deferred
-#: here are scheduled for the round-8 window):
+#: external-verification budget, spent per the round-7 verdict's action
+#: item 1 (the full staleness backlog — ALL 26 remaining r3-registered
+#: names hit the ceiling this round, plus the 12 oldest r5 names in
+#: ledger order):
 #:
 #: * slots 1-12 — the ``ref_`` reference-parity rows, pinned every round
-#:   (SURVEY §2's hard requirement; green six rounds running);
-#: * slots 13-14 — the two r3 packing audits REWRITTEN this round onto
-#:   the shard-parallel two-pass prefix pattern (verdict item 2), so
-#:   their first external rows also gate that rewrite;
-#: * slots 15-50 — the remaining oldest r3 names, riskiest families
-#:   first: the embedding/similarity audits, graph statistics, the
-#:   numeric agg_/ts_/smp_ estimators, and the txt_ corpus statistics
-#:   (including ``txt_compression_ratio``, the registry's single
-#:   rows-only entry — its only possible external evidence is the
-#:   driver's rows-only check, and the staleness ceiling forbids
-#:   holding it back further).
-#: After this round union driver coverage reaches ≥271/326 distinct
-#: names (QUERIES.md tracks the ledger); the round-8 rotation takes the
-#: 26 deferred r3 names plus the oldest r5 backlog.
+#:   (SURVEY §2's hard requirement; green seven rounds running);
+#: * slots 13-38 — the 26 r3 names deferred from round 7
+#:   (``tools/gen_queries_md.py`` hard-fails the ledger if any slips
+#:   past this round). ``dq_join_key_skew`` additionally carries this
+#:   round's census-total rewrite, and the five ``win_`` names the
+#:   round-7 verdict graded weak-adjacent get their rows on the final
+#:   plans;
+#: * slots 39-50 — the first 12 r5-registered names (ledger order):
+#:   the five never-checked ``dq_`` audits, ``fn_array_higher_order``
+#:   (thinnest family), both iterative graph ops, the two numeric
+#:   ``agg_`` estimators, the as-of join and the star fingerprint.
+#: After this round union driver coverage reaches ≥309/331; the 22
+#: remaining names (10 r5 + 7 r6 + 5 r7) all fit round 9's 38 free
+#: slots, closing external coverage completely.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- tier 0: reference parity (pinned) --------------------------------
     "ref_daily_cumulative_metrics",
@@ -117,63 +117,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ref_distinct_flags",
     "ref_status_counts",
     "ref_null_drop",
-    # -- r3 packing audits carrying this round's prefix-sum rewrite -------
-    "pack_order_fragmentation",
-    "pack_padding_efficiency",
-    # -- r3 embedding/similarity audits ------------------------------------
-    "sim_embedding_collapse_audit",
-    "sim_hard_negatives",
-    "sim_ivf_recall_audit",
-    "sim_matryoshka_audit",
-    "sim_pq_audit",
-    "sim_semdedup_prune",
-    "dd_minhash_estimate_audit",
-    # -- r3 graph statistics ------------------------------------------------
-    "graph_assortativity",
-    "graph_degree_distribution",
-    "graph_link_prediction",
-    # -- r3 numeric aggregates / estimators ---------------------------------
-    "agg_cohort_ltv",
-    "agg_gini_concentration",
-    "agg_hhi_concentration",
-    "agg_higher_moments",
-    "agg_median_abs_deviation",
-    "agg_pareto_8020",
-    "sk_countmin_heavy_hitters",
-    # -- r3 time-series -----------------------------------------------------
-    "ts_backtest_seasonal_naive",
-    "ts_linear_interpolation",
-    "ts_m4_downsample",
-    "ts_rolling_regression_slope",
-    # -- r3 sampling / splitting --------------------------------------------
-    "smp_balanced_upsample",
-    "smp_budget_apportionment",
-    "smp_coreset_kcenter",
-    "smp_curriculum_phases",
-    "smp_dedup_aware_split",
-    "smp_deterministic_shuffle",
-    "smp_kfold_assignment",
-    "smp_weighted_priority_sample",
-    # -- r3 text corpus statistics ------------------------------------------
-    "txt_burstiness",
-    "txt_compression_ratio",
-    "txt_kwic_snippets",
-    "txt_novelty_decay_curve",
-    "txt_oov_rate",
-    "txt_shingle_novelty",
-    "txt_tokenizer_fertility",
-)
-
-#: Queries still awaiting their FIRST external driver row after the
-#: round-7 rotation: fully oracle-gated locally (tests/test_oracle_parity
-#: + tools/drive_contract.py at sf0.01 and the sf0.1 sweep) but the
-#: 50-slot window can only absorb 38 first-time names per round. The
-#: 26 remaining r3-registered names listed first are COMMITTED to the
-#: round-8 window (they hit the staleness ceiling otherwise); the r5/r6
-#: names follow in round 9+. The union-coverage test allows exactly
-#: these names to lack a historical driver row.
-PENDING_EXTERNAL: tuple[str, ...] = (
-    # -- r3-registered, deferred to round 8 (staleness-ceiling deadline) --
+    # -- r3 staleness backlog (ceiling fires this round) -------------------
     "date_calendar_dim",
     "dq_inflight_observation",
     "dq_iqr_outliers",
@@ -200,7 +144,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "win_lifecycle_stages",
     "win_new_vs_returning",
     "win_skyline_price_recency",
-    # -- r5-registered (round-9 deadline) ----------------------------------
+    # -- oldest r5 backlog (ledger order; round-9 deadline) -----------------
     "agg_entropy_mix",
     "agg_theil_index",
     "asof_tolerance_join",
@@ -213,6 +157,18 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "graph_cc_pointer_doubling",
     "graph_multi_source_bfs",
     "jn_star_denormalize_fingerprint",
+)
+
+#: Queries still awaiting their FIRST external driver row after the
+#: round-8 rotation: fully oracle-gated locally (tests/test_oracle_parity
+#: + tools/drive_contract.py at sf0.01 and the sf0.1 sweep) but the
+#: 50-slot window can only absorb 38 first-time names per round. All 22
+#: remaining names (10 r5 + 7 r6 + 5 r7 — deadlines round 9/10/11) are
+#: COMMITTED to the round-9 window, which closes external coverage
+#: completely with 16 slots to spare. The union-coverage test allows
+#: exactly these names to lack a historical driver row.
+PENDING_EXTERNAL: tuple[str, ...] = (
+    # -- r5-registered (round-9 deadline) ----------------------------------
     "jn_time_range_join",
     "ld_compaction_planning",
     "ld_zorder_clustering_audit",
