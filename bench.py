@@ -340,6 +340,9 @@ HEADLINE = [
     "strm_session_windows_typed",
     "fn_sql_table_function",
     "src_partition_pruned_scan",
+    # round-8 minimal wave (VARIANT shredding + session-path mining):
+    "fn_variant_shred",
+    "win_event_path_trigrams",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

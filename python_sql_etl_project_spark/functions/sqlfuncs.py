@@ -17,6 +17,7 @@ the engine-grade upgrade: one definition, every query, no drift.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import query
 from ..session import read_table
@@ -299,3 +300,67 @@ def fn_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(
             "DROP TEMPORARY FUNCTION IF EXISTS customer_order_profile"
         )
+
+
+@query(
+    "fn_variant_shred",
+    oracle="""
+    SELECT doc_id,
+           lang AS tag0,
+           CASE WHEN lang = 'en' THEN source END AS tag1,
+           CASE WHEN lang = 'en' THEN n_chars END AS meta_chars,
+           CAST(CASE WHEN lang = 'en' THEN 2 ELSE 1 END AS INT) AS n_tags
+    FROM documents
+    """,
+)
+def fn_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT shredding (Spark 4's ``parse_json`` /
+    ``try_variant_get`` surface) over a deliberately HETEROGENEOUS feed:
+    English docs serialize as ``{"id", "meta": {"chars"}, "tags": [lang,
+    source]}``, every other language as the narrower ``{"id", "tags":
+    [lang]}`` — two different JSON shapes in one column, the case a
+    fixed ``from_json`` schema cannot express without nulling whole
+    structs (contrast ``json_props_by_event_type``, the fixed-schema
+    fast path). The shred extracts a typed nested-object path
+    (``$.meta.chars`` → BIGINT, NULL where the object is absent), array
+    index paths (``$.tags[0]``/``[1]``), and a typed array extraction
+    whose size distinguishes the shapes.
+
+    The oracle reconstructs the same values straight from the raw
+    columns, so a hash match proves the build → parse → typed-extract
+    round trip is value-preserving INCLUDING the missing-path NULL
+    semantics.
+
+    Scale shape: ``parse_json``/``variant_get`` run inside whole-stage
+    codegen — one narrow map over the corpus, no shuffle, no UDF, no
+    Arrow boundary; the binary variant encoding is decoded once per row
+    regardless of how many paths are extracted.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    js = F.when(
+        F.col("lang") == "en",
+        F.to_json(
+            F.struct(
+                F.col("doc_id").alias("id"),
+                F.struct(F.col("n_chars").alias("chars")).alias("meta"),
+                F.array(F.col("lang"), F.col("source")).alias("tags"),
+            )
+        ),
+    ).otherwise(
+        F.to_json(
+            F.struct(
+                F.col("doc_id").alias("id"),
+                F.array(F.col("lang")).alias("tags"),
+            )
+        )
+    )
+    v = docs.select(F.parse_json(js).alias("v"))
+    return v.select(
+        F.try_variant_get("v", "$.id", "bigint").alias("doc_id"),
+        F.try_variant_get("v", "$.tags[0]", "string").alias("tag0"),
+        F.try_variant_get("v", "$.tags[1]", "string").alias("tag1"),
+        F.try_variant_get("v", "$.meta.chars", "bigint").alias("meta_chars"),
+        F.size(F.try_variant_get("v", "$.tags", "array<string>")).alias(
+            "n_tags"
+        ),
+    )

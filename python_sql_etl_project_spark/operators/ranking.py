@@ -31,6 +31,18 @@ driver's hash gate is unchanged.
 standard SQL remainder rule — the first ``n mod k`` buckets take one
 extra row — as pure integer arithmetic, so quartile banding never needs
 the global window at all.
+
+Skew bound (pinned here so scale audits don't re-derive it): parallelism
+is bounded by the VALUE distribution — a value band one shard wide
+holding p% of rows puts p% of the frame through one in-shard window task
+(the 8× ``--value-skew`` probe measures exactly this). Two escape
+hatches: (a) shrink the span — the hot-shard mass is linear in it down
+to the tie mass of a single value; (b) for genuinely tied-heavy keys,
+nest one level: census the tied value (collapsing ties to one row),
+rank the census with this same plan, and break ties per value with a
+``partitionBy(value, tiebreak div span2)`` sharded row_number — the
+``_sharded_running`` pattern with the value as the partition key. Both
+preserve bit-identical output (pure prefix arithmetic).
 """
 
 from __future__ import annotations

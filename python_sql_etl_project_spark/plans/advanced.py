@@ -8528,3 +8528,68 @@ def ts_kaplan_meier_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.d").alias("n_ending"),
         F.col("c.s").alias("survival_micro"),
     )
+
+
+@query(
+    "win_event_path_trigrams",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, date_trunc('day', ts) AS d, event_type,
+               row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 3
+        GROUP BY user_id, d
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    """,
+)
+def win_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-path sequence mining: the census of opening event-type
+    TRIGRAMS (first ≤3 events of each user-day, joined ``a>b>c``) — the
+    "how do journeys start" census a funnel analyst or a behavioral-
+    cloning data pipeline reads before picking target paths. Distinct
+    from ``funnel_view_click_purchase`` (one fixed path, conversion
+    counting): this mines ALL opening paths with their frequencies.
+
+    Determinism: the path order is the (ts, event_id) key both engines
+    pin; Spark side collects ``struct(rn, event_type)`` per user-day and
+    ``array_sort``s by the already-ranked rn (no engine-dependent
+    collect order leaks into the string).
+
+    Scale shape: the ranking window is partitioned per (user, day) —
+    bounded per key by a day's events; then two shuffled aggs (user-day
+    grain, then path census). No global window, no UDF — array_sort +
+    transform + array_join run in whole-stage codegen.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    ranked = (
+        ev.withColumn("d", F.date_trunc("day", "ts"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    paths = ranked.groupBy("user_id", "d").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -194,6 +194,10 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "strm_session_windows_typed",
     "fn_sql_table_function",
     "src_partition_pruned_scan",
+    # -- round-8 minimal wave (verdict item 4: <=5, thin families;
+    # round-9 window committed) ------------------------------------------
+    "fn_variant_shred",
+    "win_event_path_trigrams",
 )
 
 

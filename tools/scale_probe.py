@@ -57,7 +57,12 @@ SHIFT = 1_000_000_000
 
 
 def build_replica(
-    spark, mult: int, out_dir: str, distinct_docs: bool = False
+    spark,
+    mult: int,
+    out_dir: str,
+    distinct_docs: bool = False,
+    shift_custkey: bool = False,
+    value_skew: bool = False,
 ) -> None:
     """``distinct_docs=True`` builds the clique-controlled variant: the
     replica copies of ``documents`` get every TOKEN suffixed with the
@@ -68,7 +73,20 @@ def build_replica(
     clique sizes are a held data property, separating genuine
     superlinear scoring from the replica's clique-inflation artifact
     (a plain replica multiplies every dup clique by ``mult``, which real
-    corpus growth does not do)."""
+    corpus growth does not do).
+
+    ``shift_custkey=True`` also shifts ``o_custkey`` per copy: the plain
+    replica reuses customer keys, so the CUSTOMER-grain frame the rank
+    rewrites operate on would not grow at all — shifting it makes the
+    ranked population itself scale ``mult``×, which is what the sharded
+    rank plan must absorb. (Only valid for orders-only queries — the
+    shifted keys no longer resolve against the customer dim.)
+
+    ``value_skew=True`` additionally REPLACES ``o_totalprice`` on copies
+    ``i >= mult/2`` with a narrow band (900 + (o_orderkey mod 1000)/10),
+    clustering ~half of all customers' spend totals into a range one to
+    two value-shards wide — the adversarial case for value-range
+    sharding, where the hottest shard holds ~50% of the rank frame."""
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
@@ -87,6 +105,18 @@ def build_replica(
             p = df
             for c in cols:
                 p = p.withColumn(c, F.col(c) + F.lit(i * SHIFT))
+            if shift_custkey and name == "orders" and i > 0:
+                p = p.withColumn(
+                    "o_custkey", F.col("o_custkey") + F.lit(i * SHIFT)
+                )
+            if value_skew and name == "orders" and i >= mult // 2:
+                p = p.withColumn(
+                    "o_totalprice",
+                    (
+                        F.lit(900.0)
+                        + (F.col("o_orderkey") % 1000).cast("double") / 10.0
+                    ),
+                )
             if distinct_docs and name == "documents" and i > 0:
                 p = p.withColumn(
                     "text",
@@ -123,6 +153,18 @@ def main() -> None:
         action="store_true",
         help="clique-controlled documents replica (see build_replica)",
     )
+    ap.add_argument(
+        "--shift-custkey",
+        action="store_true",
+        help="also shift o_custkey per copy (customer-grain growth; "
+        "orders-only queries)",
+    )
+    ap.add_argument(
+        "--value-skew",
+        action="store_true",
+        help="cluster ~50%% of copies' o_totalprice into a narrow band "
+        "(adversarial value-shard skew)",
+    )
     args = ap.parse_args()
 
     from python_sql_etl_project_spark import registry
@@ -136,9 +178,20 @@ def main() -> None:
         else DEFAULT_QUERIES
     )
 
-    suffix = "d" if args.distinct_docs else ""
+    suffix = (
+        ("d" if args.distinct_docs else "")
+        + ("c" if args.shift_custkey else "")
+        + ("s" if args.value_skew else "")
+    )
     rep_dir = os.path.join(args.out, f"x{args.mult}{suffix}")
-    build_replica(spark, args.mult, rep_dir, distinct_docs=args.distinct_docs)
+    build_replica(
+        spark,
+        args.mult,
+        rep_dir,
+        distinct_docs=args.distinct_docs,
+        shift_custkey=args.shift_custkey,
+        value_skew=args.value_skew,
+    )
 
     results = {}
     for name in names:
