@@ -211,6 +211,22 @@ SHOWCASE = {
         "grouped orders — the TVF costs the same as the hand-written "
         "join; no nested loop, no per-row re-scan."
     ),
+    # -- round 8 ----------------------------------------------------------
+    "win_customer_spend_quartiles": (
+        "Value-sharded global ranking (round 8): ntile/percent_rank/"
+        "cume_dist derive from a row_number computed with the two-pass "
+        "prefix plan — the big window partitions by _shard, the only "
+        "single-task stage is the N/span shard-grain offsets frame, "
+        "offsets return via BroadcastExchange, and the scalar n is a "
+        "1-row broadcast; no unpartitioned window over the "
+        "fact-proportional customer grain."
+    ),
+    "fn_variant_shred": (
+        "VARIANT shredding: parse_json + four typed path extractions "
+        "run inside one WholeStageCodegen project over the scan — no "
+        "shuffle, no UDF, heterogeneous shapes handled by missing-path "
+        "NULLs rather than a fixed schema."
+    ),
 }
 
 
