@@ -134,6 +134,7 @@ HEADLINE = [
     "strm_static_dim_enrich",
     "smp_weighted_priority_sample",
     "win_rfm_segments",
+    "win_customer_spend_quartiles",
     "src_orc_roundtrip",
     "ts_ewma_hourly_value",
     "sim_matryoshka_audit",

@@ -1369,9 +1369,15 @@ def txt_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline: micro-unit integer logs, 38-digit integer sums, one
     half-up integer division each for slope and intercept.
 
-    The cumulative windows run over |batches| rows; everything heavy is
-    map-side-combinable token counting.
+    The cumulative frame is batch-grain — |docs| / {HEAPS_BATCH}, i.e.
+    fact-PROPORTIONAL, so (round 8) the two running sums go through the
+    value-sharded two-pass prefix plan (``operators/ranking.py``; shard
+    = batch div 4096) instead of an unpartitioned window — everything
+    heavy stays map-side-combinable token counting, and no stage ever
+    holds the whole batch census in one task.
     """
+    from .ranking import sharded_global_running
+
     tok = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
         F.expr(f"doc_id div {HEAPS_BATCH}").alias("batch"),
         F.explode(tokens()).alias("t"),
@@ -1383,16 +1389,14 @@ def txt_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = tok.groupBy("batch").agg(
         F.count(F.lit(1)).cast("bigint").alias("nt")
     )
-    w = Window.orderBy("batch").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = (
-        cnt.join(newv, "batch", "left")
-        .select(
-            "batch",
-            F.sum("nt").over(w).alias("cum_tokens"),
-            F.sum(F.coalesce("nv", F.lit(0))).over(w).alias("cum_vocab"),
-        )
+    cum = sharded_global_running(
+        cnt.join(newv, "batch", "left"),
+        F.expr("batch div 4096"),
+        ["batch"],
+        [
+            (F.col("nt"), "cum_tokens"),
+            (F.coalesce("nv", F.lit(0)), "cum_vocab"),
+        ],
     )
     pts = cum.select(
         F.round(F.log("cum_tokens") * 1000000, 0).cast("bigint").alias("x6"),

@@ -94,11 +94,11 @@ ALLOWLIST: tuple[tuple[str, str, str], ...] = (
      'Window.orderBy("boot_mean_micro", "replicate")',
      "bootstrap replicate grain (fixed replicate count)"),
     ("operators/text.py", 'Window.orderBy(F.desc("cnt"), "t")',
-     "vocabulary grain (Heaps-sublinear; documented)"),
-    ("operators/text.py", 'Window.orderBy("batch")',
-     "batch grain (corpus/batch-size, prefix over batch census)"),
+     "vocabulary grain (Heaps-sublinear; documented posture — the "
+     "nested census + string-prefix-sharded tiebreak is the hatch if "
+     "a corpus ever outgrows it)"),
     ("operators/text.py", 'Window.orderBy(F.desc("score_micro"), "phrase")',
-     "keyphrase vocabulary grain (Heaps-sublinear)"),
+     "frame already reduced by LIMIT RAKE_TOP_K (top-k bounded)"),
     ("load/layout.py", "W.orderBy(",
      "file-manifest census (month x status shelf; lakehouse metadata "
      "grain)"),
