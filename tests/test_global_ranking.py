@@ -105,3 +105,29 @@ def test_ntile_matches_both_engines(spark):
         assert {k: v for k, v in native.items()} == {
             int(k): int(v) for k, v in duck.items()
         }, f"duckdb ntile mismatch at n={n}"
+
+
+def test_ntile_remainder_rule_property_vs_duckdb():
+    """Engine-free property sweep: the pure remainder rule behind
+    ``ntile_from_rank`` must match DuckDB's native ntile for every rank
+    across a wide (n, k) grid covering all remainder classes, n < k,
+    n = k, and large-n cases — pinning the arithmetic itself, not just
+    the k=4 shapes the queries use."""
+
+    def rule(r: int, n: int, k: int) -> int:
+        q, rem = divmod(n, k)
+        head = rem * (q + 1)
+        if r <= head:
+            return (r + q) // (q + 1)
+        return rem + 1 + (r - head - 1) // q
+
+    for n in (1, 2, 3, 4, 5, 6, 7, 8, 9, 15, 16, 17, 100, 101, 997):
+        for k in (1, 2, 3, 4, 5, 7, 8, 16):
+            duck = dict(
+                duckdb.sql(
+                    f"SELECT x, ntile({k}) OVER (ORDER BY x) FROM "
+                    f"(SELECT unnest(range(1, {n + 1})) AS x)"
+                ).fetchall()
+            )
+            for r in range(1, n + 1):
+                assert rule(r, n, k) == duck[r], (n, k, r)
