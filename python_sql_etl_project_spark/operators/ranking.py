@@ -71,6 +71,13 @@ def sharded_global_running(
     constant on tied sort keys (pass ``shard_desc=True`` when the order
     is descending, with ``shard`` still ASCENDING in the underlying
     value). ``(F.lit(1), "r")`` yields the global ``row_number``.
+
+    ``shard`` must also be NON-NULL for every row: the offsets return
+    via an inner equi-join on ``_shard``, so a null shard key (a null
+    sort value) would silently DROP the row. Every current caller
+    derives the shard from a non-null aggregate; a caller ranking a
+    nullable key must coalesce it into the key's sort position first
+    (SQL sorts NULLS FIRST ascending — ``coalesce(x, <min sentinel>)``).
     """
     sums = [F.sum(v).alias(f"_sw{i}") for i, (v, _) in enumerate(values)]
     base = df.withColumn("_shard", shard)
