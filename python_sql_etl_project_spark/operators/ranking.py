@@ -47,6 +47,7 @@ preserve bit-identical output (pure prefix arithmetic).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -74,13 +75,35 @@ def sharded_global_running(
 
     ``shard`` must also be NON-NULL for every row: the offsets return
     via an inner equi-join on ``_shard``, so a null shard key (a null
-    sort value) would silently DROP the row. Every current caller
-    derives the shard from a non-null aggregate; a caller ranking a
-    nullable key must coalesce it into the key's sort position first
+    sort value) would otherwise silently DROP the row. Every current
+    caller derives the shard from a non-null aggregate; a caller ranking
+    a nullable key must coalesce it into the key's sort position first
     (SQL sorts NULLS FIRST ascending — ``coalesce(x, <min sentinel>)``).
+    The contract is enforced at runtime, not just documented: a NULL
+    shard key raises ``USER_RAISED_EXCEPTION`` instead of losing rows
+    (ADVICE r8).
+
+    ``values`` columns SHOULD be non-null too: per-shard partials are
+    coalesced to 0 (ADVICE r8) so an all-NULL shard can never NULL every
+    later shard's prefix, but rows inside such a shard still get a NULL
+    running sum where the naive window would carry the prior prefix.
+    Current callers pass ``lit(1)`` or pre-coalesced columns.
     """
-    sums = [F.sum(v).alias(f"_sw{i}") for i, (v, _) in enumerate(values)]
-    base = df.withColumn("_shard", shard)
+    sums = [
+        F.coalesce(F.sum(v), F.lit(0)).alias(f"_sw{i}")
+        for i, (v, _) in enumerate(values)
+    ]
+    base = df.withColumn(
+        "_shard",
+        F.when(shard.isNotNull(), shard).otherwise(
+            F.raise_error(
+                F.lit(
+                    "sharded_global_running: NULL shard key (null sort "
+                    "value?) — coalesce it into its sort position first"
+                )
+            )
+        ),
+    )
     partials = base.groupBy("_shard").agg(*sums)
     off_w = (
         Window.orderBy(F.desc("_shard") if shard_desc else F.asc("_shard"))
@@ -122,6 +145,17 @@ def sharded_global_row_number(
     )
 
 
+def _quoted_ident(name: str) -> str:
+    """Backtick-quote a plain column name; reject anything that is not
+    a simple identifier (expressions must be materialized to a named
+    column by the caller)."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name or ""):
+        raise ValueError(
+            f"ntile_from_rank: not a plain column name: {name!r}"
+        )
+    return f"`{name}`"
+
+
 def ntile_from_rank(rank: str, n: str, k: int) -> Column:
     """NTILE(k) as integer arithmetic on (global row_number, total n).
 
@@ -131,7 +165,15 @@ def ntile_from_rank(rank: str, n: str, k: int) -> Column:
     ``ceil(r / (q+1))``; later rows in ``rem + ceil((r - rem*(q+1)) / q)``.
     When ``n < k`` the ELSE branch is unreachable (``rem = n`` covers
     every row), so its ``div q`` with ``q = 0`` never evaluates.
+
+    ``rank`` / ``n`` are COLUMN NAMES (not expressions): validated and
+    backtick-quoted before interpolation so an exotic name (or an
+    accidental expression string) fails loudly instead of silently
+    changing semantics (ADVICE r8).
     """
+    rank, n = _quoted_ident(rank), _quoted_ident(n)
+    if not isinstance(k, int) or k < 1:
+        raise ValueError(f"ntile_from_rank: k must be a positive int: {k!r}")
     q = f"({n} div {k})"
     rem = f"({n} % {k})"
     head = f"({rem} * ({q} + 1))"

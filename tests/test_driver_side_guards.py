@@ -24,8 +24,10 @@ PKG = os.path.join(
 
 _UDF_PAT = re.compile(r"\bF\.udf\(|^\s*@udf\b|\.rdd\b", re.MULTILINE)
 _COLLECT_PAT = re.compile(r"\.collect\(\)")
-#: markers that prove the collected frame was reduced before the pull
-_REDUCED = (".agg(", ".groupBy(", ".limit(", ".distinct()", "F.explode(")
+#: markers that prove the collected frame was reduced before the pull.
+#: ``F.explode(`` was dropped from this set (ADVICE r8): explode EXPANDS
+#: rows, so its presence near a collect proves nothing.
+_REDUCED = (".agg(", ".groupBy(", ".limit(", ".distinct()")
 
 #: ``(relative file, context-substring)`` → justification for collects
 #: with no reduction marker in the preceding window.

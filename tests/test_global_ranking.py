@@ -74,6 +74,44 @@ def test_tiny_span_forces_many_shards(spark):
     assert got.select("id", "r").exceptAll(want).count() == 0
 
 
+def test_null_shard_key_raises_instead_of_dropping(spark):
+    """ADVICE r8: a NULL shard key must raise, not silently lose the
+    row through the inner offsets join."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id bigint, v bigint"
+    )
+    got = sharded_global_row_number(df, F.expr("v div 8"), ["v", "id"])
+    with pytest.raises(Exception, match="NULL shard key"):
+        got.collect()
+
+
+def test_all_null_value_shard_does_not_null_later_prefixes(spark):
+    """ADVICE r8: per-shard partials coalesce to 0, so an all-NULL
+    shard's exclusive prefix carries through to later shards instead of
+    poisoning them with NULL."""
+    rows = [(1, 0, 5), (2, 10, None), (3, 20, 7)]  # shard 1 all-NULL w
+    df = spark.createDataFrame(rows, "id bigint, v bigint, w bigint")
+    got = {
+        r["id"]: r["ws"]
+        for r in sharded_global_running(
+            df, F.expr("v div 10"), ["v", "id"], [(F.col("w"), "ws")]
+        ).collect()
+    }
+    assert got[1] == 5 and got[3] == 12  # later shard carries 5, not NULL
+
+
+def test_ntile_from_rank_rejects_non_identifier():
+    import pytest
+
+    for bad in ("r + 1", "n; DROP", "`r`", "", "1r"):
+        with pytest.raises(ValueError, match="plain column name"):
+            ntile_from_rank(bad, "n", 4)
+    with pytest.raises(ValueError, match="positive int"):
+        ntile_from_rank("r", "n", 0)
+
+
 def test_ntile_matches_both_engines(spark):
     for n in (1, 2, 3, 4, 5, 7, 8, 101, 1000):
         rows = [(i + 1,) for i in range(n)]

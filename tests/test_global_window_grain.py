@@ -31,77 +31,72 @@ PKG = os.path.join(
 
 _PAT = re.compile(r"(?:Window|W)\.(?:orderBy\(|partitionBy\(\))")
 
-#: ``(relative file, context-substring)`` pairs → boundedness proof.
-#: The context substring must appear within ±120 chars of the match.
-ALLOWLIST: tuple[tuple[str, str, str], ...] = (
-    # -- calendar grains (census bounded by the calendar, not the fact) --
-    ("plans/analytics.py", 'Window.orderBy(F.unix_timestamp("d"))',
-     "day-grain daily-revenue series (trailing 7d frame)"),
-    ("plans/advanced.py", 'Window.orderBy("d")',
-     "day-grain daily series (cusum / changepoint prefix)"),
-    ("plans/advanced.py", 'Window.orderBy("month")',
-     "month-grain series (MoM lag)"),
-    ("plans/advanced.py", 'F.min("day").over(Window.partitionBy())',
-     "scalar anchor over the day-grain census"),
-    ("plans/advanced.py", 'Window.orderBy("t")',
-     "day-index regression frame / minute-grain KM duration census"),
-    ("plans/advanced.py", 'Window.orderBy("ym")',
-     "month-grain index"),
-    ("plans/advanced.py", 'Window.orderBy("slope_micro", "i1", "i2")',
-     "month-PAIR grain (|months|^2, calendar-bounded)"),
-    ("plans/advanced.py", 'Window.orderBy("y")',
-     "calendar-day census (Spearman date marginal; docstring bound)"),
-    ("plans/advanced.py", 'Window.orderBy("cents").rangeBetween(',
-     "skyline frontier over the DAY-MAX census (days, not orders)"),
-    # -- tiny-dim grains -------------------------------------------------
-    ("plans/advanced.py", 'F.sum("n_orders").over(Window.partitionBy())',
-     "order-status census total (|statuses| = 3)"),
-    ("plans/advanced.py", 'Window.orderBy("region")',
-     "region grain (5 rows)"),
-    ("plans/advanced.py", 'Window.orderBy("p_value_micro", "region")',
-     "region grain (5 rows, BH rank)"),
-    ("plans/advanced.py", "w_all = Window.partitionBy()",
-     "month-pair / region census totals (both calendar/dim bounded)"),
-    ("operators/sampling.py", "w_all = Window.partitionBy()",
-     "source census total (|sources| ~ 5)"),
-    ("operators/sampling.py", "total = Window.partitionBy()",
-     "source x lang census total (both tiny dims)"),
-    ("operators/sampling.py", 'Window.orderBy(F.desc("remainder"), "source")',
-     "source-grain largest-remainder apportionment"),
-    ("operators/sampling.py", "wall = Window.partitionBy()",
-     "source-grain apportionment total"),
-    ("operators/sampling.py", 'Window.orderBy(F.desc("rem"), "source")',
-     "source-grain largest-remainder apportionment"),
-    ("operators/sampling.py", "every = Window.partitionBy()",
-     "source census total (|sources| ~ 5)"),
-    # -- shard-grain offsets frames (the documented two-pass bound) ------
-    ("plans/advanced.py", 'Window.orderBy("shard")',
-     "shard-grain exclusive prefix (N/span rows; _sharded_running bound)"),
-    ("operators/sampling.py", 'Window.orderBy("shard")',
-     "shard-grain exclusive prefix (N/span rows; _sharded_running bound)"),
-    ("operators/sampling.py", 'F.sum("shard_w").over(Window.partitionBy())',
-     "shard-grain census total (N/span rows)"),
-    ("operators/ranking.py", 'F.desc("_shard") if shard_desc',
+#: ``(relative file, site-substring, expected matches)`` → boundedness
+#: proof. Anchoring is to the MATCHED SITE ITSELF (ADVICE r8): the
+#: substring must appear inside the window expression's own text — from
+#: the start of the match's line through 160 chars past the match — and
+#: each entry pins exactly how many sites it covers, so a NEW window
+#: added near an allowlisted one (or a copy of an allowlisted line) can
+#: never ride an existing proof silently.
+ALLOWLIST: tuple[tuple[str, str, int, str], ...] = (
+    ('plans/analytics.py', 'Window.orderBy(F.unix_timestamp("d"))', 1,
+     'day-grain daily-revenue series (trailing 7d frame)'),
+    ('plans/advanced.py', 'Window.orderBy("d")', 1,
+     'day-grain daily series (cusum / changepoint prefix)'),
+    ('plans/advanced.py', 'Window.orderBy("month")', 1,
+     'month-grain series (MoM lag)'),
+    ('plans/advanced.py', 'F.min("day").over(Window.partitionBy())', 1,
+     'scalar anchor over the day-grain census'),
+    ('plans/advanced.py', 'Window.orderBy("t")', 2,
+     'day-index regression frame / minute-grain KM duration census'),
+    ('plans/advanced.py', 'Window.orderBy("ym")', 2,
+     'month-grain index'),
+    ('plans/advanced.py', 'Window.orderBy("slope_micro", "i1", "i2")', 1,
+     'month-PAIR grain (|months|^2, calendar-bounded)'),
+    ('plans/advanced.py', 'Window.orderBy("y")', 1,
+     'calendar-day census (Spearman date marginal; docstring bound)'),
+    ('plans/advanced.py', 'Window.orderBy("cents").rangeBetween(', 1,
+     'skyline frontier over the DAY-MAX census (days, not orders)'),
+    ('plans/advanced.py', 'F.sum("n_orders").over(Window.partitionBy())', 1,
+     'order-status census total (|statuses| = 3)'),
+    ('plans/advanced.py', 'Window.orderBy("region")', 1,
+     'region grain (5 rows)'),
+    ('plans/advanced.py', 'Window.orderBy("p_value_micro", "region")', 1,
+     'region grain (5 rows, BH rank)'),
+    ('plans/advanced.py', 'w_all = Window.partitionBy()', 2,
+     'month-pair / region census totals (both calendar/dim bounded)'),
+    ('operators/sampling.py', 'w_all = Window.partitionBy()', 1,
+     'source census total (|sources| ~ 5)'),
+    ('operators/sampling.py', 'total = Window.partitionBy()', 1,
+     'source x lang census total (both tiny dims)'),
+    ('operators/sampling.py', 'Window.orderBy(F.desc("remainder"), "source")', 1,
+     'source-grain largest-remainder apportionment'),
+    ('operators/sampling.py', 'wall = Window.partitionBy()', 1,
+     'source-grain apportionment total'),
+    ('operators/sampling.py', 'Window.orderBy(F.desc("rem"), "source")', 2,
+     'source-grain largest-remainder apportionment'),
+    ('operators/sampling.py', 'every = Window.partitionBy()', 2,
+     'source census total (|sources| ~ 5)'),
+    ('plans/advanced.py', 'Window.orderBy("shard")', 3,
+     'shard-grain exclusive prefix (N/span rows; _sharded_running bound)'),
+    ('operators/sampling.py', 'Window.orderBy("shard")', 1,
+     'shard-grain exclusive prefix (N/span rows; _sharded_running bound)'),
+    ('operators/sampling.py', 'F.sum("shard_w").over(Window.partitionBy())', 1,
+     'shard-grain census total (N/span rows)'),
+    ('operators/ranking.py', 'F.desc("_shard") if shard_desc', 1,
      "shard-grain exclusive prefix (the helper's documented bound)"),
-    # -- fixed-size / sublinear grains -----------------------------------
-    ("operators/sampling.py", 'Window.orderBy(F.desc("priority"), "doc_id")',
-     "frame already reduced by LIMIT WEIGHTED_SAMPLE_K (top-k bounded)"),
-    ("operators/sampling.py", 'Window.orderBy("ttr_micro")',
-     "TTR histogram grain (<= 1e6 buckets by construction)"),
-    ("operators/sampling.py", 'F.sum("c").over(Window.partitionBy())',
-     "TTR histogram census total"),
-    ("operators/sampling.py",
-     'Window.orderBy("boot_mean_micro", "replicate")',
-     "bootstrap replicate grain (fixed replicate count)"),
-    ("operators/text.py", 'Window.orderBy(F.desc("cnt"), "t")',
-     "vocabulary grain (Heaps-sublinear; documented posture — the "
-     "nested census + string-prefix-sharded tiebreak is the hatch if "
-     "a corpus ever outgrows it)"),
-    ("operators/text.py", 'Window.orderBy(F.desc("score_micro"), "phrase")',
-     "frame already reduced by LIMIT RAKE_TOP_K (top-k bounded)"),
-    ("load/layout.py", "W.orderBy(",
-     "file-manifest census (month x status shelf; lakehouse metadata "
-     "grain)"),
+    ('operators/sampling.py', 'Window.orderBy(F.desc("priority"), "doc_id")', 1,
+     'frame already reduced by LIMIT WEIGHTED_SAMPLE_K (top-k bounded)'),
+    ('operators/sampling.py', 'Window.orderBy("ttr_micro")', 1,
+     'TTR histogram grain (<= 1e6 buckets by construction)'),
+    ('operators/sampling.py', 'F.sum("c").over(Window.partitionBy())', 1,
+     'TTR histogram census total'),
+    ('operators/sampling.py', 'Window.orderBy("boot_mean_micro", "replicate")', 1,
+     'bootstrap replicate grain (fixed replicate count)'),
+    ('operators/text.py', 'Window.orderBy(F.desc("score_micro"), "phrase")', 1,
+     'frame already reduced by LIMIT RAKE_TOP_K (top-k bounded)'),
+    ('load/layout.py', 'W.orderBy(', 1,
+     'file-manifest census (month x status shelf; lakehouse metadata grain)'),
 )
 
 
@@ -112,24 +107,31 @@ def _py_files():
                 yield os.path.join(root, f)
 
 
-def test_no_unpartitioned_window_over_fact_grain():
-    offenders = []
+def _covered_counts():
+    """Map each allowlist entry to the number of window sites it covers
+    under the site-anchored rule, and collect uncovered sites."""
+    covered: dict[tuple[str, str], int] = {}
+    offenders: list[str] = []
     for path in _py_files():
         rel = os.path.relpath(path, PKG)
         src = open(path).read()
         for m in _PAT.finditer(src):
-            lo = max(0, m.start() - 120)
-            ctx = src[lo : m.start() + 120]
-            if any(
-                rel == f and marker in ctx
-                for f, marker, _proof in ALLOWLIST
-            ):
-                continue
-            line = src[: m.start()].count("\n") + 1
-            offenders.append(
-                f"{rel}:{line}: "
-                f"{src[m.start(): m.start() + 80]!r}"
-            )
+            line_start = src.rfind("\n", 0, m.start()) + 1
+            site = src[line_start : m.start() + 160]
+            for f, marker, _count, _proof in ALLOWLIST:
+                if rel == f and marker in site:
+                    covered[(f, marker)] = covered.get((f, marker), 0) + 1
+                    break
+            else:
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(
+                    f"{rel}:{line}: {src[m.start(): m.start() + 80]!r}"
+                )
+    return covered, offenders
+
+
+def test_no_unpartitioned_window_over_fact_grain():
+    _covered, offenders = _covered_counts()
     assert not offenders, (
         "Unpartitioned window without a boundedness proof (single-task "
         "sort at scale; use operators/ranking.py's value-sharded plan "
@@ -138,12 +140,14 @@ def test_no_unpartitioned_window_over_fact_grain():
     )
 
 
-def test_allowlist_entries_all_match():
-    """Every allowlist row must still anchor to a real site — stale
-    entries get pruned rather than silently shadowing new code."""
-    stale = []
-    for f, marker, _proof in ALLOWLIST:
-        src = open(os.path.join(PKG, f)).read()
-        if marker not in src:
-            stale.append(f"{f}: {marker!r}")
-    assert not stale, "stale allowlist entries:\n" + "\n".join(stale)
+def test_allowlist_counts_exact():
+    """Each entry must cover EXACTLY its pinned number of sites: zero →
+    stale (prune it); more → a new window is riding an old proof (add
+    its own entry with its own boundedness argument)."""
+    covered, _offenders = _covered_counts()
+    bad = []
+    for f, marker, count, _proof in ALLOWLIST:
+        got = covered.get((f, marker), 0)
+        if got != count:
+            bad.append(f"{f}: {marker!r}: expected {count} sites, found {got}")
+    assert not bad, "allowlist count drift:\n" + "\n".join(bad)
