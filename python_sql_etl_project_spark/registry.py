@@ -89,20 +89,16 @@ def load_all() -> None:
 #: ledger order):
 #:
 #: * slots 1-12 — the ``ref_`` reference-parity rows, pinned every round
-#:   (SURVEY §2's hard requirement; green seven rounds running);
-#: * slots 13-38 — the 26 r3 names deferred from round 7
-#:   (``tools/gen_queries_md.py`` hard-fails the ledger if any slips
-#:   past this round). ``dq_join_key_skew`` additionally carries this
-#:   round's census-total rewrite, and the five ``win_`` names the
-#:   round-7 verdict graded weak-adjacent get their rows on the final
-#:   plans;
-#: * slots 39-50 — the first 12 r5-registered names (ledger order):
-#:   the five never-checked ``dq_`` audits, ``fn_array_higher_order``
-#:   (thinnest family), both iterative graph ops, the two numeric
-#:   ``agg_`` estimators, the as-of join and the star fingerprint.
-#: After this round union driver coverage reaches ≥309/331; the 22
-#: remaining names (10 r5 + 7 r6 + 5 r7) all fit round 9's 38 free
-#: slots, closing external coverage completely.
+#:   (SURVEY §2's hard requirement; green eight rounds running);
+#: * slots 13-36 — ALL 24 remaining never-externally-checked names (the
+#:   round-8 ``PENDING_EXTERNAL`` backlog, verbatim): 10 r5, 7 r6, 5 r7
+#:   and the 2 r8-wave names. After this round EVERY registered query
+#:   has at least one driver row — external coverage closes at 333/333
+#:   (the plan of record since round 7; verdict r8 item 1);
+#: * slots 37-50 — re-verification: the 14 queries whose most recent
+#:   green driver row is OLDEST (all round-1; ledger-alphabetical
+#:   tiebreak). Oldest-first re-verification is the steady-state use of
+#:   spare slots now that first-time coverage is complete.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- tier 0: reference parity (pinned) --------------------------------
     "ref_daily_cumulative_metrics",
@@ -117,58 +113,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ref_distinct_flags",
     "ref_status_counts",
     "ref_null_drop",
-    # -- r3 staleness backlog (ceiling fires this round) -------------------
-    "date_calendar_dim",
-    "dq_inflight_observation",
-    "dq_iqr_outliers",
-    "dq_join_key_skew",
-    "dq_order_total_reconciliation",
-    "dq_sentinel_values",
-    "fn_grouped_means_udaf",
-    "fn_sql_scalar_udf",
-    "funnel_view_click_purchase",
-    "ld_column_histogram",
-    "ld_column_stats",
-    "ld_partition_skew",
-    "ld_snapshot_diff",
-    "mm_byte_uniformity",
-    "mm_payload_integrity",
-    "mm_tile_grid",
-    "rng_session_concurrency",
-    "scd2_interval_integrity",
-    "strm_python_stream_source",
-    "strm_static_dim_enrich",
-    "win_attribution_last_touch",
-    "win_dau_mau_stickiness",
-    "win_keyset_pagination",
-    "win_lifecycle_stages",
-    "win_new_vs_returning",
-    "win_skyline_price_recency",
-    # -- oldest r5 backlog (ledger order; round-9 deadline) -----------------
-    "agg_entropy_mix",
-    "agg_theil_index",
-    "asof_tolerance_join",
-    "dq_completeness_matrix",
-    "dq_functional_dependency_audit",
-    "dq_referential_integrity_sweep",
-    "dq_table_fingerprint",
-    "dq_uniqueness_profile",
-    "fn_array_higher_order",
-    "graph_cc_pointer_doubling",
-    "graph_multi_source_bfs",
-    "jn_star_denormalize_fingerprint",
-)
-
-#: Queries still awaiting their FIRST external driver row after the
-#: round-8 rotation: fully oracle-gated locally (tests/test_oracle_parity
-#: + tools/drive_contract.py at sf0.01 and the sf0.1 sweep) but the
-#: 50-slot window can only absorb 38 first-time names per round. All 22
-#: remaining names (10 r5 + 7 r6 + 5 r7 — deadlines round 9/10/11) are
-#: COMMITTED to the round-9 window, which closes external coverage
-#: completely with 16 slots to spare. The union-coverage test allows
-#: exactly these names to lack a historical driver row.
-PENDING_EXTERNAL: tuple[str, ...] = (
-    # -- r5-registered (round-9 deadline) ----------------------------------
+    # -- first-time coverage: the full round-8 PENDING_EXTERNAL backlog ----
+    # r5-registered (deadline round 9)
     "jn_time_range_join",
     "ld_compaction_planning",
     "ld_zorder_clustering_audit",
@@ -179,7 +125,7 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "txt_cdc_chunks",
     "txt_mattr_diversity",
     "txt_rake_keyphrases",
-    # -- r6-registered waves (round-10 deadline) ----------------------------
+    # r6-registered waves (deadline round 10)
     "pack_crossdoc_attention_mask",
     "decon_eval_contamination_report",
     "mm_audio_energy_segments",
@@ -187,18 +133,40 @@ PENDING_EXTERNAL: tuple[str, ...] = (
     "pack_span_corruption_plan",
     "decon_source_quarantine",
     "mm_caption_pair_stats",
-    # -- round-7 wave (pre-freeze, locally oracle-gated; thin-family
-    # growth per the round-6 verdict item 5: strm_/fn_/src_) -------------
+    # r7 wave (deadline round 11)
     "strm_chained_window_rollup",
     "strm_topk_users_complete",
     "strm_session_windows_typed",
     "fn_sql_table_function",
     "src_partition_pruned_scan",
-    # -- round-8 minimal wave (verdict item 4: <=5, thin families;
-    # round-9 window committed) ------------------------------------------
+    # r8 wave
     "fn_variant_shred",
     "win_event_path_trigrams",
+    # -- re-verification: oldest green driver row first (all r1) -----------
+    "agg_numeric_stats",
+    "agg_price_quantiles",
+    "asof_last_order_before_event",
+    "cube_status_priority",
+    "date_order_latency",
+    "funnel_signup_to_purchase",
+    "json_props_by_event_type",
+    "pivot_monthly_status_revenue",
+    "q10_returned_items",
+    "q11_revenue_concentration",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
 )
+
+#: Queries still awaiting their FIRST external driver row. EMPTY as of
+#: the round-9 rotation: all 24 names from the round-8 backlog took
+#: window slots 13-36, so every registered query either has a historical
+#: driver row or is in the current window — external coverage closes at
+#: 333/333 this round. New post-freeze registrations (if any) append
+#: here with their registration round and a deadline per the staleness
+#: ceiling (``tools/gen_queries_md.py``).
+PENDING_EXTERNAL: tuple[str, ...] = ()
 
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
