@@ -344,6 +344,9 @@ HEADLINE = [
     # round-8 minimal wave (VARIANT shredding + session-path mining):
     "fn_variant_shred",
     "win_event_path_trigrams",
+    # round-9 minimal wave (exact-substring decon + UNPIVOT surface):
+    "decon_exact_substring_runs",
+    "fn_unpivot_measures",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

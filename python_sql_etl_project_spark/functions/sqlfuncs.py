@@ -364,3 +364,55 @@ def fn_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tags"
         ),
     )
+
+
+@query(
+    "fn_unpivot_measures",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(l_quantity AS DECIMAL(14,2)) AS quantity,
+               CAST(l_extendedprice AS DECIMAL(14,2)) AS extendedprice,
+               CAST(l_discount AS DECIMAL(14,2)) AS discount,
+               CAST(l_tax AS DECIMAL(14,2)) AS tax
+        FROM lineitem
+    )
+    SELECT metric, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(val), 2) AS DOUBLE) AS total,
+           CAST(min(val) AS DOUBLE) AS min_val,
+           CAST(max(val) AS DOUBLE) AS max_val
+    FROM (UNPIVOT m ON quantity, extendedprice, discount, tax
+          INTO NAME metric VALUE val)
+    GROUP BY metric
+    """,
+)
+def fn_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational UNPIVOT (melt) surface — ``DataFrame.unpivot`` turns
+    the four lineitem measures into a long (metric, value) frame, the
+    shape every generic profiler / drift monitor wants, then profiles
+    each metric in one aggregate. The DuckDB oracle uses its native
+    ``UNPIVOT`` clause, so a hash match pins the two engines' unpivot
+    SEMANTICS against each other (column-name labels, row
+    multiplication, value typing), not just the arithmetic.
+
+    Exactness: measures cast to DECIMAL(14,2) BEFORE the unpivot, so
+    the shared value column is exact; sums stay decimal (order-free),
+    round half-up while still decimal, then cast to double. Scale
+    shape: unpivot is a zero-shuffle map-side expand (4× rows, narrow),
+    followed by one 4-group aggregate with map-side partials — no
+    window, no join, nothing fact-proportional in one task.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("decimal(14,2)").alias("quantity"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("extendedprice"),
+        F.col("l_discount").cast("decimal(14,2)").alias("discount"),
+        F.col("l_tax").cast("decimal(14,2)").alias("tax"),
+    )
+    long = li.unpivot(
+        [], ["quantity", "extendedprice", "discount", "tax"], "metric", "val"
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("val"), 2).cast("double").alias("total"),
+        F.min("val").cast("double").alias("min_val"),
+        F.max("val").cast("double").alias("max_val"),
+    )

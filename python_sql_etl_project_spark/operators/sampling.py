@@ -408,6 +408,168 @@ def decon_benchmark_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_hits", "n_shingles", "contamination_ratio")
 
 
+#: Exact-substring-run blocking: a shingle participates in run detection
+#: only if it occupies at most this many positions on the bench / train
+#: side — bounding the position-pair join at ≤ BENCH_MAX × TRAIN_MAX
+#: pairs per distinct shingle (the dd_fuzzy blocking-key discipline).
+#: Boilerplate shingles above the cap can only SHORTEN detected runs,
+#: identically on both engines.
+DECON_RUN_BENCH_MAX = 10
+DECON_RUN_TRAIN_MAX = 50
+DECON_RUN_TOP = 20
+
+
+@query(
+    "decon_exact_substring_runs",
+    oracle=f"""
+    WITH flag AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+               substr(md5(concat('bench:', doc_id)), 1, 2) < '{BENCH_UPPER}'
+                   AS is_bench
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, is_bench, w,
+               unnest(range(1, len(w) - {DECON_K - 2})) AS i
+        FROM flag WHERE len(w) >= {DECON_K}
+    ),
+    sh AS (
+        SELECT doc_id, is_bench, i,
+               array_to_string(list_slice(w, i, i + {DECON_K - 1}), ' ') AS s
+        FROM pos
+    ),
+    elig AS (
+        SELECT s FROM sh GROUP BY s
+        HAVING sum(CASE WHEN is_bench THEN 1 ELSE 0 END)
+                   BETWEEN 1 AND {DECON_RUN_BENCH_MAX}
+           AND sum(CASE WHEN is_bench THEN 0 ELSE 1 END)
+                   BETWEEN 1 AND {DECON_RUN_TRAIN_MAX}
+    ),
+    m AS (
+        SELECT t.doc_id AS td, t.i AS ti, b.doc_id AS bd, b.i AS bj
+        FROM sh t JOIN sh b USING (s)
+        WHERE NOT t.is_bench AND b.is_bench
+          AND s IN (SELECT s FROM elig)
+    ),
+    runs AS (
+        SELECT td, bd, ti - row_number() OVER (
+                   PARTITION BY td, bd, bj - ti ORDER BY ti) AS island,
+               bj - ti AS diag
+        FROM m
+    ),
+    runlen AS (
+        SELECT td, bd, count(*) AS len FROM runs GROUP BY td, bd, diag, island
+    ),
+    best AS (SELECT td, bd, max(len) AS longest FROM runlen GROUP BY td, bd)
+    SELECT bd AS bench_doc, td AS train_doc,
+           CAST(longest AS BIGINT) AS run_shingles,
+           CAST(longest + {DECON_K - 1} AS BIGINT) AS run_tokens
+    FROM best
+    ORDER BY run_shingles DESC, bench_doc, train_doc
+    LIMIT {DECON_RUN_TOP}
+    """,
+)
+def decon_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (the GPT-3/PaLM rule): for every
+    (train doc, benchmark doc) pair, the LONGEST contiguous token run
+    they share verbatim, reported in tokens — ``decon_benchmark_ngrams``
+    counts ISOLATED shingle hits; this op upgrades the evidence to
+    "a 25-token passage of the benchmark appears verbatim in training
+    data", which is the actual removal criterion pipelines apply.
+
+    Algorithm: k-gram diagonal runs — positional shingles from both
+    splits join on the shingle text, a matched pair (ti, bj) lies on
+    diagonal bj−ti, and consecutive positions on one diagonal form a
+    shared run (gaps-and-islands: island = ti − row_number within the
+    (pair, diagonal) partition, a partition bounded by document length,
+    never fact-grain). Run of L shingles = L+K−1 shared tokens.
+
+    Scale shape: one positional tokenize→shingle pass feeds both sides
+    and the eligibility census (persisted — three consumers); the
+    position-pair join is blocked by per-side shingle-frequency caps so
+    its fan-out is ≤ BENCH_MAX × TRAIN_MAX pairs per distinct shingle
+    (boilerplate shingles drop out, identically in both engines); the
+    only windows partition by (pair, diagonal). Top pairs compile to
+    TakeOrderedAndProject.
+    """
+    from pyspark import StorageLevel
+
+    from ..session import finalize_unpersist
+
+    w = tokens()
+    shingle_arr = F.transform(
+        F.sequence(F.lit(0), F.size(w) - DECON_K),
+        lambda i: F.concat_ws(
+            " ", *[F.get(w, i + j) for j in range(DECON_K)]
+        ),
+    )
+    is_bench = (
+        F.substring(F.md5(F.concat(F.lit("bench:"), F.col("doc_id"))), 1, 2)
+        < BENCH_UPPER
+    )
+    sh = (
+        read_table_parallel(spark, sf_dir, "documents", "doc_id")
+        .filter(F.size(w) >= DECON_K)
+        .select(
+            "doc_id",
+            is_bench.alias("is_bench"),
+            F.posexplode(shingle_arr).alias("i", "s"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    elig = (
+        sh.groupBy("s")
+        .agg(
+            F.sum(F.col("is_bench").cast("int")).alias("nb"),
+            F.sum((~F.col("is_bench")).cast("int")).alias("nt"),
+        )
+        .filter(
+            F.col("nb").between(1, DECON_RUN_BENCH_MAX)
+            & F.col("nt").between(1, DECON_RUN_TRAIN_MAX)
+        )
+        .select("s")
+    )
+    train = sh.filter(~F.col("is_bench")).join(elig, "s").select(
+        "s", F.col("doc_id").alias("td"), F.col("i").alias("ti")
+    )
+    bench = sh.filter("is_bench").join(elig, "s").select(
+        "s", F.col("doc_id").alias("bd"), F.col("i").alias("bj")
+    )
+    m = train.join(bench, "s").select(
+        "td", "bd", "ti", (F.col("bj") - F.col("ti")).alias("diag")
+    )
+    runs = m.select(
+        "td",
+        "bd",
+        "diag",
+        (
+            F.col("ti")
+            - F.row_number().over(
+                Window.partitionBy("td", "bd", "diag").orderBy("ti")
+            )
+        ).alias("island"),
+    )
+    best = (
+        runs.groupBy("td", "bd", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("td", "bd")
+        .agg(F.max("len").alias("longest"))
+    )
+    out = (
+        best.select(
+            F.col("bd").alias("bench_doc"),
+            F.col("td").alias("train_doc"),
+            F.col("longest").cast("bigint").alias("run_shingles"),
+            (F.col("longest") + (DECON_K - 1))
+            .cast("bigint")
+            .alias("run_tokens"),
+        )
+        .orderBy(F.desc("run_shingles"), "bench_doc", "train_doc")
+        .limit(DECON_RUN_TOP)
+    )
+    return finalize_unpersist(out, sh)
+
+
 #: Temperature for source re-balancing: keep_rate_s = (n_min/n_s)^TEMP_ALPHA
 #: (alpha=0.5 → sqrt-scaled toward uniform; the smallest source keeps 1.0).
 TEMP_ALPHA = 0.5

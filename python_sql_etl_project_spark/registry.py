@@ -166,7 +166,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: 333/333 this round. New post-freeze registrations (if any) append
 #: here with their registration round and a deadline per the staleness
 #: ceiling (``tools/gen_queries_md.py``).
-PENDING_EXTERNAL: tuple[str, ...] = ()
+PENDING_EXTERNAL: tuple[str, ...] = (
+    # -- round-9 minimal wave (verdict r8 item 4: thinnest families;
+    # committed to the round-10 window) -----------------------------------
+    "decon_exact_substring_runs",
+    "fn_unpivot_measures",
+)
 
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
