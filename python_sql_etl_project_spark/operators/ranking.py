@@ -47,11 +47,30 @@ preserve bit-identical output (pure prefix arithmetic).
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Small-frame fast-path threshold (rows), round-9 verdict item 7: when a
+#: bounded runtime probe shows the frame fits one window task, the census
+#: + offsets stages are pure overhead (~1 s of fixed stage latency per
+#: rank pass at bench scale) and the helper runs the plain global window
+#: instead — output identical BY DEFINITION (the naive window is the
+#: semantics the sharded plan reproduces). 2^20 narrow rank rows is tens
+#: of MB in one sort task — comfortably bounded; above it the sharded
+#: plan is mandatory. The env override exists so ``tools/scale_probe.py``
+#: can force the sharded path (``SPARK_GRAFT_SMALL_FRAME_ROWS=0``) and
+#: measure it at any replica factor.
+SMALL_FRAME_ROWS: int = int(
+    os.environ.get("SPARK_GRAFT_SMALL_FRAME_ROWS", str(1 << 20))
+)
+
+#: Sentinel: "use the module default" (callers that must pin a behavior
+#: pass an explicit int or ``None``).
+_USE_DEFAULT: int = -1
 
 
 def sharded_global_running(
@@ -60,6 +79,7 @@ def sharded_global_running(
     order_cols: Sequence,
     values: Sequence[tuple[Column, str]],
     shard_desc: bool = False,
+    small_frame_rows: int | None = _USE_DEFAULT,
 ) -> DataFrame:
     """Add inclusive global running sums over ``ORDER BY order_cols``.
 
@@ -88,7 +108,37 @@ def sharded_global_running(
     later shard's prefix, but rows inside such a shard still get a NULL
     running sum where the naive window would carry the prior prefix.
     Current callers pass ``lit(1)`` or pre-coalesced columns.
+
+    ``small_frame_rows`` (round 9): when set (the default,
+    :data:`SMALL_FRAME_ROWS`), a bounded probe —
+    ``limit(threshold + 1).count()`` over a 1-column projection, so each
+    scan task stops after ``threshold + 1`` rows — runs first, and if the
+    frame provably fits one window task the helper returns the plain
+    global window (no census, no offsets join). The probe re-executes
+    ``df``'s lineage once, so callers whose input is NOT persisted (and
+    expensive to recompute) pass ``None`` to skip straight to the sharded
+    plan; every persisted-input caller keeps the default. NULL-shard
+    semantics on the fast path: the shard expression is never evaluated
+    and there is no offsets join to drop rows through, so the naive
+    window's own NULLS-FIRST ordering applies — strictly safer than the
+    raise, which exists only to guard the join.
     """
+    if small_frame_rows == _USE_DEFAULT:
+        small_frame_rows = SMALL_FRAME_ROWS
+    if small_frame_rows:
+        probed = (
+            df.select(F.lit(1).alias("_p"))
+            .limit(small_frame_rows + 1)
+            .count()
+        )
+        if probed <= small_frame_rows:
+            naive = Window.orderBy(*order_cols).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )  # grain: probed <= small_frame_rows (runtime-bounded above)
+            out = df
+            for v, name in values:
+                out = out.withColumn(name, F.sum(v).over(naive))
+            return out
     sums = [
         F.coalesce(F.sum(v), F.lit(0)).alias(f"_sw{i}")
         for i, (v, _) in enumerate(values)
@@ -137,11 +187,17 @@ def sharded_global_row_number(
     order_cols: Sequence,
     out: str = "r",
     shard_desc: bool = False,
+    small_frame_rows: int | None = _USE_DEFAULT,
 ) -> DataFrame:
     """Global ``row_number() OVER (ORDER BY order_cols)`` without the
     single-partition sort (running count through the sharded plan)."""
     return sharded_global_running(
-        df, shard, order_cols, [(F.lit(1), out)], shard_desc=shard_desc
+        df,
+        shard,
+        order_cols,
+        [(F.lit(1), out)],
+        shard_desc=shard_desc,
+        small_frame_rows=small_frame_rows,
     )
 
 

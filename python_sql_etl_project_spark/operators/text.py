@@ -918,6 +918,9 @@ def txt_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("cnt")],
         [(F.col("c_rows"), "r_hi")],
         shard_desc=True,
+        # census is NOT persisted: the small-frame probe would re-run the
+        # whole tokenize + two groupBys for a ~1 s saving — skip it.
+        small_frame_rows=None,
     )
     chunks = cum.select(
         "cnt",
@@ -1456,6 +1459,10 @@ def txt_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nt"), "cum_tokens"),
             (F.coalesce("nv", F.lit(0)), "cum_vocab"),
         ],
+        # batch census is NOT persisted: the small-frame probe would
+        # re-run the tokenize + both groupBys — skip straight to the
+        # sharded plan.
+        small_frame_rows=None,
     )
     pts = cum.select(
         F.round(F.log("cum_tokens") * 1000000, 0).cast("bigint").alias("x6"),

@@ -10,6 +10,12 @@ but the helper is a shared primitive — pin its contract directly:
 * ``ntile_from_rank`` must reproduce Spark's native ``ntile`` for every
   n in a range crossing all remainder classes (n mod 4 ∈ {0,1,2,3} and
   n < k), and DuckDB's ``ntile`` on the same frames.
+
+The sharded-plan tests pass ``small_frame_rows=None`` explicitly: the
+test frames are small, so the round-9 runtime fast path would otherwise
+silently replace the plan under test with the naive window. The fast
+path has its own tests below (equality to the sharded plan, threshold
+boundary in both directions, and plan-shape assertions both ways).
 """
 
 from __future__ import annotations
@@ -39,6 +45,7 @@ def test_running_sums_match_naive_window(spark):
         F.expr("v div 8"),
         ["v", "id"],
         [(F.lit(1), "r"), (F.col("w"), "wsum")],
+        small_frame_rows=None,
     )
     naive = Window.orderBy("v", "id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -55,7 +62,8 @@ def test_running_sums_match_naive_window(spark):
 def test_desc_row_number_matches_naive_window(spark):
     df = _synthetic(spark)
     got = sharded_global_row_number(
-        df, F.expr("v div 8"), [F.desc("v"), "id"], shard_desc=True
+        df, F.expr("v div 8"), [F.desc("v"), "id"], shard_desc=True,
+        small_frame_rows=None,
     )
     naive = Window.orderBy(F.desc("v"), "id")
     # grain: test-only naive reference
@@ -66,7 +74,9 @@ def test_desc_row_number_matches_naive_window(spark):
 
 def test_tiny_span_forces_many_shards(spark):
     df = _synthetic(spark)
-    got = sharded_global_row_number(df, F.expr("id div 4"), ["id"])
+    got = sharded_global_row_number(
+        df, F.expr("id div 4"), ["id"], small_frame_rows=None
+    )
     n_shards = df.select(F.expr("id div 4")).distinct().count()
     assert n_shards > 1000
     naive = Window.orderBy("id")  # grain: test-only naive reference
@@ -82,7 +92,9 @@ def test_null_shard_key_raises_instead_of_dropping(spark):
     df = spark.createDataFrame(
         [(1, 10), (2, None), (3, 30)], "id bigint, v bigint"
     )
-    got = sharded_global_row_number(df, F.expr("v div 8"), ["v", "id"])
+    got = sharded_global_row_number(
+        df, F.expr("v div 8"), ["v", "id"], small_frame_rows=None
+    )
     with pytest.raises(Exception, match="NULL shard key"):
         got.collect()
 
@@ -96,10 +108,73 @@ def test_all_null_value_shard_does_not_null_later_prefixes(spark):
     got = {
         r["id"]: r["ws"]
         for r in sharded_global_running(
-            df, F.expr("v div 10"), ["v", "id"], [(F.col("w"), "ws")]
+            df, F.expr("v div 10"), ["v", "id"], [(F.col("w"), "ws")],
+            small_frame_rows=None,
         ).collect()
     }
     assert got[1] == 5 and got[3] == 12  # later shard carries 5, not NULL
+
+
+def test_small_frame_fast_path_matches_sharded_plan(spark):
+    """Round 9 (verdict item 7): when the runtime probe proves the frame
+    fits one task, the helper must return the plain global window —
+    value-identical to the sharded plan, with the census/offsets stages
+    absent from the physical plan."""
+    df = _synthetic(spark)
+    fast = sharded_global_running(
+        df,
+        F.expr("v div 8"),
+        ["v", "id"],
+        [(F.lit(1), "r"), (F.col("w"), "wsum")],
+        small_frame_rows=1_000_000,
+    )
+    sharded = sharded_global_running(
+        df,
+        F.expr("v div 8"),
+        ["v", "id"],
+        [(F.lit(1), "r"), (F.col("w"), "wsum")],
+        small_frame_rows=None,
+    )
+    cols = ["id", "r", "wsum"]
+    assert fast.select(*cols).exceptAll(sharded.select(*cols)).count() == 0
+    assert sharded.select(*cols).exceptAll(fast.select(*cols)).count() == 0
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    sharded_plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "_shard" not in fast_plan  # no census, no offsets join
+    assert "_shard" in sharded_plan
+
+
+def test_small_frame_threshold_boundary(spark):
+    """probed <= threshold takes the fast path; probed > threshold takes
+    the sharded plan (detected by plan shape); both produce the same
+    ranks."""
+    df = _synthetic(spark)  # exactly 5050 rows
+    n = df.count()
+    at = sharded_global_row_number(
+        df, F.expr("v div 8"), ["v", "id"], small_frame_rows=n
+    )
+    below = sharded_global_row_number(
+        df, F.expr("v div 8"), ["v", "id"], small_frame_rows=n - 1
+    )
+    assert "_shard" not in at._jdf.queryExecution().executedPlan().toString()
+    assert "_shard" in below._jdf.queryExecution().executedPlan().toString()
+    assert at.select("id", "r").exceptAll(below.select("id", "r")).count() == 0
+
+
+def test_fast_path_null_sort_value_matches_naive_window(spark):
+    """On the fast path the shard expression is never evaluated: a NULL
+    sort value must NOT raise — it ranks where the naive window puts it
+    (NULLS FIRST ascending), because the fast path IS the naive window."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id bigint, v bigint"
+    )
+    got = {
+        r["id"]: r["r"]
+        for r in sharded_global_row_number(
+            df, F.expr("v div 8"), ["v", "id"], small_frame_rows=100
+        ).collect()
+    }
+    assert got == {2: 1, 1: 2, 3: 3}
 
 
 def test_ntile_from_rank_rejects_non_identifier():

@@ -85,6 +85,10 @@ ALLOWLIST: tuple[tuple[str, str, int, str], ...] = (
      'shard-grain census total (N/span rows)'),
     ('operators/ranking.py', 'F.desc("_shard") if shard_desc', 1,
      "shard-grain exclusive prefix (the helper's documented bound)"),
+    ('operators/ranking.py', 'naive = Window.orderBy(*order_cols)', 1,
+     'small-frame fast path: executes ONLY after the runtime probe '
+     'proved the frame <= small_frame_rows (<= 2^20 narrow rows in one '
+     'task); above the threshold the sharded plan runs instead'),
     ('operators/sampling.py', 'Window.orderBy(F.desc("priority"), "doc_id")', 1,
      'frame already reduced by LIMIT WEIGHTED_SAMPLE_K (top-k bounded)'),
     ('operators/sampling.py', 'Window.orderBy("ttr_micro")', 1,
