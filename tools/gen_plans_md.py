@@ -219,7 +219,10 @@ SHOWCASE = {
         "single-task stage is the N/span shard-grain offsets frame, "
         "offsets return via BroadcastExchange, and the scalar n is a "
         "1-row broadcast; no unpartitioned window over the "
-        "fact-proportional customer grain."
+        "fact-proportional customer grain. This dump FORCES the sharded "
+        "path (SPARK_GRAFT_SMALL_FRAME_ROWS=0): since round 9 a runtime "
+        "probe takes the plain-window fast path when the frame fits one "
+        "task (sf0.1's 15k customers would), with identical output."
     ),
     "fn_variant_shred": (
         "VARIANT shredding: parse_json + four typed path extractions "
@@ -231,6 +234,10 @@ SHOWCASE = {
 
 
 def main() -> None:
+    # force the sharded rank plan in the dumps: the round-9 small-frame
+    # fast path would otherwise replace it at sf0.1 (must be set before
+    # the package import reads it)
+    os.environ["SPARK_GRAFT_SMALL_FRAME_ROWS"] = "0"
     from python_sql_etl_project_spark import registry
     from python_sql_etl_project_spark.session import build_spark
 
