@@ -177,6 +177,57 @@ def test_fast_path_null_sort_value_matches_naive_window(spark):
     assert got == {2: 1, 1: 2, 3: 3}
 
 
+def test_sharded_running_property_vs_python_prefix(spark):
+    """Hypothesis sweep: for arbitrary small frames (duplicate and
+    NEGATIVE sort values — `div` truncates toward zero, which is still
+    monotone nondecreasing, the shard contract), any span, and both
+    paths (sharded / fast), the running count and running sum must
+    equal a pure-Python prefix over the (v, id) total order — a
+    reference independent of Spark's own window."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=-50, max_value=50),
+                st.integers(min_value=0, max_value=9),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        span=st.sampled_from([1, 3, 8]),
+        fast=st.sampled_from([None, 1_000_000]),
+    )
+    def check(rows, span, fast):
+        data = [(i, v, w) for i, (v, w) in enumerate(rows)]
+        df = spark.createDataFrame(data, "id bigint, v bigint, w bigint")
+        got = sharded_global_running(
+            df,
+            F.expr(f"v div {span}"),
+            ["v", "id"],
+            [(F.lit(1), "r"), (F.col("w"), "ws")],
+            small_frame_rows=fast,
+        ).collect()
+        order = sorted(data, key=lambda t: (t[1], t[0]))
+        want_r = {t[0]: i + 1 for i, t in enumerate(order)}
+        want_ws, cum = {}, 0
+        for t in order:
+            cum += t[2]
+            want_ws[t[0]] = cum
+        assert len(got) == len(data)
+        for row in got:
+            assert row["r"] == want_r[row["id"]], (span, fast, data)
+            assert row["ws"] == want_ws[row["id"]], (span, fast, data)
+
+    check()
+
+
 def test_ntile_from_rank_rejects_non_identifier():
     import pytest
 
