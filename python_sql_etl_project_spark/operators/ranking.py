@@ -126,9 +126,12 @@ def sharded_global_running(
     if small_frame_rows == _USE_DEFAULT:
         small_frame_rows = SMALL_FRAME_ROWS
     if small_frame_rows:
+        # limit() takes a JVM int: clamp the probe for thresholds beyond
+        # 2^31-2 (a caller passing one has declared any frame fits one
+        # task — the probe then can never exceed the limit)
         probed = (
             df.select(F.lit(1).alias("_p"))
-            .limit(small_frame_rows + 1)
+            .limit(min(small_frame_rows + 1, (1 << 31) - 1))
             .count()
         )
         if probed <= small_frame_rows:
