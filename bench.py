@@ -347,6 +347,9 @@ HEADLINE = [
     # round-9 minimal wave (exact-substring decon + UNPIVOT surface):
     "decon_exact_substring_runs",
     "fn_unpivot_measures",
+    # round-10 minimal wave (cross-split MinHash decon + LATERAL top-k):
+    "decon_minhash_train_eval",
+    "fn_lateral_topk_orders",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -1830,3 +1830,164 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overflow"),
         )
     )
+
+
+#: Cross-split MinHash decontamination: the "bench" slice simulates the
+#: union of held-out benchmark suites — WIDER than the
+#: ``decon_benchmark_ngrams`` slice (first md5 byte < 0x20, 12.5%) so the
+#: cross-split near-dup population is non-degenerate at every test SF
+#: (at the 3% slice, sf0.001 yields ZERO LSH candidates). Per bench doc,
+#: at most ``DECON_MH_TOP`` candidate matches are emitted (overlap-desc,
+#: stable tiebreak) with an ``overflow`` counter — the dd-family pair
+#: budget discipline, partitioned on the bounded bench grain.
+DECON_MH_BENCH_UPPER = "20"
+DECON_MH_TOP = 20
+
+
+@query(
+    "decon_minhash_train_eval",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    flag AS (
+        SELECT doc_id,
+               substr(md5(concat('bench:', doc_id)), 1, 2)
+                   < '{DECON_MH_BENCH_UPPER}' AS is_bench
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, {_minhash_aggs_sql()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_band_selects_sql()}
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS bench_doc, t.doc_id AS train_doc
+        FROM bands b
+        JOIN flag fb ON fb.doc_id = b.doc_id AND fb.is_bench
+        JOIN bands t ON t.band_id = b.band_id AND t.band_key = b.band_key
+        JOIN flag ft ON ft.doc_id = t.doc_id AND NOT ft.is_bench
+    ),
+    shared AS (
+        SELECT c.bench_doc, c.train_doc, count(*) AS shared
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.bench_doc
+        JOIN sh s2 ON s2.doc_id = c.train_doc AND s2.s = s1.s
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT bench_doc, train_doc, shared,
+               round(CAST(shared AS DOUBLE)
+                     / (n1.n + n2.n - shared), 4) AS jaccard
+        FROM shared
+        JOIN sh_n n1 ON n1.doc_id = bench_doc
+        JOIN sh_n n2 ON n2.doc_id = train_doc
+    ),
+    budgeted AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY bench_doc
+                                  ORDER BY shared DESC, train_doc) AS prn,
+               count(*) OVER (PARTITION BY bench_doc) AS tot
+        FROM scored
+    )
+    SELECT bench_doc, train_doc, jaccard,
+           jaccard >= {JACCARD_THRESHOLD} AS contaminated,
+           CAST(greatest(tot - {DECON_MH_TOP}, 0) AS BIGINT) AS overflow
+    FROM budgeted WHERE prn <= {DECON_MH_TOP}
+    """,
+)
+def decon_minhash_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split MinHash-LSH decontamination — the NEAR-DUP leg of the
+    published decontamination stack (Dolma / RedPajama / GPT-3 appendix
+    use MinHash or n-gram overlap between the TRAINING corpus and every
+    evaluation benchmark). ``decon_benchmark_ngrams`` catches verbatim
+    13-gram-style containment and ``decon_exact_substring_runs`` the
+    longest verbatim run; this op catches the paraphrased / lightly
+    edited contamination those miss: documents whose shingle SETS
+    overlap (Jaccard) even when no long verbatim run survives.
+
+    Same signature machinery as ``dd_minhash_lsh_pairs`` (8 md5
+    minhashes, 4 bands of 2), but the bucket join is TRAIN × BENCH
+    instead of a self-join — and that asymmetry is the 100 TB story:
+    the bench side (a fixed union of benchmark suites) is tiny and
+    BROADCAST, so candidate generation is a map-side join over the
+    train bands; no shuffle of the training corpus at all. Exact
+    Jaccard verification then touches candidate pairs only, and the
+    emission is budget-capped per bench doc (``DECON_MH_TOP``) with an
+    overflow counter — the audit a pipeline runs before every training
+    launch.
+
+    Output: every LSH candidate pair with its verified Jaccard and a
+    ``contaminated`` flag at the dedup threshold — keeping
+    sub-threshold candidates visible is deliberate (they are the
+    borderline queue a human reviews), and it keeps the row population
+    non-degenerate at small SF.
+    """
+    sh = shingles(spark, sf_dir)
+    flag = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.substring(
+                F.md5(F.concat(F.lit("bench:"), F.col("doc_id"))), 1, 2
+            )
+            < DECON_MH_BENCH_UPPER
+        ).alias("is_bench"),
+    )
+    bands = _band_frame(sh).join(flag, "doc_id")
+    bench_b = bands.filter(F.col("is_bench")).select(
+        F.col("doc_id").alias("bench_doc"), "band_id", "band_key"
+    )
+    train_b = bands.filter(~F.col("is_bench")).select(
+        F.col("doc_id").alias("train_doc"), "band_id", "band_key"
+    )
+    cand = (
+        train_b.join(F.broadcast(bench_b), ["band_id", "band_key"])
+        .select("bench_doc", "train_doc")
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("bench_doc"), "s")
+    s2 = sh.select(F.col("doc_id").alias("train_doc"), "s")
+    shared = (
+        cand.join(s1, "bench_doc")
+        .join(s2, ["train_doc", "s"])
+        .groupBy("bench_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        shared.join(
+            n.select(F.col("doc_id").alias("bench_doc"), F.col("n").alias("n1")),
+            "bench_doc",
+        )
+        .join(
+            n.select(F.col("doc_id").alias("train_doc"), F.col("n").alias("n2")),
+            "train_doc",
+        )
+        .select(
+            "bench_doc",
+            "train_doc",
+            "shared",
+            F.round(
+                F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    w_rank = Window.partitionBy("bench_doc").orderBy(
+        F.col("shared").desc(), "train_doc"
+    )  # grain: LSH candidates per bench doc (collision-bounded)
+    w_all = Window.partitionBy("bench_doc")
+    return (
+        scored.withColumn("prn", F.row_number().over(w_rank))
+        .withColumn("tot", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("prn") <= DECON_MH_TOP)
+        .select(
+            "bench_doc",
+            "train_doc",
+            "jaccard",
+            (F.col("jaccard") >= JACCARD_THRESHOLD).alias("contaminated"),
+            F.greatest(F.col("tot") - DECON_MH_TOP, F.lit(0))
+            .cast("bigint")
+            .alias("overflow"),
+        )
+    )

@@ -54,23 +54,63 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: Small-frame fast-path threshold (rows), round-9 verdict item 7: when a
-#: bounded runtime probe shows the frame fits one window task, the census
-#: + offsets stages are pure overhead (~1 s of fixed stage latency per
-#: rank pass at bench scale) and the helper runs the plain global window
-#: instead — output identical BY DEFINITION (the naive window is the
-#: semantics the sharded plan reproduces). 2^20 narrow rank rows is tens
-#: of MB in one sort task — comfortably bounded; above it the sharded
-#: plan is mandatory. The env override exists so ``tools/scale_probe.py``
-#: can force the sharded path (``SPARK_GRAFT_SMALL_FRAME_ROWS=0``) and
+#: Small-frame fast-path default threshold (rows), round-9 verdict item
+#: 7: when a bounded runtime probe shows the frame fits one window task,
+#: the census + offsets stages are pure overhead (~1 s of fixed stage
+#: latency per rank pass at bench scale) and the helper runs the plain
+#: global window instead — output identical BY DEFINITION (the naive
+#: window is the semantics the sharded plan reproduces). 2^20 narrow
+#: rank rows is tens of MB in one sort task — comfortably bounded; above
+#: it the sharded plan is mandatory (README crossover table: ratio 0.94
+#: at 2^20). The env override exists so ``tools/scale_probe.py`` can
+#: force the sharded path (``SPARK_GRAFT_SMALL_FRAME_ROWS=0``) and
 #: measure it at any replica factor.
-SMALL_FRAME_ROWS: int = int(
-    os.environ.get("SPARK_GRAFT_SMALL_FRAME_ROWS", str(1 << 20))
-)
+_DEFAULT_SMALL_FRAME_ROWS: int = 1 << 20
+
+
+def default_small_frame_rows() -> int:
+    """The fast-path threshold, honoring ``SPARK_GRAFT_SMALL_FRAME_ROWS``
+    AT CALL TIME (ADVICE r9): an import-time read would silently ignore a
+    harness that sets the env var after this package is first imported
+    (``tools/gen_plans_md.py`` used to have to order its imports around
+    exactly that)."""
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_SMALL_FRAME_ROWS", str(_DEFAULT_SMALL_FRAME_ROWS)
+        )
+    )
+
 
 #: Sentinel: "use the module default" (callers that must pin a behavior
 #: pass an explicit int or ``None``).
 _USE_DEFAULT: int = -1
+
+
+def frame_fits_one_task(df: DataFrame, threshold: int | None = None) -> bool:
+    """Bounded probe: does ``df`` provably fit one window task?
+
+    ``limit(threshold + 1).count()`` over a 1-column projection, so each
+    scan task stops after ``threshold + 1`` rows. Callers that feed the
+    SAME frame (or frames of the same row count) through several rank
+    passes probe ONCE here and pass the decision to each pass via
+    ``frame_fits=`` (ADVICE r9: a per-pass probe over an unpersisted
+    chained input re-executes the previous pass's plan — limit cannot
+    prune below a shuffle or window). Probe ``df`` should be the
+    cheapest same-count frame available (a persisted upstream grain).
+    """
+    if threshold is None:
+        threshold = default_small_frame_rows()
+    if not threshold:
+        return False
+    # limit() takes a JVM int: clamp the probe for thresholds beyond
+    # 2^31-2 (a caller passing one has declared any frame fits one
+    # task — the probe then can never exceed the limit)
+    probed = (
+        df.select(F.lit(1).alias("_p"))
+        .limit(min(threshold + 1, (1 << 31) - 1))
+        .count()
+    )
+    return probed <= threshold
 
 
 def sharded_global_running(
@@ -80,6 +120,7 @@ def sharded_global_running(
     values: Sequence[tuple[Column, str]],
     shard_desc: bool = False,
     small_frame_rows: int | None = _USE_DEFAULT,
+    frame_fits: bool | None = None,
 ) -> DataFrame:
     """Add inclusive global running sums over ``ORDER BY order_cols``.
 
@@ -99,63 +140,65 @@ def sharded_global_running(
     caller derives the shard from a non-null aggregate; a caller ranking
     a nullable key must coalesce it into the key's sort position first
     (SQL sorts NULLS FIRST ascending — ``coalesce(x, <min sentinel>)``).
-    The contract is enforced at runtime, not just documented: a NULL
-    shard key raises ``USER_RAISED_EXCEPTION`` instead of losing rows
-    (ADVICE r8).
+    The contract is enforced at runtime ON BOTH PATHS: a NULL shard key
+    raises ``USER_RAISED_EXCEPTION`` instead of losing rows (ADVICE r8),
+    and the fast path evaluates the same guard through its value columns
+    (ADVICE r9) so a caller bug with a nullable key fails at ANY scale,
+    not only above the threshold.
 
-    ``values`` columns SHOULD be non-null too: per-shard partials are
-    coalesced to 0 (ADVICE r8) so an all-NULL shard can never NULL every
-    later shard's prefix, but rows inside such a shard still get a NULL
-    running sum where the naive window would carry the prior prefix.
-    Current callers pass ``lit(1)`` or pre-coalesced columns.
+    NULL ``values`` are treated as 0 on BOTH paths (ADVICE r9): each
+    value is coalesced to 0 before any sum, so the fast path and the
+    sharded path produce identical output even through an all-NULL
+    region (the plain-SQL window would yield NULL there — a caller
+    needing that semantics must not use this helper). Current callers
+    pass ``lit(1)`` or non-null aggregates, for which this is a no-op.
 
     ``small_frame_rows`` (round 9): when set (the default,
-    :data:`SMALL_FRAME_ROWS`), a bounded probe —
-    ``limit(threshold + 1).count()`` over a 1-column projection, so each
-    scan task stops after ``threshold + 1`` rows — runs first, and if the
-    frame provably fits one window task the helper returns the plain
-    global window (no census, no offsets join). The probe re-executes
-    ``df``'s lineage once, so callers whose input is NOT persisted (and
-    expensive to recompute) pass ``None`` to skip straight to the sharded
-    plan; every persisted-input caller keeps the default. NULL-shard
-    semantics on the fast path: the shard expression is never evaluated
-    and there is no offsets join to drop rows through, so the naive
-    window's own NULLS-FIRST ordering applies — strictly safer than the
-    raise, which exists only to guard the join.
+    :func:`default_small_frame_rows`), the :func:`frame_fits_one_task`
+    bounded probe runs first, and if the frame provably fits one window
+    task the helper returns the plain global window (no census, no
+    offsets join). The probe re-executes ``df``'s lineage once, so
+    callers whose input is NOT persisted (and expensive to recompute)
+    pass ``None`` to skip straight to the sharded plan; every
+    persisted-input caller keeps the default.
+
+    ``frame_fits`` (ADVICE r9): callers chaining SEVERAL rank passes
+    over same-count frames probe once with :func:`frame_fits_one_task`
+    on the cheapest frame and pass the decision here — ``True`` forces
+    the fast path, ``False`` the sharded plan, ``None`` (default)
+    probes per ``small_frame_rows``.
     """
-    if small_frame_rows == _USE_DEFAULT:
-        small_frame_rows = SMALL_FRAME_ROWS
-    if small_frame_rows:
-        # limit() takes a JVM int: clamp the probe for thresholds beyond
-        # 2^31-2 (a caller passing one has declared any frame fits one
-        # task — the probe then can never exceed the limit)
-        probed = (
-            df.select(F.lit(1).alias("_p"))
-            .limit(min(small_frame_rows + 1, (1 << 31) - 1))
-            .count()
+    guard = F.raise_error(
+        F.lit(
+            "sharded_global_running: NULL shard key (null sort "
+            "value?) — coalesce it into its sort position first"
         )
-        if probed <= small_frame_rows:
-            naive = Window.orderBy(*order_cols).rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )  # grain: probed <= small_frame_rows (runtime-bounded above)
-            out = df
-            for v, name in values:
-                out = out.withColumn(name, F.sum(v).over(naive))
-            return out
+    )
+    # NULL-shard raise + NULL-value→0, evaluated per row on either path
+    guarded = [
+        (F.coalesce(F.when(shard.isNotNull(), v).otherwise(guard), F.lit(0)), name)
+        for v, name in values
+    ]
+    if frame_fits is None:
+        if small_frame_rows == _USE_DEFAULT:
+            small_frame_rows = default_small_frame_rows()
+        frame_fits = small_frame_rows is not None and frame_fits_one_task(
+            df, small_frame_rows
+        )
+    if frame_fits:
+        naive = Window.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )  # grain: caller-probed <= small_frame_rows (runtime-bounded)
+        out = df
+        for v, name in guarded:
+            out = out.withColumn(name, F.sum(v).over(naive))
+        return out
     sums = [
         F.coalesce(F.sum(v), F.lit(0)).alias(f"_sw{i}")
-        for i, (v, _) in enumerate(values)
+        for i, (v, _) in enumerate(guarded)
     ]
     base = df.withColumn(
-        "_shard",
-        F.when(shard.isNotNull(), shard).otherwise(
-            F.raise_error(
-                F.lit(
-                    "sharded_global_running: NULL shard key (null sort "
-                    "value?) — coalesce it into its sort position first"
-                )
-            )
-        ),
+        "_shard", F.when(shard.isNotNull(), shard).otherwise(guard)
     )
     partials = base.groupBy("_shard").agg(*sums)
     off_w = (
@@ -177,7 +220,7 @@ def sharded_global_running(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = base.join(F.broadcast(offs), "_shard")
-    for i, (v, name) in enumerate(values):
+    for i, (v, name) in enumerate(guarded):
         out = out.withColumn(
             name, F.col(f"_off{i}") + F.sum(v).over(in_shard)
         )
@@ -191,6 +234,7 @@ def sharded_global_row_number(
     out: str = "r",
     shard_desc: bool = False,
     small_frame_rows: int | None = _USE_DEFAULT,
+    frame_fits: bool | None = None,
 ) -> DataFrame:
     """Global ``row_number() OVER (ORDER BY order_cols)`` without the
     single-partition sort (running count through the sharded plan)."""
@@ -201,6 +245,7 @@ def sharded_global_row_number(
         [(F.lit(1), out)],
         shard_desc=shard_desc,
         small_frame_rows=small_frame_rows,
+        frame_fits=frame_fits,
     )
 
 

@@ -2644,19 +2644,82 @@ def _boot_weight_case(u_expr: str) -> str:
     return f"CASE {arms} ELSE {len(_BOOT_THRESHOLDS)} END"
 
 
+def _boot_drawn_cte() -> str:
+    """DuckDB CTE text for the (replicate, cents, w) draw frame — two
+    48-bit draws per md5 digest (round 10, the ``agg_benjamini_hochberg``
+    trick: a 128-bit digest holds two independent 12-hex-char uniforms,
+    so replicate b draws from hash ``b div 2`` at substring offset
+    ``1 + 12 * (b mod 2)``, halving the md5 count — the profiled hot
+    cost of every replicate explosion). Shared by BOTH bootstrap
+    queries so their replicate weights stay bit-identical."""
+    u = (
+        "('0x' || substr(md5('boot:' || r.h || ':' || o.o_orderkey),"
+        " 1 + 12 * d.i, 12))::BIGINT"
+    )
+    return f"""reps AS (SELECT unnest(range(0, {BOOT_REPLICATES // 2})) AS h),
+    drawn AS (
+        SELECT 2 * r.h + d.i AS replicate,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               {_boot_weight_case(u)} AS w
+        FROM orders o
+        CROSS JOIN reps r
+        CROSS JOIN (VALUES (0), (1)) d(i)
+    )"""
+
+
+def _boot_drawn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of :func:`_boot_drawn_cte`: the (replicate, cents, w)
+    frame with two Poisson(1) draws per md5 digest. Narrow map-side
+    expansion — one explode to ``BOOT_REPLICATES/2`` hash rows, one md5
+    each, then a 2-struct explode splits the digest; no shuffle."""
+    half = BOOT_REPLICATES // 2
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .withColumn("h", F.explode(F.sequence(F.lit(0), F.lit(half - 1))))
+        .withColumn(
+            "hx",
+            F.md5(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("h").cast("string"),
+                    F.lit(":"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            ),
+        )
+        .select(
+            "cents",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("h") * 2 + i).alias("replicate"),
+                            F.expr(
+                                _boot_weight_case(
+                                    "CAST(conv(substring(hx, "
+                                    f"{1 + 12 * i}, 12), 16, 10) AS BIGINT)"
+                                )
+                            ).alias("w"),
+                        )
+                        for i in (0, 1)
+                    ]
+                )
+            ).alias("d"),
+        )
+        .select("cents", F.col("d.replicate").alias("replicate"), F.col("d.w").alias("w"))
+    )
+
+
 @query(
     "smp_poisson_bootstrap",
     oracle=f"""
-    WITH reps AS (SELECT unnest(range(0, {BOOT_REPLICATES})) AS replicate),
-    drawn AS (
-        SELECT r.replicate,
-               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
-               {_boot_weight_case(
-                   "('0x' || substr(md5('boot:' || r.replicate || ':' "
-                   "|| o.o_orderkey), 1, 12))::BIGINT"
-               )} AS w
-        FROM orders o CROSS JOIN reps r
-    )
+    WITH {_boot_drawn_cte()}
     SELECT replicate,
            CAST(sum(w) AS BIGINT) AS n_eff,
            CAST(sum(w * cents) AS BIGINT) AS sum_cents,
@@ -2676,39 +2739,24 @@ def smp_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     means form the sampling distribution a report turns into a
     confidence interval for the mean.
 
-    Determinism: the uniform is 12 md5 hex digits of (replicate,
-    orderkey) — exact integer in [0, 16^12) in both engines — and the
-    Poisson inverse CDF is the module-level integer threshold table,
-    embedded identically in both engines; prices are exact cents and the
-    replicate mean uses the half-up integer identity (micro-precision).
-    No engine ever evaluates a transcendental.
+    Determinism: the uniform is 12 md5 hex digits drawn from the
+    (replicate-pair, orderkey) digest — two independent draws per md5
+    (round 10, see :func:`_boot_drawn_cte`) — exact integers in
+    [0, 16^12) in both engines; the Poisson inverse CDF is the
+    module-level integer threshold table, embedded identically in both
+    engines; prices are exact cents and the replicate mean uses the
+    half-up integer identity (micro-precision). No engine ever
+    evaluates a transcendental.
 
     Scale shape: a narrow {BOOT_REPLICATES}× row explosion (no shuffle —
-    generated map-side) followed by ONE map-side-combinable aggregate to
-    replicate grain ({BOOT_REPLICATES} groups): the shuffle moves only
+    generated map-side, md5 cost halved by the paired draws) followed by
+    ONE map-side-combinable aggregate to replicate grain
+    ({BOOT_REPLICATES} groups): the shuffle moves only
     |partitions|×{BOOT_REPLICATES} partial rows no matter the fact
     volume. This is the textbook reason the Poisson bootstrap exists —
     per-row independence keeps the plan embarrassingly parallel.
     """
-    u_sql = (
-        "CAST(conv(substring(md5(concat('boot:', CAST(replicate AS STRING),"
-        " ':', CAST(o_orderkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"
-    )
-    drawn = (
-        read_table(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey",
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-            .cast("bigint")
-            .alias("cents"),
-        )
-        .withColumn(
-            "replicate",
-            F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICATES - 1))),
-        )
-        .withColumn("w", F.expr(_boot_weight_case(u_sql)))
-    )
-    return drawn.groupBy("replicate").agg(
+    return _boot_drawn(spark, sf_dir).groupBy("replicate").agg(
         F.sum("w").cast("bigint").alias("n_eff"),
         F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("sum_cents"),
         F.expr(
@@ -2942,16 +2990,7 @@ BOOT_CI_HI_RANK = BOOT_REPLICATES - 1
 @query(
     "smp_bootstrap_ci",
     oracle=f"""
-    WITH reps AS (SELECT unnest(range(0, {BOOT_REPLICATES})) AS replicate),
-    drawn AS (
-        SELECT r.replicate,
-               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
-               {_boot_weight_case(
-                   "('0x' || substr(md5('boot:' || r.replicate || ':' "
-                   "|| o.o_orderkey), 1, 12))::BIGINT"
-               )} AS w
-        FROM orders o CROSS JOIN reps r
-    ),
+    WITH {_boot_drawn_cte()},
     means AS (
         SELECT replicate,
                CAST((2 * 10000 * sum(w * cents) + sum(w))
@@ -3007,23 +3046,8 @@ def smp_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented post-aggregate tiny-frame window class) plus a 1-row
     point-estimate broadcast.
     """
-    u_sql = (
-        "CAST(conv(substring(md5(concat('boot:', CAST(replicate AS STRING),"
-        " ':', CAST(o_orderkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"
-    )
     means = (
-        read_table(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey",
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-            .cast("bigint")
-            .alias("cents"),
-        )
-        .withColumn(
-            "replicate",
-            F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICATES - 1))),
-        )
-        .withColumn("w", F.expr(_boot_weight_case(u_sql)))
+        _boot_drawn(spark, sf_dir)
         .groupBy("replicate")
         .agg(
             F.expr(

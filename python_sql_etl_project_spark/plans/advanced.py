@@ -1559,7 +1559,17 @@ def win_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor date + n come from ONE broadcast 1-row aggregate instead of
     an unpartitioned MAX window. Bit-identical to the window forms,
     oracle unchanged.
+
+    Probe discipline (ADVICE r9): all three rank passes rank the SAME
+    customer grain, and passes 2-3's input embeds the previous pass's
+    plan (unpersisted — a per-pass probe above the threshold would
+    re-execute the prior census/offsets/window, since ``limit`` cannot
+    prune below a shuffle or window). So the small-frame decision is
+    probed ONCE on the persisted ``cust`` (same row count: the 1-row
+    broadcast cross-join and per-row withColumns preserve cardinality)
+    and passed to every pass via ``frame_fits=``.
     """
+    from ..operators.ranking import frame_fits_one_task
     from ..session import finalize_unpersist
 
     cust = (
@@ -1580,11 +1590,13 @@ def win_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "_mcents", (F.col("monetary") * 100).cast("bigint")
     )
+    fits = frame_fits_one_task(cust)  # one probe decides all 3 passes
     scored = sharded_global_row_number(
         scored,
         F.expr("recency_days div 64"),
         ["recency_days", "o_custkey"],
         out="r_r",
+        frame_fits=fits,
     )
     scored = sharded_global_row_number(
         scored,
@@ -1592,6 +1604,7 @@ def win_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("frequency"), "o_custkey"],
         out="r_f",
         shard_desc=True,
+        frame_fits=fits,
     )
     scored = sharded_global_row_number(
         scored,
@@ -1599,6 +1612,7 @@ def win_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("monetary"), "o_custkey"],
         out="r_m",
         shard_desc=True,
+        frame_fits=fits,
     )
     seg = scored.select(
         F.concat(
@@ -8032,15 +8046,16 @@ _BH_DEN = 16**12
                               AS BIGINT) END AS hi
         FROM obs, tot t
     ),
-    reps AS (SELECT unnest(range(0, {BH_REPLICATES})) AS b),
+    reps AS (SELECT unnest(range(0, {BH_REPLICATES // 2})) AS h),
     perm AS (
-        SELECT rp.b, k.region, bs.cents
+        SELECT 2 * rp.h + d.i AS b, k.region, bs.cents
         FROM base bs
         CROSS JOIN reps rp
-        JOIN cuts k ON ('0x' || substr(md5('bh:' || rp.b || ':'
-                        || bs.o_orderkey), 1, 12))::BIGINT >= k.lo
-                   AND ('0x' || substr(md5('bh:' || rp.b || ':'
-                        || bs.o_orderkey), 1, 12))::BIGINT < k.hi
+        CROSS JOIN (VALUES (0), (1)) d(i)
+        JOIN cuts k ON ('0x' || substr(md5('bh:' || rp.h || ':'
+                        || bs.o_orderkey), 1 + 12 * d.i, 12))::BIGINT >= k.lo
+                   AND ('0x' || substr(md5('bh:' || rp.h || ':'
+                        || bs.o_orderkey), 1 + 12 * d.i, 12))::BIGINT < k.hi
     ),
     perm_stats AS (
         SELECT p.b, p.region,
@@ -8089,7 +8104,11 @@ def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiple-testing discipline a metrics platform needs the moment it
     tests more than one segment. Per-region p-values come from
     {BH_REPLICATES} label-shuffle randomization replicates — ONE md5
-    reassignment per replicate scores all five regions at once
+    per PAIR of replicates (round 10: a 128-bit digest holds two
+    independent 48-bit draws, ``substr(.., 1, 12)`` / ``substr(.., 13,
+    12)``, so replicate b draws from hash ``b div 2`` at offset ``b mod
+    2`` — md5 was the profiled cost, 5.3 s of the explode stage's 6.5 s
+    at sf0.1, and this halves it) scores all five regions at once
     (multinomial assignment through the observed region-proportion cuts,
     derived in HUGEINT so both engines draw identical pseudo-labels) —
     then the BH step-up runs entirely in integers: reject ranks ≤ k
@@ -8165,16 +8184,50 @@ def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hi"),
         )
     )
-    u_sql = (
-        "CAST(conv(substring(md5(concat('bh:', CAST(b AS STRING), ':',"
-        " CAST(o_orderkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+    draws = (
+        base.withColumn(
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(BH_REPLICATES // 2 - 1))),
+        )
+        .withColumn(
+            "hx",
+            F.md5(
+                F.concat(
+                    F.lit("bh:"),
+                    F.col("h").cast("string"),
+                    F.lit(":"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            ),
+        )
+        # two 48-bit draws per digest: replicate 2h from hex chars 1-12,
+        # replicate 2h+1 from chars 13-24 (halves the md5 count — the
+        # profiled hot cost of the replicate stage)
+        .select(
+            "cents",
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("h") * 2).alias("b"),
+                        F.expr(
+                            "CAST(conv(substring(hx, 1, 12), 16, 10)"
+                            " AS BIGINT)"
+                        ).alias("u"),
+                    ),
+                    F.struct(
+                        (F.col("h") * 2 + 1).alias("b"),
+                        F.expr(
+                            "CAST(conv(substring(hx, 13, 12), 16, 10)"
+                            " AS BIGINT)"
+                        ).alias("u"),
+                    ),
+                )
+            ).alias("d"),
+        )
+        .select("cents", F.col("d.b").alias("b"), F.col("d.u").alias("u"))
     )
     perm_stats = (
-        base.withColumn(
-            "b", F.explode(F.sequence(F.lit(0), F.lit(BH_REPLICATES - 1)))
-        )
-        .withColumn("u", F.expr(u_sql))
-        .join(
+        draws.join(
             F.broadcast(cuts.withColumnRenamed("region", "p_region")),
             (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")),
         )

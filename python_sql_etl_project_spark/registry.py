@@ -81,24 +81,21 @@ def load_all() -> None:
     from .functions import sqlfuncs, udafs  # noqa: F401
 
 
-#: Round-8 driver window: the external gate checks exactly the FIRST 50
+#: Round-10 driver window: the external gate checks exactly the FIRST 50
 #: entries of ``queries()``, so this list IS the round's
-#: external-verification budget, spent per the round-7 verdict's action
-#: item 1 (the full staleness backlog — ALL 26 remaining r3-registered
-#: names hit the ceiling this round, plus the 12 oldest r5 names in
-#: ledger order):
+#: external-verification budget. Steady state now that first-time
+#: coverage closed at 333/335 in round 9 (verdict r9):
 #:
 #: * slots 1-12 — the ``ref_`` reference-parity rows, pinned every round
-#:   (SURVEY §2's hard requirement; green eight rounds running);
-#: * slots 13-36 — ALL 24 remaining never-externally-checked names (the
-#:   round-8 ``PENDING_EXTERNAL`` backlog, verbatim): 10 r5, 7 r6, 5 r7
-#:   and the 2 r8-wave names. After this round EVERY registered query
-#:   has at least one driver row — external coverage closes at 333/333
-#:   (the plan of record since round 7; verdict r8 item 1);
-#: * slots 37-50 — re-verification: the 14 queries whose most recent
-#:   green driver row is OLDEST (all round-1; ledger-alphabetical
-#:   tiebreak). Oldest-first re-verification is the steady-state use of
-#:   spare slots now that first-time coverage is complete.
+#:   (SURVEY §2's hard requirement; green nine rounds running);
+#: * slots 13-14 — the round-9 wave's FIRST external rows (the only two
+#:   names without a driver row; verdict r9 "what's missing" item 1);
+#: * slots 15-50 — re-verification, oldest green driver row first per
+#:   the ledger (``tools/gen_queries_md.py`` over ``CORRECTNESS_r*``):
+#:   ALL 19 remaining round-1 rows, then the 17 alphabetically-first
+#:   round-2 rows. ``txt_compression_ratio`` (rows-only external row in
+#:   r7) is next in line for a later window — it carries no hash gate,
+#:   so a hash-gated row re-verifies more per slot.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- tier 0: reference parity (pinned) --------------------------------
     "ref_daily_cumulative_metrics",
@@ -113,64 +110,60 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ref_distinct_flags",
     "ref_status_counts",
     "ref_null_drop",
-    # -- first-time coverage: the full round-8 PENDING_EXTERNAL backlog ----
-    # r5-registered (deadline round 9)
-    "jn_time_range_join",
-    "ld_compaction_planning",
-    "ld_zorder_clustering_audit",
-    "sim_nndescent_round",
-    "smp_split_balance_audit",
-    "src_fixed_width_ingest",
-    "src_xml_roundtrip",
-    "txt_cdc_chunks",
-    "txt_mattr_diversity",
-    "txt_rake_keyphrases",
-    # r6-registered waves (deadline round 10)
-    "pack_crossdoc_attention_mask",
-    "decon_eval_contamination_report",
-    "mm_audio_energy_segments",
-    "mm_video_bitrate_ladder",
-    "pack_span_corruption_plan",
-    "decon_source_quarantine",
-    "mm_caption_pair_stats",
-    # r7 wave (deadline round 11)
-    "strm_chained_window_rollup",
-    "strm_topk_users_complete",
-    "strm_session_windows_typed",
-    "fn_sql_table_function",
-    "src_partition_pruned_scan",
-    # r8 wave
-    "fn_variant_shred",
-    "win_event_path_trigrams",
-    # -- re-verification: oldest green driver row first (all r1) -----------
-    "agg_numeric_stats",
-    "agg_price_quantiles",
-    "asof_last_order_before_event",
-    "cube_status_priority",
-    "date_order_latency",
-    "funnel_signup_to_purchase",
-    "json_props_by_event_type",
-    "pivot_monthly_status_revenue",
-    "q10_returned_items",
-    "q11_revenue_concentration",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-)
-
-#: Queries still awaiting their FIRST external driver row. EMPTY as of
-#: the round-9 rotation: all 24 names from the round-8 backlog took
-#: window slots 13-36, so every registered query either has a historical
-#: driver row or is in the current window — external coverage closes at
-#: 333/333 this round. New post-freeze registrations (if any) append
-#: here with their registration round and a deadline per the staleness
-#: ceiling (``tools/gen_queries_md.py``).
-PENDING_EXTERNAL: tuple[str, ...] = (
-    # -- round-9 minimal wave (verdict r8 item 4: thinnest families;
-    # committed to the round-10 window) -----------------------------------
+    # -- first-time coverage: the round-9 wave ------------------------------
     "decon_exact_substring_runs",
     "fn_unpivot_measures",
+    # -- re-verification: oldest green driver row first --------------------
+    # last green r1 (the 19 not re-verified in round 9)
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_red_part_suppliers",
+    "q21_sole_late_supplier",
+    "q22_dormant_rich_customers",
+    "q2_cheapest_supplier_per_nation",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_bination_volume",
+    "q8_market_share",
+    "rollup_status_priority",
+    "set_active_vs_dormant_custkeys",
+    "win_customer_spend_quartiles",
+    "win_event_gaps",
+    "win_running_revenue",
+    "win_top3_orders_per_customer",
+    # last green r2 (alphabetical — the ledger tiebreak)
+    "dd_duplicate_clusters",
+    "dd_exact_text",
+    "dd_minhash_lsh_pairs",
+    "dd_shingle_jaccard_pairs",
+    "dd_simhash",
+    "dd_simhash_pairs",
+    "decon_benchmark_ngrams",
+    "mm_asset_catalog",
+    "mm_frame_sample",
+    "mm_resize_spec",
+    "pack_token_budget",
+    "scd2_customer_status_history",
+    "sim_ann_band_lsh",
+    "sim_cosine_neardup_pairs",
+    "sim_int8_quant_audit",
+    "sim_ivf_topk",
+    "sim_knn_brute",
+)
+
+#: Queries still awaiting their FIRST external driver row. The round-9
+#: wave moved into window slots 13-14 at the round-10 rotation, so this
+#: is EMPTY again until a round-10 wave registers (new post-freeze
+#: registrations append here with their registration round and a
+#: deadline per the staleness ceiling, ``tools/gen_queries_md.py``).
+PENDING_EXTERNAL: tuple[str, ...] = (
+    # -- round-10 minimal wave (thinnest families: decon 5→6, fn 7→8;
+    # committed to the round-11 window) ------------------------------------
+    "decon_minhash_train_eval",
+    "fn_lateral_topk_orders",
 )
 
 

@@ -161,20 +161,87 @@ def test_small_frame_threshold_boundary(spark):
     assert at.select("id", "r").exceptAll(below.select("id", "r")).count() == 0
 
 
-def test_fast_path_null_sort_value_matches_naive_window(spark):
-    """On the fast path the shard expression is never evaluated: a NULL
-    sort value must NOT raise — it ranks where the naive window puts it
-    (NULLS FIRST ascending), because the fast path IS the naive window."""
+def test_fast_path_null_sort_value_raises_like_sharded(spark):
+    """ADVICE r9: the NULL-shard contract must fail at ANY scale — the
+    fast path evaluates the same guard through its value columns, so a
+    caller bug (nullable key, missing coalesce) can't pass every
+    small-SF test and only surface above the threshold in production."""
+    import pytest
+
     df = spark.createDataFrame(
         [(1, 10), (2, None), (3, 30)], "id bigint, v bigint"
     )
-    got = {
-        r["id"]: r["r"]
-        for r in sharded_global_row_number(
-            df, F.expr("v div 8"), ["v", "id"], small_frame_rows=100
-        ).collect()
-    }
-    assert got == {2: 1, 1: 2, 3: 3}
+    got = sharded_global_row_number(
+        df, F.expr("v div 8"), ["v", "id"], small_frame_rows=100
+    )
+    with pytest.raises(Exception, match="NULL shard key"):
+        got.collect()
+
+
+def test_null_values_treated_as_zero_on_both_paths(spark):
+    """ADVICE r9: NULL values coalesce to 0 uniformly, so the fast and
+    sharded paths agree even through an all-NULL region (previously the
+    fast path carried the prior prefix while the sharded path yielded
+    NULL inside an all-NULL shard — a size-dependent divergence)."""
+    rows = [(1, 0, 5), (2, 10, None), (3, 20, 7)]  # shard 1 all-NULL w
+    df = spark.createDataFrame(rows, "id bigint, v bigint, w bigint")
+    for fast in (None, 1_000_000):
+        got = {
+            r["id"]: r["ws"]
+            for r in sharded_global_running(
+                df, F.expr("v div 10"), ["v", "id"], [(F.col("w"), "ws")],
+                small_frame_rows=fast,
+            ).collect()
+        }
+        assert got == {1: 5, 2: 5, 3: 12}, fast
+
+
+def test_frame_fits_short_circuits_probe(spark):
+    """ADVICE r9 (chained passes): frame_fits=True/False must pin the
+    path with NO probe job over df, so callers probing once on a cheap
+    persisted grain don't re-execute chained rank lineage."""
+    from python_sql_etl_project_spark.operators.ranking import (
+        frame_fits_one_task,
+    )
+
+    df = _synthetic(spark)
+    assert frame_fits_one_task(df, 1_000_000) is True
+    assert frame_fits_one_task(df, 10) is False
+    assert frame_fits_one_task(df, 0) is False  # forced-sharded sentinel
+    forced_fast = sharded_global_row_number(
+        df, F.expr("v div 8"), ["v", "id"], frame_fits=True
+    )
+    forced_sharded = sharded_global_row_number(
+        df, F.expr("v div 8"), ["v", "id"], frame_fits=False
+    )
+    fast_plan = forced_fast._jdf.queryExecution().executedPlan().toString()
+    shard_plan = forced_sharded._jdf.queryExecution().executedPlan().toString()
+    assert "_shard" not in fast_plan
+    assert "_shard" in shard_plan
+    cols = ["id", "r"]
+    assert (
+        forced_fast.select(*cols)
+        .exceptAll(forced_sharded.select(*cols))
+        .count()
+        == 0
+    )
+
+
+def test_small_frame_threshold_env_read_at_call_time(spark, monkeypatch):
+    """ADVICE r9: SPARK_GRAFT_SMALL_FRAME_ROWS must be honored at CALL
+    time — setting it after import (as a probe harness does) switches
+    the plan."""
+    import python_sql_etl_project_spark.operators.ranking as rk
+
+    df = _synthetic(spark)
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_FRAME_ROWS", "0")
+    assert rk.default_small_frame_rows() == 0
+    forced = sharded_global_row_number(df, F.expr("v div 8"), ["v", "id"])
+    assert "_shard" in forced._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_FRAME_ROWS", "1000000")
+    assert rk.default_small_frame_rows() == 1_000_000
+    fast = sharded_global_row_number(df, F.expr("v div 8"), ["v", "id"])
+    assert "_shard" not in fast._jdf.queryExecution().executedPlan().toString()
 
 
 def test_sharded_running_property_vs_python_prefix(spark):

@@ -235,8 +235,8 @@ SHOWCASE = {
 
 def main() -> None:
     # force the sharded rank plan in the dumps: the round-9 small-frame
-    # fast path would otherwise replace it at sf0.1 (must be set before
-    # the package import reads it)
+    # fast path would otherwise replace it at sf0.1 (read at call time
+    # since round 10, so import order no longer matters)
     os.environ["SPARK_GRAFT_SMALL_FRAME_ROWS"] = "0"
     from python_sql_etl_project_spark import registry
     from python_sql_etl_project_spark.session import build_spark
