@@ -162,6 +162,27 @@ def fn_recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed and the cache dropped (``finalize_unpersist``).
     DuckDB needs no such hint — it materializes multiply-referenced
     CTEs — which is itself an engine-semantics note worth pinning.
+
+    Scale guards (both found by the 8x probe, round 10): Spark caps a
+    recursive CTE's CUMULATIVE output at
+    ``spark.sql.cteRecursionRowLimit`` = 1e6 rows by default — this
+    walk emits one row per order, so the default raises
+    RECURSION_ROW_LIMIT_EXCEEDED at ~1M orders, i.e. instantly at
+    production volume; and it caps DEPTH at
+    ``spark.sql.cteRecursionLevelLimit`` = 100, which an 8x-deep order
+    history already exceeds. The query pins the row limit to -1 (the
+    recursion is provably bounded by the acyclic pointer chain) and
+    raises the level limit to the PROVEN depth bound — ``max(rn)`` of
+    the persisted pointer table, the exact longest chain, one cheap
+    agg — for its own EAGER execution, restoring both confs in
+    ``finally``. DuckDB has neither cap; the oracle is unchanged.
+
+    Measured scale asymmetry (README probe table): 8× WIDTH (more
+    customers, same depth) is factor 1.99 — parallel; 8× DEPTH is
+    factor 61 — each level is a sequential frontier join, in any
+    engine. A genuinely deep traversal belongs in an iterative
+    DataFrame loop with per-round checkpointing (the
+    ``graph_bfs_levels`` pattern), not a recursive CTE.
     """
     from ..session import finalize_unpersist
 
@@ -173,13 +194,26 @@ def fn_recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderkey").over(w).alias("next_okey"),
         F.row_number().over(w).alias("rn"),
     ).persist()
+    depth = nxt.agg(F.max("rn")).first()[0] or 1
     nxt.createOrReplaceTempView("nxt_rcte_mat")
+    prev_rows = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    prev_depth = spark.conf.get("spark.sql.cteRecursionLevelLimit")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+    spark.conf.set(
+        "spark.sql.cteRecursionLevelLimit", str(max(depth + 1, 100))
+    )
     try:
-        # eager analysis inlines the view; no session-global residue
+        # eager analysis inlines the view; finalize_unpersist executes
+        # the recursion eagerly (localCheckpoint) while the raised
+        # limits are in force, so catalog and conf state restore cleanly
+        # below (no session-global residue). Audit mode (NO_CHECKPOINT)
+        # keeps the plan lazy but only inspects it, never executes.
         out = spark.sql(RECURSIVE_CHAIN_OVER_MAT_SQL)
+        return finalize_unpersist(out, nxt)
     finally:
         spark.catalog.dropTempView("nxt_rcte_mat")
-    return finalize_unpersist(out, nxt)
+        spark.conf.set("spark.sql.cteRecursionRowLimit", prev_rows)
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", prev_depth)
 
 
 # --------------------------------------------------------------------------
