@@ -2671,9 +2671,22 @@ def _boot_drawn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of :func:`_boot_drawn_cte`: the (replicate, cents, w)
     frame with two Poisson(1) draws per md5 digest. Narrow map-side
     expansion — one explode to ``BOOT_REPLICATES/2`` hash rows, one md5
-    each, then a 2-struct explode splits the digest; no shuffle."""
+    each, then a 2-struct explode splits the digest; no shuffle.
+
+    The weights are materialized as COLUMNS (``w0``/``w1``) before the
+    struct explode: the 7-arm Poisson CASE repeats its uniform
+    expression once per arm, and inside a generator's input that
+    repetition gets NO common-subexpression elimination — inlining the
+    ``conv(substring(hx, ...))`` there re-evaluated it 7x per draw and
+    measured SLOWER than the un-halved original (A/B at sf0.1, min-of-3
+    same session: 6.75 s inlined vs 5.44 s original vs 5.32 s this
+    form). Net effect for the bootstraps is ~flat — their cost is the
+    32 CASE evaluations + the generator, not md5 — but the paired draw
+    keeps the replicate-PRNG convention identical to
+    ``agg_benjamini_hochberg`` (where md5 WAS the bottleneck and the
+    same change bought ~3.5 s)."""
     half = BOOT_REPLICATES // 2
-    return (
+    drawn = (
         read_table(spark, sf_dir, "orders")
         .select(
             "o_orderkey",
@@ -2693,26 +2706,32 @@ def _boot_drawn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        .select(
-            "cents",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            (F.col("h") * 2 + i).alias("replicate"),
-                            F.expr(
-                                _boot_weight_case(
-                                    "CAST(conv(substring(hx, "
-                                    f"{1 + 12 * i}, 12), 16, 10) AS BIGINT)"
-                                )
-                            ).alias("w"),
-                        )
-                        for i in (0, 1)
-                    ]
+    )
+    for i in (0, 1):
+        drawn = drawn.withColumn(
+            f"w{i}",
+            F.expr(
+                _boot_weight_case(
+                    f"CAST(conv(substring(hx, {1 + 12 * i}, 12), 16, 10)"
+                    " AS BIGINT)"
                 )
-            ).alias("d"),
+            ),
         )
-        .select("cents", F.col("d.replicate").alias("replicate"), F.col("d.w").alias("w"))
+    return drawn.select(
+        "cents",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("h") * 2 + i).alias("replicate"),
+                        F.col(f"w{i}").alias("w"),
+                    )
+                    for i in (0, 1)
+                ]
+            )
+        ).alias("d"),
+    ).select(
+        "cents", F.col("d.replicate").alias("replicate"), F.col("d.w").alias("w")
     )
 
 
