@@ -81,21 +81,24 @@ def load_all() -> None:
     from .functions import sqlfuncs, udafs  # noqa: F401
 
 
-#: Round-10 driver window: the external gate checks exactly the FIRST 50
+#: Round-11 driver window: the external gate checks exactly the FIRST 50
 #: entries of ``queries()``, so this list IS the round's
-#: external-verification budget. Steady state now that first-time
-#: coverage closed at 333/335 in round 9 (verdict r9):
+#: external-verification budget. This window CLOSES union external
+#: coverage at 337/337 (verdict r10 "next round" item 1):
 #:
 #: * slots 1-12 — the ``ref_`` reference-parity rows, pinned every round
-#:   (SURVEY §2's hard requirement; green nine rounds running);
-#: * slots 13-14 — the round-9 wave's FIRST external rows (the only two
-#:   names without a driver row; verdict r9 "what's missing" item 1);
+#:   (SURVEY §2's hard requirement; green ten rounds running);
+#: * slots 13-14 — the round-10 wave's FIRST external rows (the only two
+#:   names without a driver row; verdict r10 "what's missing" item 1);
 #: * slots 15-50 — re-verification, oldest green driver row first per
 #:   the ledger (``tools/gen_queries_md.py`` over ``CORRECTNESS_r*``):
-#:   ALL 19 remaining round-1 rows, then the 17 alphabetically-first
-#:   round-2 rows. ``txt_compression_ratio`` (rows-only external row in
-#:   r7) is next in line for a later window — it carries no hash gate,
-#:   so a hash-gated row re-verifies more per slot.
+#:   ALL 19 remaining last-green-r2 rows (alphabetical from
+#:   ``sim_label_centroid_dist``), then ``txt_compression_ratio``'s
+#:   rows-only re-check (its single external row, r7, carries no hash
+#:   gate — the ledger's weakest row after the r2 cohort), then the 16
+#:   alphabetically-first last-green-r3 rows
+#:   (``dd_cross_source_matrix`` … ``mm_modality_mix``);
+#:   ``pack_chunk_overlap`` heads the round-12 queue.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- tier 0: reference parity (pinned) --------------------------------
     "ref_daily_cumulative_metrics",
@@ -110,61 +113,57 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ref_distinct_flags",
     "ref_status_counts",
     "ref_null_drop",
-    # -- first-time coverage: the round-9 wave ------------------------------
-    "decon_exact_substring_runs",
-    "fn_unpivot_measures",
-    # -- re-verification: oldest green driver row first --------------------
-    # last green r1 (the 19 not re-verified in round 9)
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_red_part_suppliers",
-    "q21_sole_late_supplier",
-    "q22_dormant_rich_customers",
-    "q2_cheapest_supplier_per_nation",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_bination_volume",
-    "q8_market_share",
-    "rollup_status_priority",
-    "set_active_vs_dormant_custkeys",
-    "win_customer_spend_quartiles",
-    "win_event_gaps",
-    "win_running_revenue",
-    "win_top3_orders_per_customer",
-    # last green r2 (alphabetical — the ledger tiebreak)
-    "dd_duplicate_clusters",
-    "dd_exact_text",
-    "dd_minhash_lsh_pairs",
-    "dd_shingle_jaccard_pairs",
-    "dd_simhash",
-    "dd_simhash_pairs",
-    "decon_benchmark_ngrams",
-    "mm_asset_catalog",
-    "mm_frame_sample",
-    "mm_resize_spec",
-    "pack_token_budget",
-    "scd2_customer_status_history",
-    "sim_ann_band_lsh",
-    "sim_cosine_neardup_pairs",
-    "sim_int8_quant_audit",
-    "sim_ivf_topk",
-    "sim_knn_brute",
-)
-
-#: Queries still awaiting their FIRST external driver row. The round-9
-#: wave moved into window slots 13-14 at the round-10 rotation, so this
-#: is EMPTY again until a round-10 wave registers (new post-freeze
-#: registrations append here with their registration round and a
-#: deadline per the staleness ceiling, ``tools/gen_queries_md.py``).
-PENDING_EXTERNAL: tuple[str, ...] = (
-    # -- round-10 minimal wave (thinnest families: decon 5→6, fn 7→8;
-    # committed to the round-11 window) ------------------------------------
+    # -- first-time coverage: the round-10 wave ----------------------------
     "decon_minhash_train_eval",
     "fn_lateral_topk_orders",
+    # -- re-verification: oldest green driver row first --------------------
+    # last green r2 (alphabetical — the ledger tiebreak)
+    "sim_label_centroid_dist",
+    "smp_fixed_k_sample",
+    "smp_hash_split",
+    "smp_stratified_sample",
+    "smp_temperature_resample",
+    "strm_dedup_events",
+    "strm_session_windows",
+    "strm_signup_purchase_join",
+    "strm_sliding_2d_activity",
+    "strm_tumbling_daily_counts",
+    "txt_bpe_token_count",
+    "txt_fingerprint",
+    "txt_lang_profile",
+    "txt_pii_scrub",
+    "txt_quality_score",
+    "txt_repetition_profile",
+    "txt_token_stats",
+    "txt_top_bigrams",
+    "txt_winnow_fingerprints",
+    # rows-only external row (r7) — re-checked here; no hash gate by design
+    "txt_compression_ratio",
+    # last green r3 (alphabetical)
+    "dd_cross_source_matrix",
+    "dd_fuzzy_part_names",
+    "dd_incremental_minhash",
+    "dd_keep_best",
+    "dd_lsh_recall_audit",
+    "dd_semantic_confirmed_pairs",
+    "dd_substring_overlap_pairs",
+    "dq_constraint_audit",
+    "flt_bloom_prefilter",
+    "graph_bfs_levels",
+    "graph_pagerank_3iter",
+    "gsets_nation_status_revenue",
+    "jn_salted_priority_revenue",
+    "ld_zorder_code",
+    "mm_feature_extract",
+    "mm_modality_mix",
 )
+
+#: Queries still awaiting their FIRST external driver row. The round-10
+#: wave moved into window slots 13-14 at the round-11 rotation, so this
+#: is EMPTY again until a round-11 wave registers (new post-freeze
+#: registrations append here with their registration round and a
+#: deadline per the staleness ceiling, ``tools/gen_queries_md.py``).
+PENDING_EXTERNAL: tuple[str, ...] = ()
 
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
