@@ -198,18 +198,29 @@ def fn_recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     nxt.createOrReplaceTempView("nxt_rcte_mat")
     prev_rows = spark.conf.get("spark.sql.cteRecursionRowLimit")
     prev_depth = spark.conf.get("spark.sql.cteRecursionLevelLimit")
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
-    spark.conf.set(
-        "spark.sql.cteRecursionLevelLimit", str(max(depth + 1, 100))
-    )
     try:
-        # eager analysis inlines the view; finalize_unpersist executes
-        # the recursion eagerly (localCheckpoint) while the raised
-        # limits are in force, so catalog and conf state restore cleanly
-        # below (no session-global residue). Audit mode (NO_CHECKPOINT)
-        # keeps the plan lazy but only inspects it, never executes.
+        # Both conf.set calls sit INSIDE the try: if anything raises
+        # between them (or during analysis), the finally still restores
+        # the session's caps — the unlimited row cap must never leak
+        # session-wide (ADVICE r10). Eager analysis inlines the view;
+        # finalize_unpersist executes the recursion eagerly
+        # (localCheckpoint) while the raised limits are in force, so
+        # catalog and conf state restore cleanly below (no
+        # session-global residue). Audit mode (NO_CHECKPOINT) keeps the
+        # plan LAZY and only inspects it, never executes — so the cache
+        # serves no purpose there and is dropped before returning
+        # (executing the audit plan later would recompute the window
+        # per level, acceptable in a mode documented as
+        # "never set it in production paths").
+        spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+        spark.conf.set(
+            "spark.sql.cteRecursionLevelLimit", str(max(depth + 1, 100))
+        )
         out = spark.sql(RECURSIVE_CHAIN_OVER_MAT_SQL)
-        return finalize_unpersist(out, nxt)
+        result = finalize_unpersist(out, nxt)
+        if result is out:  # NO_CHECKPOINT audit mode: caches were kept
+            nxt.unpersist()
+        return result
     finally:
         spark.catalog.dropTempView("nxt_rcte_mat")
         spark.conf.set("spark.sql.cteRecursionRowLimit", prev_rows)

@@ -1977,7 +1977,7 @@ def decon_minhash_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shared").desc(), "train_doc"
     )  # grain: LSH candidates per bench doc (collision-bounded)
     w_all = Window.partitionBy("bench_doc")
-    return (
+    out = (
         scored.withColumn("prn", F.row_number().over(w_rank))
         .withColumn("tot", F.count(F.lit(1)).over(w_all))
         .filter(F.col("prn") <= DECON_MH_TOP)
@@ -1991,3 +1991,7 @@ def decon_minhash_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overflow"),
         )
     )
+    # budget-capped → result-sized: checkpoint it and release the shingle
+    # cache, like dd_span_dedup_retention (ADVICE r10 — a lazy return
+    # would leak the persisted shingle blocks into a long-lived session)
+    return finalize_unpersist(out, sh)

@@ -167,6 +167,16 @@ def sharded_global_running(
     on the cheapest frame and pass the decision here — ``True`` forces
     the fast path, ``False`` the sharded plan, ``None`` (default)
     probes per ``small_frame_rows``.
+
+    BEHAVIOR CHANGE (round 10, deliberate — ADVICE r9 items 2/4): the
+    fast path previously reproduced plain-window semantics below the
+    threshold (NULLS FIRST ranking of a null shard key, NULL-propagating
+    sums); it now enforces the SAME contract as the sharded plan — NULL
+    shard key raises, NULL values coalesce to 0 — so an external caller
+    relying on the old fast-path semantics gets an error or zeros where
+    it previously got NULL-window results. Scale-invariance of the
+    helper's semantics won over back-compat; pinned by
+    ``tests/test_global_ranking.py``.
     """
     guard = F.raise_error(
         F.lit(
