@@ -350,6 +350,10 @@ HEADLINE = [
     # round-10 minimal wave (cross-split MinHash decon + LATERAL top-k):
     "decon_minhash_train_eval",
     "fn_lateral_topk_orders",
+    # round-11 minimal wave (hash-sample quantile sketch + symmetric
+    # burst range join):
+    "sk_hash_sample_quantiles",
+    "rng_type_burst_neighbors",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -415,3 +415,107 @@ def agg_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"within_{HLL_BOUND_PCT}pct"),
         )
     )
+
+
+#: Hash-Bernoulli sample rate for the quantile sketch: keep a row when
+#: the first 2 md5 hex digits of its key are below this bound ('20' hex
+#: ⇒ 32/256 = 1/8 of the key space — sample size ~n/8, error ~1/√(n/8)).
+QSAMPLE_UPPER = "20"
+#: Rank selector: the ceil(p·n)-th element of the (value, key) order —
+#: pure integer arithmetic, identical in Spark (`div`) and DuckDB (`//`).
+_RANK_P50 = "(n + 1) {div} 2"
+_RANK_P90 = "(9 * n + 9) {div} 10"
+
+
+def _quantile_block_sql(src: str, div: str, n_alias: str, prefix: str) -> str:
+    """Ranked-selection SQL shared by both engines (only the integer
+    division token differs): per event type, the ceil(p·n)-rank element
+    of (value, event_id) order for p ∈ {0.5, 0.9}."""
+    p50 = _RANK_P50.format(div=div)
+    p90 = _RANK_P90.format(div=div)
+    return f"""
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS {n_alias},
+               max(CASE WHEN rn = {p50} THEN value END) AS {prefix}_p50,
+               max(CASE WHEN rn = {p90} THEN value END) AS {prefix}_p90
+        FROM (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM {src}
+        ) ranked
+        GROUP BY event_type
+    """
+
+
+@query(
+    "sk_hash_sample_quantiles",
+    oracle=f"""
+    WITH samp AS (
+        SELECT event_type, value, event_id FROM events
+        WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2)
+              < '{QSAMPLE_UPPER}'
+    ),
+    exact AS ({_quantile_block_sql("events", "//", "n_rows", "exact")}),
+    est AS ({_quantile_block_sql("samp", "//", "n_sample", "est")})
+    SELECT e.event_type, e.n_rows, coalesce(s.n_sample, 0) AS n_sample,
+           e.exact_p50, s.est_p50, e.exact_p90, s.est_p90
+    FROM exact e LEFT JOIN est s USING (event_type)
+    """,
+)
+def sk_hash_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch merge audit on a deterministic hash-Bernoulli
+    sample — the portable stand-in for KLL/`approx_percentile` that the
+    family's other audits (`sk_kmv_distinct`, `sk_countmin_heavy_hitters`)
+    establish: engine-native quantile sketches (KLL's random compaction,
+    GK's order-dependent buffers) can never hash-match across engines,
+    but a BOTTOM-p HASH SAMPLE can — keep every row whose md5 key
+    fraction < 1/8, estimate each quantile as the ceil(p·m)-rank element
+    of the sample, and report it beside the exact ceil(p·n)-rank element
+    so the sketch's drift is self-evident per group.
+
+    The sample IS a mergeable sketch: hash-Bernoulli membership is a
+    pure row property, so the union of per-partition (or per-day)
+    samples is exactly the sample of the union — 1000 executors sample
+    100 TB independently with no coordination, ship ~n/8 rows, and any
+    quantile is one small sort away. That semilattice property is what
+    `approx_percentile` also has but cannot expose portably; the audit
+    pins the sample's determinism (same rows every run, both engines)
+    and its accuracy at this n (rank error ~1/√(pn)).
+
+    Scale shape: exact side = one window over the events shuffle
+    (audit-only cost, same plan class as `agg_price_quantiles`); sample
+    side = the same window over an 8× smaller frame behind a pushed-down
+    deterministic filter. Production consumers at 100 TB read ONLY the
+    sample side; the exact side exists to measure it, as everywhere in
+    the sk_ family.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    ev.createOrReplaceTempView("sk_qsample_events")
+    try:
+        exact_sql = _quantile_block_sql(
+            "sk_qsample_events", "div", "n_rows", "exact"
+        )
+        est_sql = _quantile_block_sql(
+            f"""(SELECT event_type, value, event_id
+                 FROM sk_qsample_events
+                 WHERE substr(md5(CAST(event_id AS STRING)), 1, 2)
+                       < '{QSAMPLE_UPPER}')""",
+            "div",
+            "n_sample",
+            "est",
+        )
+        return spark.sql(
+            f"""
+            WITH exact AS ({exact_sql}), est AS ({est_sql})
+            SELECT e.event_type, e.n_rows,
+                   coalesce(s.n_sample, CAST(0 AS BIGINT)) AS n_sample,
+                   e.exact_p50, s.est_p50, e.exact_p90, s.est_p90
+            FROM exact e LEFT JOIN est s USING (event_type)
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("sk_qsample_events")

@@ -1319,6 +1319,103 @@ def rng_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_unpersist(out, sess)
 
 
+#: Symmetric burst-window half-width in microseconds (±5 minutes), and
+#: the matching bucket width: band width == bucket width, so a ±w window
+#: spans at most the probe's own bucket and its two neighbors.
+BURST_HALF_US = 300_000_000
+
+
+@query(
+    "rng_type_burst_neighbors",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, event_type, epoch_us(ts) AS us,
+               CAST(value AS DECIMAL(18,2)) AS val
+        FROM events
+    )
+    SELECT a.event_id, a.event_type,
+           CAST(count(b.event_id) AS BIGINT) AS n_near,
+           CAST(coalesce(sum(b.val), 0) AS DOUBLE) AS val_near
+    FROM e a LEFT JOIN e b
+      ON b.event_type = a.event_type
+     AND b.event_id <> a.event_id
+     AND b.us BETWEEN a.us - {BURST_HALF_US} AND a.us + {BURST_HALF_US}
+    GROUP BY 1, 2
+    """,
+)
+def rng_type_burst_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYMMETRIC range join — the third shape in the rng_ family after
+    the one-sided trailing window (`rng_events_prior_hour`) and the
+    interval-overlap join (`rng_session_concurrency`): for every event,
+    how many events of the SAME TYPE (any user) landed within ±5
+    minutes, and their value mass — the burst/anomaly feature a fraud
+    or incident pipeline computes per event.
+
+    The banded rewrite generalizes: a symmetric ±w window with bucket
+    width w means a match lies in the probe's bucket b-1, b, or b+1
+    (proven: |Δt| ≤ w ⇒ |Δbucket| ≤ 1), so the probe side explodes to
+    exactly 3 buckets, candidates come from a plain (type, bucket)
+    equi-join, and the exact |Δt| ≤ w predicate plus self-exclusion
+    filter inside the join. Each true neighbor's own bucket is unique,
+    so no candidate is double-counted across the 3 exploded rows — the
+    LEFT join + count over the exploded group is exact without a
+    dedup stage. Candidate volume is Σ_bucket n_b² per type — bounded
+    by true temporal density, never all-pairs (the oracle runs the
+    naive theta join; DuckDB's IEJoin eats it at test scale).
+
+    Cross-engine arithmetic: all comparisons in integer microseconds
+    (`unix_micros` / `epoch_us` — both BIGINT); neighbor values are
+    cast to DECIMAL(18,2) BEFORE summation so the sum is exact and
+    order-independent, then cast to DOUBLE once.
+
+    Scale shape: one shuffle of the 3×-exploded narrow probe rows +
+    one of the build side, both on (event_type, bucket); a hot
+    (type, bucket) cell is bounded by that type's burst rate, and the
+    standard salt applies if one cell floods. At 100 TB this is the
+    same plan with more partitions — no broadcast, no skew hazard
+    beyond the data's own burstiness.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("value").cast("decimal(18,2)").alias("val"),
+        F.expr(f"unix_micros(ts) div {BURST_HALF_US}").alias("b0"),
+    )
+    probe = base.select(
+        "event_id",
+        "event_type",
+        "us",
+        F.explode(
+            F.array(F.col("b0") - 1, F.col("b0"), F.col("b0") + 1)
+        ).alias("b"),
+    )
+    build = base.select(
+        F.col("event_id").alias("s_id"),
+        F.col("event_type").alias("s_type"),
+        F.col("us").alias("s_us"),
+        F.col("val").alias("s_val"),
+        F.col("b0").alias("b"),
+    )
+    cond = (
+        (probe["event_type"] == build["s_type"])
+        & (probe["b"] == build["b"])
+        & (build["s_id"] != probe["event_id"])
+        & (build["s_us"] >= probe["us"] - BURST_HALF_US)
+        & (build["s_us"] <= probe["us"] + BURST_HALF_US)
+    )
+    return (
+        probe.join(build, cond, "left")
+        .groupBy("event_id", "event_type")
+        .agg(
+            F.count("s_id").cast("bigint").alias("n_near"),
+            F.coalesce(F.sum("s_val"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("val_near"),
+        )
+    )
+
 
 @query(
     "jn_basket_brand_pairs",

@@ -158,12 +158,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mm_modality_mix",
 )
 
-#: Queries still awaiting their FIRST external driver row. The round-10
-#: wave moved into window slots 13-14 at the round-11 rotation, so this
-#: is EMPTY again until a round-11 wave registers (new post-freeze
-#: registrations append here with their registration round and a
-#: deadline per the staleness ceiling, ``tools/gen_queries_md.py``).
-PENDING_EXTERNAL: tuple[str, ...] = ()
+#: Queries still awaiting their FIRST external driver row. New
+#: post-freeze registrations append here with their registration round
+#: and a deadline per the staleness ceiling (``tools/gen_queries_md.py``).
+PENDING_EXTERNAL: tuple[str, ...] = (
+    # -- round-11 minimal wave (thinnest families: sk 2→3, rng 2→3;
+    # registered round 11, deadline: the round-12 window slots 13-14) ------
+    "sk_hash_sample_quantiles",
+    "rng_type_burst_neighbors",
+)
 
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
