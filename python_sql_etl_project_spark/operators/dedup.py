@@ -82,6 +82,19 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 3× slower at sf0.1. MEMORY_AND_DISK so a 1000-executor run
     degrades to disk instead of OOM. The hot-set anti-join stays *below*
     the cache: it is a map-side broadcast join, cheap to replay.
+
+    Cache lifecycle (round 11): the persist is on the INNER exploded
+    frame, and ``DataFrame.unpersist()`` does not cascade into a
+    subplan, so the returned anti-join frame carries the real handle as
+    ``_graft_inner_cache`` and ``session.finalize_unpersist`` releases
+    it. Convention by output grain: queries whose result is
+    result-sized (censuses, audits, budget-capped top-k) end in
+    ``finalize_unpersist(out, sh)`` and leave NO cached blocks behind;
+    queries emitting corpus-proportional pair lists return LAZY plans
+    and deliberately leave the cache (checkpointing a corpus-sized
+    result would cost more than the cache it frees — the caller or the
+    harness owns the session lifecycle there). In shared-memo mode the
+    frame is untagged: the batch driver owns the snapshot.
     """
     import os as _os
 
@@ -118,7 +131,19 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sh.join(F.broadcast(hot), "s", "left_anti")
     if shared:
+        # shared mode: the stage's lifecycle belongs to the batch driver
+        # (bench), so the frame is deliberately NOT tagged for release —
+        # a consumer's finalize_unpersist must leave the snapshot cached
+        # for its siblings.
         _SHINGLE_MEMO[memo_key] = out
+    else:
+        # the persist above is on the INNER exploded frame, not on this
+        # anti-join output — DataFrame.unpersist() does NOT cascade to
+        # subplan caches (verified empirically: getPersistentRDDs keeps
+        # the block), so finalize_unpersist(.., shingles_output) was a
+        # silent no-op. Tag the real handle; finalize_unpersist releases
+        # it (round 11 — closes the r10 cache-leak advisory for real).
+        out._graft_inner_cache = sh
     return out
 
 
@@ -1339,7 +1364,7 @@ def pipe_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("decision"),
     )
-    return dec.groupBy("source").agg(
+    out = dec.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_batch"),
         F.sum(F.when(F.col("decision") == "quality_fail", 1).otherwise(0))
         .cast("bigint")
@@ -1351,6 +1376,10 @@ def pipe_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_kept"),
     )
+    # per-source census → result-sized: checkpoint and release the
+    # shingle cache (round 11 — the small-output side of the convention
+    # documented on :func:`shingles`)
+    return finalize_unpersist(out, sh)
 
 
 @query(

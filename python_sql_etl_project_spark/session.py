@@ -211,6 +211,14 @@ def finalize_unpersist(df, *cached):
     out = df.localCheckpoint(eager=True)
     for c in cached:
         c.unpersist()
+        # DataFrame.unpersist() does NOT cascade to caches buried in the
+        # frame's subplan (a derived frame over an internal persist() is
+        # a silent no-op to unpersist — verified via getPersistentRDDs).
+        # Helpers that return such frames tag the real persisted handle;
+        # release it too (round 11).
+        inner = getattr(c, "_graft_inner_cache", None)
+        if inner is not None:
+            inner.unpersist()
     return out
 
 

@@ -1,0 +1,82 @@
+"""Cache-lifecycle guards for the shingle stage (round 11).
+
+``DataFrame.unpersist()`` does NOT cascade into a subplan cache, so
+``finalize_unpersist(out, shingles(...))`` was a silent no-op for nine
+rounds: the inner exploded-shingle block stayed persisted after every
+"released" query. :func:`operators.dedup.shingles` now tags the real
+persisted handle on its returned frame (``_graft_inner_cache``) and
+``session.finalize_unpersist`` cascades to it. These tests pin:
+
+* result-sized shingle consumers leave NO corpus-sized cached blocks
+  behind (only their own 1-partition result checkpoint may remain);
+* in shared-memo mode the frame is untagged, so a consumer's finalize
+  must LEAVE the snapshot cached for its siblings (the bench contract).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from python_sql_etl_project_spark import registry
+from python_sql_etl_project_spark.operators import dedup
+
+SF = "/root/testdata/sf0.001"
+
+registry.load_all()
+
+#: result-sized shingle consumers that must release the stage
+RELEASING = [
+    "txt_novelty_decay_curve",
+    "decon_minhash_train_eval",
+    "pipe_incremental_curation",
+]
+
+
+def _persistent_rdds(spark):
+    """{rdd_id: n_partitions} of currently persisted RDDs."""
+    rdds = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    out = {}
+    it = rdds.toList().iterator()
+    while it.hasNext():
+        t = it.next()
+        out[t._1()] = t._2().getNumPartitions()
+    return out
+
+
+@pytest.mark.parametrize("name", RELEASING)
+def test_result_sized_consumers_release_shingle_cache(spark, name):
+    spark.catalog.clearCache()
+    before = set(_persistent_rdds(spark))
+    registry.QUERIES[name](spark, SF).count()
+    leftovers = {
+        rid: parts
+        for rid, parts in _persistent_rdds(spark).items()
+        if rid not in before
+    }
+    # the query's own localCheckpoint result (1 partition) may remain;
+    # the multi-partition exploded-shingle cache must NOT
+    assert all(parts == 1 for parts in leftovers.values()), leftovers
+
+
+def test_shared_memo_frame_is_not_released(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_SHINGLES", "1")
+    spark.catalog.clearCache()
+    dedup._SHINGLE_MEMO.clear()
+    try:
+        sh = dedup.shingles(spark, SF)
+        assert not hasattr(sh, "_graft_inner_cache")
+        sh.count()
+        cached_before = {
+            rid for rid, p in _persistent_rdds(spark).items() if p > 1
+        }
+        assert cached_before, "shared stage should be persisted"
+        # a releasing consumer runs against the shared snapshot...
+        registry.QUERIES["txt_novelty_decay_curve"](spark, SF).count()
+        cached_after = {
+            rid for rid, p in _persistent_rdds(spark).items() if p > 1
+        }
+        # ...and must leave it cached for siblings
+        assert cached_before <= cached_after
+    finally:
+        dedup._SHINGLE_MEMO.clear()
+        spark.catalog.clearCache()
