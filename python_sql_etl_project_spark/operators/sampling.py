@@ -399,13 +399,18 @@ def decon_benchmark_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = sh.filter(~F.col("is_bench")).select("doc_id", "s").join(
         bench_s, "s", "left"
     )
-    return marked.groupBy("doc_id").agg(
+    out = marked.groupBy("doc_id").agg(
         F.count("hit").cast("bigint").alias("n_hits"),
         F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
         F.round(
             F.count("hit").cast("double") / F.count(F.lit(1)), 4
         ).alias("contamination_ratio"),
     ).select("doc_id", "n_hits", "n_shingles", "contamination_ratio")
+    # doc-grain audit rows are far narrower than the exploded shingle
+    # cache they'd otherwise pin: checkpoint and release (round 11)
+    from ..session import finalize_unpersist
+
+    return finalize_unpersist(out, sh)
 
 
 #: Exact-substring-run blocking: a shingle participates in run detection

@@ -1010,12 +1010,17 @@ def sim_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = assign.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
-    return final_cents.join(sizes, "cell").select(
+    out = final_cents.join(sizes, "cell").select(
         "cell",
         (F.col("dim") + 1).cast("bigint").alias("dim"),  # oracle is 1-based
         "c",
         "n_members",
     )
+    # codebook = KB-sized: checkpoint it and release the two passes'
+    # caches (round 11 — a lazy return left emb + assign persisted)
+    from ..session import finalize_unpersist
+
+    return finalize_unpersist(out, emb, assign)
 
 
 @query(

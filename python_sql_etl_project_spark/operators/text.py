@@ -736,7 +736,7 @@ def txt_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = toks.count()  # scalar; one column-pruned pass
     vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
     lp = F.round(F.log(F.col("cnt") / F.lit(float(n_total))), 6)
-    return (
+    out = (
         toks.join(vocab, "t")
         .select("doc_id", lp.alias("lp"))
         .groupBy("doc_id")
@@ -748,6 +748,11 @@ def txt_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # doc-grain scores are ~100x narrower than the exploded token cache
+    # they'd otherwise pin: checkpoint and release (round 11)
+    from ..session import finalize_unpersist
+
+    return finalize_unpersist(out, toks)
 
 
 @query(

@@ -24,11 +24,16 @@ SF = "/root/testdata/sf0.001"
 
 registry.load_all()
 
-#: result-sized shingle consumers that must release the stage
+#: result-sized (or doc-grain) cache consumers that must release their
+#: persisted intermediates: shingle-stage consumers plus the round-11
+#: AST-sweep finds (direct handles left cached behind lazy returns)
 RELEASING = [
     "txt_novelty_decay_curve",
     "decon_minhash_train_eval",
     "pipe_incremental_curation",
+    "sim_kmeans_codebook",
+    "txt_unigram_lm_score",
+    "decon_benchmark_ngrams",
 ]
 
 
@@ -43,19 +48,22 @@ def _persistent_rdds(spark):
     return out
 
 
+def _cache_manager_empty(spark) -> bool:
+    """True iff no DataFrame-level caches remain. ``persist()`` registers
+    in the CacheManager; ``localCheckpoint`` persists its RDD directly and
+    does NOT — so this distinguishes a leaked intermediate cache from the
+    query's own (legitimate, GC-freed) result checkpoint."""
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 @pytest.mark.parametrize("name", RELEASING)
 def test_result_sized_consumers_release_shingle_cache(spark, name):
     spark.catalog.clearCache()
-    before = set(_persistent_rdds(spark))
     registry.QUERIES[name](spark, SF).count()
-    leftovers = {
-        rid: parts
-        for rid, parts in _persistent_rdds(spark).items()
-        if rid not in before
-    }
-    # the query's own localCheckpoint result (1 partition) may remain;
-    # the multi-partition exploded-shingle cache must NOT
-    assert all(parts == 1 for parts in leftovers.values()), leftovers
+    assert _cache_manager_empty(spark), (
+        f"{name} left a DataFrame cache behind (its result checkpoint is "
+        "fine; a persisted intermediate is the leak)"
+    )
 
 
 def test_shared_memo_frame_is_not_released(spark, monkeypatch):
