@@ -489,7 +489,13 @@ def sk_hash_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = the same window over an 8× smaller frame behind a pushed-down
     deterministic filter. Production consumers at 100 TB read ONLY the
     sample side; the exact side exists to measure it, as everywhere in
-    the sk_ family.
+    the sk_ family. Known ceiling, stated: a rank window PARTITIONed by
+    a low-cardinality group puts each group in one window task, so at
+    extreme per-group volume the sample-side rank would move to the
+    value-sharded rank plan (``operators.ranking.sharded_global_running``
+    / the ``txt_zipf_slope`` census+shard pattern) — at p=1/8 sampling
+    that crossover sits ~8× beyond where `agg_price_quantiles` hits the
+    identical wall, and the sketch's mergeability is unaffected.
     """
     ev = read_table(spark, sf_dir, "events").select(
         "event_type", "value", "event_id"
