@@ -81,24 +81,29 @@ def load_all() -> None:
     from .functions import sqlfuncs, udafs  # noqa: F401
 
 
-#: Round-11 driver window: the external gate checks exactly the FIRST 50
+#: Round-12 driver window: the external gate checks exactly the FIRST 50
 #: entries of ``queries()``, so this list IS the round's
-#: external-verification budget. This window CLOSES union external
-#: coverage at 337/337 (verdict r10 "next round" item 1):
+#: external-verification budget. This window closes union external hash
+#: coverage at its 338/339 ceiling (verdict r11 "next round" item 1):
 #:
 #: * slots 1-12 — the ``ref_`` reference-parity rows, pinned every round
-#:   (SURVEY §2's hard requirement; green ten rounds running);
-#: * slots 13-14 — the round-10 wave's FIRST external rows (the only two
-#:   names without a driver row; verdict r10 "what's missing" item 1);
+#:   (SURVEY §2's hard requirement; green eleven rounds running);
+#: * slots 13-14 — the round-11 wave's FIRST external rows (the only two
+#:   oracle-backed names without a driver row; verdict r11 item 1);
 #: * slots 15-50 — re-verification, oldest green driver row first per
 #:   the ledger (``tools/gen_queries_md.py`` over ``CORRECTNESS_r*``):
-#:   ALL 19 remaining last-green-r2 rows (alphabetical from
-#:   ``sim_label_centroid_dist``), then ``txt_compression_ratio``'s
-#:   rows-only re-check (its single external row, r7, carries no hash
-#:   gate — the ledger's weakest row after the r2 cohort), then the 16
-#:   alphabetically-first last-green-r3 rows
-#:   (``dd_cross_source_matrix`` … ``mm_modality_mix``);
-#:   ``pack_chunk_overlap`` heads the round-12 queue.
+#:   ALL 22 remaining last-green-r3 rows (alphabetical from
+#:   ``pack_chunk_overlap``), then the 14 alphabetically-first
+#:   last-green-r4 rows (``agg_bitmap_distinct_users`` …
+#:   ``ld_merge_upsert``); ``ld_partition_pruned_scan`` heads the
+#:   round-13 queue.
+#:
+#: ``txt_compression_ratio`` is deliberately NOT scheduled and never
+#: will be: it is externally unverifiable by design (DuckDB has no zlib,
+#: so there is no oracle — its r7/r11 slots returned ``err: no_oracle``
+#: with no rows-check at all, i.e. a wasted slot, per verdict r11 item
+#: 2). It is pinned by local determinism tests instead
+#: (``tests/test_op_invariants.py``).
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- tier 0: reference parity (pinned) --------------------------------
     "ref_daily_cumulative_metrics",
@@ -113,60 +118,57 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ref_distinct_flags",
     "ref_status_counts",
     "ref_null_drop",
-    # -- first-time coverage: the round-10 wave ----------------------------
-    "decon_minhash_train_eval",
-    "fn_lateral_topk_orders",
+    # -- first-time coverage: the round-11 wave ----------------------------
+    "sk_hash_sample_quantiles",
+    "rng_type_burst_neighbors",
     # -- re-verification: oldest green driver row first --------------------
-    # last green r2 (alphabetical — the ledger tiebreak)
-    "sim_label_centroid_dist",
-    "smp_fixed_k_sample",
-    "smp_hash_split",
-    "smp_stratified_sample",
-    "smp_temperature_resample",
-    "strm_dedup_events",
-    "strm_session_windows",
-    "strm_signup_purchase_join",
-    "strm_sliding_2d_activity",
-    "strm_tumbling_daily_counts",
-    "txt_bpe_token_count",
-    "txt_fingerprint",
-    "txt_lang_profile",
-    "txt_pii_scrub",
-    "txt_quality_score",
-    "txt_repetition_profile",
-    "txt_token_stats",
-    "txt_top_bigrams",
-    "txt_winnow_fingerprints",
-    # rows-only external row (r7) — re-checked here; no hash gate by design
-    "txt_compression_ratio",
-    # last green r3 (alphabetical)
-    "dd_cross_source_matrix",
-    "dd_fuzzy_part_names",
-    "dd_incremental_minhash",
-    "dd_keep_best",
-    "dd_lsh_recall_audit",
-    "dd_semantic_confirmed_pairs",
-    "dd_substring_overlap_pairs",
-    "dq_constraint_audit",
-    "flt_bloom_prefilter",
-    "graph_bfs_levels",
-    "graph_pagerank_3iter",
-    "gsets_nation_status_revenue",
-    "jn_salted_priority_revenue",
-    "ld_zorder_code",
-    "mm_feature_extract",
-    "mm_modality_mix",
+    # last green r3 (alphabetical — the ledger tiebreak)
+    "pack_chunk_overlap",
+    "pipe_corpus_curation",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q9_profit_by_nation_year",
+    "rng_events_prior_hour",
+    "scd2_point_in_time",
+    "sim_kmeans_codebook",
+    "sim_knn_pandas_udf",
+    "sim_label_confusion",
+    "smp_fixed_k_per_stratum",
+    "smp_mixture_weights",
+    "strm_stateful_user_profile",
+    "ts_hourly_rollup_gapfill",
+    "ts_locf_hourly_value",
+    "txt_char_diversity",
+    "txt_length_histogram",
+    "txt_tfidf_top_terms",
+    "txt_unigram_lm_score",
+    "win_sessionize_events",
+    "win_trailing_7d_revenue",
+    "win_value_distribution",
+    # last green r4 (alphabetical)
+    "agg_bitmap_distinct_users",
+    "agg_exact_correlation",
+    "agg_weighted_median",
+    "agg_winsorized_mean",
+    "asof_nearest_order_to_event",
+    "dd_span_dedup_retention",
+    "fn_recursive_cte_chain",
+    "graph_kcore",
+    "graph_label_propagation",
+    "graph_modularity",
+    "graph_triangle_count",
+    "ld_compact_small_files",
+    "ld_dynamic_partition_overwrite",
+    "ld_merge_upsert",
 )
 
 #: Queries still awaiting their FIRST external driver row. New
 #: post-freeze registrations append here with their registration round
 #: and a deadline per the staleness ceiling (``tools/gen_queries_md.py``).
-PENDING_EXTERNAL: tuple[str, ...] = (
-    # -- round-11 minimal wave (thinnest families: sk 2→3, rng 2→3;
-    # registered round 11, deadline: the round-12 window slots 13-14) ------
-    "sk_hash_sample_quantiles",
-    "rng_type_burst_neighbors",
-)
+#: (Empty after the round-12 rotation seated the round-11 wave in slots
+#: 13-14; round-12 wave registrations append below with a round-13
+#: deadline.)
+PENDING_EXTERNAL: tuple[str, ...] = ()
 
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a

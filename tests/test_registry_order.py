@@ -21,20 +21,17 @@ def test_first_50_are_exactly_the_driver_window():
 
 
 def test_window_is_all_oracle_backed_and_ref_pinned():
-    """Every window slot must carry a hash-gated row (rows-only checks
-    waste the budget), and the 12 ref_ parity rows stay pinned.
+    """Every window slot must carry a hash-gated row, and the 12 ref_
+    parity rows stay pinned.
 
-    Single documented exception: ``txt_compression_ratio`` — the
-    registry's one rows-only query (zlib output is computable only
-    engine-side; invariants are pytest-pinned). The driver's rows-only
-    check is its ONLY possible external evidence, and the staleness
-    ceiling (tools/gen_queries_md.py) forbids deferring it past round 7,
-    so it spends one window slot on the weaker check."""
+    ``txt_compression_ratio`` (the registry's one oracle-less query —
+    DuckDB has no zlib) must NOT appear: its r7 and r11 slots both
+    returned ``err: no_oracle`` with no rows-check of any kind, so a
+    slot spent on it verifies nothing (verdict r11 item 2). It is
+    pinned by local determinism tests instead."""
     oracles = registry.all_oracles()
-    assert all(
-        n in oracles or n == "txt_compression_ratio"
-        for n in registry.DRIVER_WINDOW
-    )
+    assert all(n in oracles for n in registry.DRIVER_WINDOW)
+    assert "txt_compression_ratio" not in registry.DRIVER_WINDOW
     refs = [n for n in registry.DRIVER_WINDOW if n.startswith("ref_")]
     assert len(refs) == 12
     assert registry.DRIVER_WINDOW[:12] == tuple(refs)
