@@ -794,7 +794,17 @@ def _lpa_labels(
     (c as DECIMAL(12,0) — per-node per-label neighbor counts < 10^12 at
     any conceivable degree — times DECIMAL(20,0), plus DECIMAL(19,0):
     worst precision 34). Preconditions (hold for all callers: labels
-    are part-key node ids): 0 <= label <= 9.2e18, c < 10^12.
+    are part-key node ids): 0 <= label <= 9.2e18, c < 10^12. ENFORCED
+    (r12, advisory): under the session's pinned non-ANSI casts an
+    overflowing pack yields NULL, which ``max()`` silently ignores — a
+    violating node would get a silently wrong label. Two loud guards,
+    both free in the existing plan: (a) labels are node ids forever (a
+    node only ever adopts a neighbor's label, so round 0's domain is
+    every round's domain) — the init projection raises on a negative
+    id (BIGINT cannot exceed the upper bound); (b) the argmax agg also
+    counts packed-NULL groups (two extra count buffers in the same
+    HashAggregate) and the unpack projection raises if any group's
+    pack overflowed (c >= 10^12).
 
     One shuffle per round (round 11): the joined frame is
     ``repartition("src")``-ed BEFORE the aggregations — hash(src)
@@ -826,8 +836,19 @@ def _lpa_labels(
         "CAST(9999999999999999999"
         " - (m % CAST(10000000000000000000 AS DECIMAL(20,0))) AS BIGINT)"
     )
+    guarded_unpack = (
+        "CASE WHEN n_ok <> n_all THEN CAST(raise_error("
+        "'lpa: packed-argmax overflow (a (src,label) count reached 10^12;"
+        " the DECIMAL(12,0) pack went NULL and max() would drop it)')"
+        f" AS BIGINT) ELSE {unpack} END"
+    )
     labels = pairs.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+        "node",
+        F.expr(
+            "CASE WHEN node < 0 THEN CAST(raise_error("
+            "'lpa: negative node id breaks the decimal label inversion')"
+            " AS BIGINT) ELSE node END"
+        ).alias("label"),
     )
     for _ in range(LPA_ROUNDS):
         labels = (
@@ -836,8 +857,15 @@ def _lpa_labels(
             .groupBy("src", "label")
             .agg(F.count(F.lit(1)).alias("c"))
             .groupBy("src")
-            .agg(F.max(F.expr(pack)).alias("m"))
-            .select(F.col("src").alias("node"), F.expr(unpack).alias("label"))
+            .agg(
+                F.max(F.expr(pack)).alias("m"),
+                F.count(F.lit(1)).alias("n_all"),
+                F.count(F.expr(pack)).alias("n_ok"),
+            )
+            .select(
+                F.col("src").alias("node"),
+                F.expr(guarded_unpack).alias("label"),
+            )
             .localCheckpoint()
         )
     if shared:

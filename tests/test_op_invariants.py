@@ -1036,6 +1036,30 @@ def test_lpa_is_a_partition_of_nodes(spark):
     assert labels <= set(nodes)
 
 
+def test_lpa_packing_precondition_enforced(spark):
+    """The decimal-packed argmax's preconditions fail LOUDLY (r12
+    advisory): under non-ANSI casts an out-of-bounds label would
+    otherwise overflow to NULL and be silently dropped by max(). A
+    negative node id must raise, and the real corpus must satisfy the
+    bound the guard assumes away (node ids non-negative — the BIGINT
+    ceiling covers the upper bound by construction)."""
+    import pyspark.sql.functions as F
+
+    from python_sql_etl_project_spark.operators.graph import (
+        _copurchase_pairs,
+        _lpa_labels,
+    )
+
+    bad = spark.createDataFrame([(-1, 2), (2, -1)], "src bigint, dst bigint")
+    with pytest.raises(Exception, match="negative node id"):
+        _lpa_labels(spark, "synthetic", bad, reuse=False).collect()
+
+    lo = _copurchase_pairs(spark, SF).agg(
+        F.min("src").alias("lo_s"), F.min("dst").alias("lo_d")
+    ).first()
+    assert lo.lo_s >= 0 and lo.lo_d >= 0
+
+
 def test_snapshot_diff_census_is_conserved(spark):
     """The fixture's construction fixes the census: inserts mirror the
     dropped month (equal counts, opposite revenue sign), the unchanged

@@ -312,3 +312,29 @@ def test_no_raw_fact_broadcast_hint(spark, name):
             assert bounded, (
                 f"{name}: broadcast hint over a raw fact scan:\n{text[:2000]}"
             )
+
+
+def test_lpa_rounds_stay_hashaggregate_single_exchange(spark, monkeypatch):
+    """Pin the round-11 LPA physical-plan win (VERDICT r11 next-round
+    #4): each label-propagation round must plan its two aggregations as
+    whole-stage-codegen HashAggregate (the DECIMAL-packed argmax — a
+    max(struct(...)) regression would reintroduce SortAggregate and its
+    two full sorts per round) with exactly ONE deliberate
+    ``repartition("src")`` exchange per round satisfying both groupBys.
+
+    The per-round ``localCheckpoint`` truncates lineage (the production
+    final plan is just an RDD scan), so the audit neutralizes it to see
+    the full multi-round plan."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    import python_sql_etl_project_spark.operators.graph as g
+
+    monkeypatch.setattr(
+        _CDF, "localCheckpoint", lambda self, *a, **k: self
+    )
+    pairs = g._copurchase_pairs(spark, SF_DIR)
+    labels = g._lpa_labels(spark, "plan-audit", pairs, reuse=False)
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan, plan[:3000]
+    assert plan.count("HashAggregate") >= 4 * g.LPA_ROUNDS  # 2 aggs × (partial+final)
+    assert plan.count("REPARTITION_BY_COL") == g.LPA_ROUNDS
