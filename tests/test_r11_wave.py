@@ -89,20 +89,22 @@ def test_sk_sample_membership_and_ranks(spark):
             assert r["est_p50"] in vals and r["est_p90"] in vals
 
 
-def test_sk_estimate_equals_exact_on_full_population(spark):
+def test_sk_estimate_equals_exact_on_full_population(spark, monkeypatch):
     """Rank selection (not interpolation): if the 'sample' is the whole
-    population, the estimator must return the exact elements — pinned by
-    recomputing the estimator body on the unsampled frame."""
-    rows = _events(spark)
-    by_type = defaultdict(list)
-    for r in rows:
-        by_type[r[1]].append(r)
-    for t, grp in by_type.items():
-        assert _rank_element(grp, 1, 2) == _rank_element(grp, 1, 2)
-        # degenerate-sample sanity: estimator formula at m == n is the
-        # exact formula (same (value,id) order, same ceil-rank index)
-        n = len(grp)
-        assert (1 * n + 1) // 2 == (n + 1) // 2
+    population, the estimator must return the exact elements. Actually
+    RUNS the Spark estimator with the sample threshold forced past every
+    md5 prefix ('zz' > any hex pair, so sample == population) and
+    asserts est_* == exact_* per group — the r11 version compared an
+    expression to itself and tested nothing (ADVICE r11)."""
+    import python_sql_etl_project_spark.operators.sketch as sk
+
+    monkeypatch.setattr(sk, "QSAMPLE_UPPER", "zz")
+    out = registry.QUERIES["sk_hash_sample_quantiles"](spark, SF).collect()
+    assert out
+    for r in out:
+        assert r["n_sample"] == r["n_rows"], r
+        assert r["est_p50"] == r["exact_p50"], r
+        assert r["est_p90"] == r["exact_p90"], r
 
 
 # ---------------------------------------------------------------------------
