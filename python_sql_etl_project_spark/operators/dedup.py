@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..session import finalize_unpersist, read_table, read_table_parallel
+from ..session import (
+    finalize_unpersist,
+    read_table,
+    read_table_parallel,
+    release_caches,
+    tag_release,
+)
 from . import text
 from .text import tokens
 
@@ -91,10 +97,13 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     result-sized (censuses, audits, budget-capped top-k) end in
     ``finalize_unpersist(out, sh)`` and leave NO cached blocks behind;
     queries emitting corpus-proportional pair lists return LAZY plans
-    and deliberately leave the cache (checkpointing a corpus-sized
-    result would cost more than the cache it frees — the caller or the
-    harness owns the session lifecycle there). In shared-memo mode the
-    frame is untagged: the batch driver owns the snapshot.
+    that deliberately leave the cache (checkpointing a corpus-sized
+    result would cost more than the cache it frees) — those tag the
+    handle on their RESULT via ``session.tag_release(out, sh)`` so a
+    long-lived caller can free it with ``session.release_caches(result)``
+    after its last action (round 12). In shared-memo mode the frame is
+    untagged: the batch driver owns the snapshot, and both tag_release
+    and release_caches are no-ops on it.
     """
     import os as _os
 
@@ -263,8 +272,12 @@ def dd_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys are shingles and pairs, never a cross join. Emission is bounded
     by ``PAIR_EMIT_BUDGET`` per anchor doc with an ``overflow`` counter
     (the per-doc window runs over qualifying pairs only — per-key size is
-    clique-bounded, never corpus-bounded)."""
-    return _budget_pairs(_exact_pairs_scored(shingles(spark, sf_dir)))
+    clique-bounded, never corpus-bounded).
+
+    Pair-grain output → lazy, shingle cache stays live; the caller frees
+    it with :func:`session.release_caches` when done (round 12)."""
+    sh = shingles(spark, sf_dir)
+    return tag_release(_budget_pairs(_exact_pairs_scored(sh)), sh)
 
 
 def _budget_pairs(scored: DataFrame) -> DataFrame:
@@ -391,9 +404,11 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = shingles(spark, sf_dir)
     cand = _minhash_candidates(sh)
-    return _verify_jaccard(cand, sh).filter(
+    out = _verify_jaccard(cand, sh).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
+    # pair-grain → lazy; caller releases via session.release_caches
+    return tag_release(out, sh)
 
 
 def _band_frame(sh: DataFrame) -> DataFrame:
@@ -630,11 +645,12 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # references it, and without the checkpoint each round's action would
     # re-run the whole shingle→pair→verify pipeline (measured 3× slower
     # at sf0.1). The edge list is the small output of the LSH stage.
-    edges = (
-        _exact_pairs(shingles(spark, sf_dir))
-        .select("d1", "d2")
-        .localCheckpoint()
-    )
+    sh = shingles(spark, sf_dir)
+    edges = _exact_pairs(sh).select("d1", "d2").localCheckpoint()
+    # the eager checkpoint above is the shingle cache's LAST reader —
+    # release it here rather than leaving it to the caller (round 12;
+    # no-op in shared-memo mode, where the snapshot is untagged)
+    release_caches(tag_release(edges, sh))
     sym = edges.unionByName(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     )
@@ -810,7 +826,10 @@ def dd_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # 1-row audit result — checkpoint it, release both candidate caches
-    return finalize_unpersist(out, cand, truth)
+    # AND the shingle stage (result-sized convention; the sh handle was
+    # missing until round 12 — the same non-cascading-unpersist class of
+    # leak the r11 sweep fixed elsewhere)
+    return finalize_unpersist(out, cand, truth, sh)
 
 
 #: Pair fan-out caps for the two blocked-join operators below. At test
@@ -1036,7 +1055,8 @@ def dd_semantic_confirmed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     ea = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("eb"))
-    return (
+    # pair-grain → lazy; caller releases via session.release_caches
+    return tag_release(
         jac.join(ea, "d1")
         .join(eb, "d2")
         .select(
@@ -1049,7 +1069,8 @@ def dd_semantic_confirmed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "confirmed",
             (F.col("jaccard") >= JACCARD_THRESHOLD)
             & (F.col("cosine") >= SEMANTIC_COS_THRESHOLD),
-        )
+        ),
+        sh,
     )
 
 
@@ -1251,12 +1272,15 @@ def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     batch = read_table(spark, sf_dir, "documents").filter(is_new).select("doc_id")
-    return batch.join(best, batch.doc_id == best.d1, "left").select(
+    out = batch.join(best, batch.doc_id == best.d1, "left").select(
         "doc_id",
         F.when(F.col("d2").isNotNull(), "drop").otherwise("keep").alias("decision"),
         F.col("d2").alias("dup_of"),
         F.col("jaccard"),
     )
+    # batch-grain (corpus-proportional at daily volume) → lazy; caller
+    # releases via session.release_caches
+    return tag_release(out, sh)
 
 
 @query(
@@ -1528,7 +1552,7 @@ def dd_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", F.round(agree / float(N_MINHASH), 4).alias("jaccard_est"))
     )
     exact = _verify_jaccard(cand, sh).withColumnRenamed("jaccard", "jaccard_exact")
-    return est.join(exact, ["d1", "d2"], "left").select(
+    out = est.join(exact, ["d1", "d2"], "left").select(
         "d1",
         "d2",
         "jaccard_est",
@@ -1537,6 +1561,8 @@ def dd_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("jaccard_est") - F.coalesce("jaccard_exact", F.lit(0.0))), 4
         ).alias("abs_err"),
     )
+    # pair-grain → lazy; caller releases via session.release_caches
+    return tag_release(out, sh)
 
 
 NOVELTY_BATCH = 50  # docs per simulated ingestion batch
@@ -1844,7 +1870,7 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shared").desc(), "dst_doc"
     )
     w_all = Window.partitionBy("src_doc")
-    return (
+    out = (
         qualifying.withColumn("prn", F.row_number().over(w_rank))
         .withColumn("tot", F.count(F.lit(1)).over(w_all))
         .filter(F.col("prn") <= PAIR_EMIT_BUDGET)
@@ -1859,6 +1885,8 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overflow"),
         )
     )
+    # pair-grain → lazy; caller releases via session.release_caches
+    return tag_release(out, sh)
 
 
 #: Cross-split MinHash decontamination: the "bench" slice simulates the

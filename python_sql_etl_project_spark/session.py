@@ -222,6 +222,51 @@ def finalize_unpersist(df, *cached):
     return out
 
 
+def tag_release(out, *caches):
+    """Attach the persisted handles backing a LAZY result to the result
+    itself, so the CALLER can free them once done (round 12).
+
+    The other half of the cache-lifecycle convention documented on
+    :func:`operators.dedup.shingles`: result-sized queries end in
+    :func:`finalize_unpersist` (checkpoint + immediate release), but
+    pair-grain queries return corpus-proportional LAZY plans —
+    checkpointing those would materialize a result bigger than the cache
+    it frees, so the cache must outlive the query call. This tags every
+    real handle (a frame's own persist and/or the ``_graft_inner_cache``
+    a helper buried in its subplan) on the returned frame as
+    ``_graft_release``; after consuming the result, the caller calls
+    :func:`release_caches` on it. Shared-memo frames are untagged by
+    design (the batch driver owns the snapshot), so in shared mode
+    nothing is collected and a release is a safe no-op.
+    """
+    handles = []
+    for c in caches:
+        inner = getattr(c, "_graft_inner_cache", None)
+        if inner is not None:
+            handles.append(inner)
+        try:
+            lvl = c.storageLevel
+            if lvl.useMemory or lvl.useDisk:
+                handles.append(c)
+        except Exception:  # Connect-style frames without storageLevel
+            pass
+    if handles:
+        out._graft_release = handles
+    return out
+
+
+def release_caches(df) -> None:
+    """Release the caches a pair-grain query left behind (round 12).
+
+    Call AFTER the last action on ``df``: the frame is lazy, so dropping
+    the cache earlier would force the next action to recompute the whole
+    shingle pipeline uncached. Idempotent; a no-op on untagged frames
+    (including everything produced under a shared-memo bench run, whose
+    snapshots the batch driver owns)."""
+    for h in getattr(df, "_graft_release", ()):
+        h.unpersist()
+
+
 def read_table_parallel(spark: SparkSession, sf_dir: str, name: str, key: str):
     """Scan + hash-repartition across all cores before CPU-heavy stages.
 

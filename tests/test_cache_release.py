@@ -88,3 +88,52 @@ def test_shared_memo_frame_is_not_released(spark, monkeypatch):
     finally:
         dedup._SHINGLE_MEMO.clear()
         spark.catalog.clearCache()
+
+
+def test_pair_grain_query_supports_caller_managed_release(spark):
+    """Round 12: pair-grain queries stay lazy and leave the shingle
+    cache live (recompute-safety for further actions), but tag it on
+    their result so a long-lived caller can free it with
+    ``session.release_caches`` after the last action."""
+    from python_sql_etl_project_spark.session import release_caches
+
+    spark.catalog.clearCache()
+    out = registry.QUERIES["dd_shingle_jaccard_pairs"](spark, SF)
+    out.count()
+    # the cache is deliberately still live after the action...
+    assert not _cache_manager_empty(spark)
+    release_caches(out)
+    # ...and fully gone once the caller releases it
+    assert _cache_manager_empty(spark)
+    # idempotent
+    release_caches(out)
+    assert _cache_manager_empty(spark)
+
+
+def test_release_is_noop_on_shared_memo_snapshot(spark, monkeypatch):
+    """In shared-memo mode the snapshot belongs to the batch driver:
+    the pair-grain result carries no release tag, so a caller's
+    release_caches must leave the snapshot cached for siblings."""
+    from python_sql_etl_project_spark.session import release_caches
+
+    monkeypatch.setenv("SPARK_GRAFT_SHARED_SHINGLES", "1")
+    spark.catalog.clearCache()
+    dedup._SHINGLE_MEMO.clear()
+    try:
+        out = registry.QUERIES["dd_shingle_jaccard_pairs"](spark, SF)
+        out.count()
+        assert not _cache_manager_empty(spark)
+        release_caches(out)
+        assert not _cache_manager_empty(spark)
+    finally:
+        dedup._SHINGLE_MEMO.clear()
+        spark.catalog.clearCache()
+
+
+def test_cc_clusters_release_shingles_after_edge_checkpoint(spark):
+    """dd_duplicate_clusters' edge checkpoint is the shingle cache's
+    last reader — the query releases it in-flight (round 12), so even
+    this pair-graph consumer leaves no corpus-sized blocks."""
+    spark.catalog.clearCache()
+    registry.QUERIES["dd_duplicate_clusters"](spark, SF).count()
+    assert _cache_manager_empty(spark)
