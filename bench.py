@@ -359,6 +359,29 @@ HEADLINE = [
 #: Tolerated if absent so bench never breaks mid-build.
 OPTIONAL = []
 
+#: Queries that actually consume the shared shingle stage — the trailing
+#: no-clearCache block is scoped to exactly these (r12). The block was
+#: previously "every dd_* name", which swept in queries like dd_simhash
+#: that recompute their own tokenize pipeline and don't touch the
+#: snapshot: inside the block their sub-second walls inherited whatever
+#: heap/caches the preceding dd_ queries left resident (the driver
+#: billed dd_simhash 9.1/13.2 s vs 0.6-1.3 s isolated — VERDICT r11
+#: "what's wrong" #2). Non-consumers now get the standard
+#: clearCache+GC isolation protocol, so their numbers are deterministic.
+SHINGLE_BLOCK = frozenset(
+    {
+        "dd_shingle_jaccard_pairs",
+        "dd_minhash_lsh_pairs",
+        "dd_duplicate_clusters",
+        "dd_keep_best",
+        "dd_lsh_recall_audit",
+        "dd_semantic_confirmed_pairs",
+        "dd_incremental_minhash",
+        "dd_minhash_estimate_audit",
+        "dd_containment_pairs",
+    }
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -440,8 +463,8 @@ def main() -> None:
             read_table(spark, sf_dir, "embeddings"), spark, sf_dir
         ).write.format("noop").mode("overwrite").save()
         shared_codebook_sec = round(time.perf_counter() - t0, 3)
-        names = [n for n in names if not n.startswith("dd_")] + [
-            n for n in names if n.startswith("dd_")
+        names = [n for n in names if n not in SHINGLE_BLOCK] + [
+            n for n in names if n in SHINGLE_BLOCK
         ]
 
     timings: dict[str, float] = {}
@@ -449,7 +472,7 @@ def main() -> None:
     jvm_system = spark.sparkContext._jvm.java.lang.System
     in_shared_block = False
     for name in names:
-        if share and not in_shared_block and name.startswith("dd_"):
+        if share and not in_shared_block and name in SHINGLE_BLOCK:
             # entering the dd_ block: flush everything else, then build
             # the shared shingle stage once (timed separately, not
             # attributed to any single query)

@@ -112,7 +112,19 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = _os.environ.get("SPARK_GRAFT_SHARED_SHINGLES") == "1"
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if shared and memo_key in _SHINGLE_MEMO:
-        return _SHINGLE_MEMO[memo_key]
+        out, inner = _SHINGLE_MEMO[memo_key]
+        lvl = inner.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            # self-heal (r12): a ``spark.catalog.clearCache()`` since the
+            # snapshot was built dropped its blocks AND its CacheManager
+            # registration, so the memoized frame had silently become a
+            # recompute-per-action plan (measured: every dd_-block bench
+            # query re-ran the whole tokenize→shingle chain whenever a
+            # pre-block consumer created the memo first). Re-registering
+            # the persist restores a live cache; blocks rebuild on the
+            # next action.
+            inner.persist(StorageLevel.MEMORY_AND_DISK)
+        return out
 
     w = tokens()
     shingle_arr = F.when(
@@ -143,8 +155,9 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shared mode: the stage's lifecycle belongs to the batch driver
         # (bench), so the frame is deliberately NOT tagged for release —
         # a consumer's finalize_unpersist must leave the snapshot cached
-        # for its siblings.
-        _SHINGLE_MEMO[memo_key] = out
+        # for its siblings. The inner handle is memoized alongside so a
+        # later hit can detect (and heal) a clearCache-dropped snapshot.
+        _SHINGLE_MEMO[memo_key] = (out, sh)
     else:
         # the persist above is on the INNER exploded frame, not on this
         # anti-join output — DataFrame.unpersist() does NOT cascade to
