@@ -354,6 +354,9 @@ HEADLINE = [
     # burst range join):
     "sk_hash_sample_quantiles",
     "rng_type_burst_neighbors",
+    # round-12 wave
+    "asof_next_purchase_tolerance",
+    "scd2_rebuild_fold_audit",
 ]
 
 #: Tolerated if absent so bench never breaks mid-build.

@@ -416,3 +416,83 @@ def scd2_interval_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dangling_closed"),
     )
+
+
+#: Calendar-year batch boundaries for the fold-rebuild audit: the
+#: synthetic order log spans 1995-2001 at every SF, so 7 fixed,
+#: data-independent batches exercise every merge path (dim=None
+#: bootstrap, open-interval supersession, no-op continuation drop,
+#: multi-change batches). A batch that misses log rows would surface
+#: instantly as n_versions_fold < n_versions_oneshot in the audit.
+FOLD_YEARS = tuple(str(y) for y in range(1995, 2002))
+
+
+@query(
+    "scd2_rebuild_fold_audit",
+    oracle=f"""
+    WITH hist AS ({_HISTORY_SQL})
+    SELECT CAST(count(*) AS BIGINT) AS n_versions_fold,
+           CAST(count(*) AS BIGINT) AS n_versions_oneshot,
+           CAST(sum(is_current) AS BIGINT) AS n_current_fold,
+           CAST(0 AS BIGINT) AS n_only_in_fold,
+           CAST(0 AS BIGINT) AS n_only_in_oneshot
+    FROM hist
+    """,
+)
+def scd2_rebuild_fold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 FULL-HISTORY REBUILD AUDIT: fold :func:`scd2_merge` over the
+    order change log in 7 fixed calendar-year batches, then prove the
+    incrementally-folded dimension is row-for-row identical to the
+    one-shot windowed build (``scd2_customer_status_history``) — the
+    audit a warehouse owner runs before trusting the nightly merge path,
+    because if the incremental and batch rebuilds ever disagree the
+    dimension silently forks (the pytest pin of this property,
+    ``tests/test_scd2.py::test_fold_equals_one_shot_history``, promoted
+    to an externally hash-gated query). The oracle knows only the
+    engine-independent one-shot history, so it prices the comparison at
+    (N, N, C, 0, 0): any fold divergence changes ``n_versions_fold`` or
+    the two asymmetric-difference counters and fails the hash gate.
+
+    Scale shape: each of the 7 merges is key-partitioned end to end
+    (two window scans + key-equi-joins — see :func:`scd2_merge`) and is
+    ``localCheckpoint``-ed so lineage stays one-merge deep, the same
+    Pregel-as-joins discipline as the graph loops; the set comparison
+    is ONE unionByName + one groupBy over the dimension key columns.
+    In production the fold runs once per backfill over partition-pruned
+    batches; the audit's cost is the rebuild itself plus a single
+    census aggregate.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        F.col("o_orderkey").alias("tb"),
+    )
+    dim = None
+    for y in FOLD_YEARS:
+        batch = o.filter(F.substring("d", 1, 4) == y)
+        dim = scd2_merge(dim, batch, "custkey", ["status"], "d", tiebreak="tb")
+        dim = dim.localCheckpoint()
+    from ..registry import QUERIES
+
+    one_shot = QUERIES["scd2_customer_status_history"](spark, sf_dir)
+    cols = ["custkey", "status", "effective_from", "effective_to", "is_current"]
+    u = dim.select(*cols, F.lit(1).alias("f"), F.lit(0).alias("o")).unionByName(
+        one_shot.select(*cols, F.lit(0).alias("f"), F.lit(1).alias("o"))
+    )
+    per_version = u.groupBy(*cols).agg(
+        F.sum("f").alias("nf"), F.sum("o").alias("no")
+    )
+    return per_version.agg(
+        F.sum("nf").cast("bigint").alias("n_versions_fold"),
+        F.sum("no").cast("bigint").alias("n_versions_oneshot"),
+        F.sum(F.col("nf") * F.col("is_current"))
+        .cast("bigint")
+        .alias("n_current_fold"),
+        F.sum(F.greatest(F.col("nf") - F.col("no"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_only_in_fold"),
+        F.sum(F.greatest(F.col("no") - F.col("nf"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_only_in_oneshot"),
+    )

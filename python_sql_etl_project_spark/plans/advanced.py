@@ -5792,6 +5792,119 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Forward-conversion tolerance: a purchase more than this many seconds
+#: after the signup is organic, not attributable to it.
+ASOF_FWD_TOL_S = 3 * 86400
+
+
+@query(
+    "asof_next_purchase_tolerance",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_id, user_id, ts AS t,
+               CAST(epoch_us(ts) AS BIGINT) AS t_us,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events
+        WHERE event_type IN ('signup', 'purchase')
+    ),
+    filled AS (
+        SELECT *,
+               first_value(CASE WHEN is_p = 1 THEN event_id END
+                           IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY t_us, is_p DESC, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS fw_id,
+               first_value(CASE WHEN is_p = 1 THEN t_us END IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY t_us, is_p DESC, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS fw_us
+        FROM tagged
+    )
+    SELECT event_id, user_id, t AS ts,
+           CASE WHEN fw_id IS NOT NULL
+                 AND fw_us - t_us <= {ASOF_FWD_TOL_S}000000
+                THEN fw_id END AS purchase_event_id,
+           CASE WHEN fw_id IS NOT NULL
+                 AND fw_us - t_us <= {ASOF_FWD_TOL_S}000000
+                THEN (fw_us - t_us) // 1000000 END AS lead_seconds,
+           (fw_id IS NOT NULL
+            AND fw_us - t_us <= {ASOF_FWD_TOL_S}000000) AS converted
+    FROM filled WHERE is_p = 0
+    """,
+)
+def asof_next_purchase_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance — pandas
+    ``merge_asof(direction='forward', tolerance=...)`` semantics,
+    completing the family's direction axis (backward:
+    ``asof_last_order_before_event`` / ``asof_tolerance_join``; nearest:
+    ``asof_nearest_order_to_event``): each signup event takes the same
+    user's FIRST purchase strictly after it, only if it lands within
+    {ASOF_FWD_TOL_S} seconds (3 days) — the "did the touchpoint
+    convert, and how fast" join conversion attribution runs (a purchase
+    weeks later is organic, not attributable). Emits the matched
+    purchase, the exact integer lead time in seconds, and an explicit
+    ``converted`` flag (unconverted signups surface with NULLs, never
+    vanish).
+
+    Same scalable union-merge shape as the backward variants — both
+    roles tagged into one frame, ONE shuffle on user_id, one per-user
+    sort, and a ``first(..., ignorenulls)`` over the FOLLOWING frame
+    carries the next purchase back; never an inequality join (the
+    batch sibling of ``strm_signup_purchase_join``'s interval join).
+    The sort key (t_us, is_p DESC, event_id) puts an equal-microsecond
+    purchase BEFORE the signup row, so the forward frame sees strictly
+    later purchases only (at-or-equal belongs to a backward scan — the
+    two directions partition the timeline with no double-claim), and
+    ties among simultaneous purchases resolve to the lowest event_id
+    in both engines. Lead arithmetic runs in integer microseconds.
+    """
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("t"),
+            F.unix_micros("ts").alias("t_us"),
+            (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        )
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", F.desc("is_p"), "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pid = F.when(F.col("is_p") == 1, F.col("event_id"))
+    pus = F.when(F.col("is_p") == 1, F.col("t_us"))
+    filled = (
+        ev.select(
+            "event_id",
+            "user_id",
+            "t",
+            "t_us",
+            "is_p",
+            F.first(pid, ignorenulls=True).over(wf).alias("fw_id"),
+            F.first(pus, ignorenulls=True).over(wf).alias("fw_us"),
+        )
+        .filter(F.col("is_p") == 0)
+    )
+    ok = F.col("fw_id").isNotNull() & (
+        F.col("fw_us") - F.col("t_us") <= ASOF_FWD_TOL_S * 1_000_000
+    )
+    return filled.select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("ts"),
+        F.when(ok, F.col("fw_id")).alias("purchase_event_id"),
+        F.when(ok, F.expr("(fw_us - t_us) div 1000000")).alias(
+            "lead_seconds"
+        ),
+        ok.alias("converted"),
+    )
+
+
 @query(
     "agg_entropy_mix",
     oracle="""

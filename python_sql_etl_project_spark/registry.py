@@ -165,10 +165,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: Queries still awaiting their FIRST external driver row. New
 #: post-freeze registrations append here with their registration round
 #: and a deadline per the staleness ceiling (``tools/gen_queries_md.py``).
-#: (Empty after the round-12 rotation seated the round-11 wave in slots
-#: 13-14; round-12 wave registrations append below with a round-13
-#: deadline.)
-PENDING_EXTERNAL: tuple[str, ...] = ()
+#: (The round-12 rotation seated the round-11 wave in slots 13-14.)
+PENDING_EXTERNAL: tuple[str, ...] = (
+    # -- round-12 minimal wave (thinnest families: asof 3→4, scd2 3→4;
+    # registered round 12, deadline: the round-13 window slots 13-14) -----
+    "asof_next_purchase_tolerance",
+    "scd2_rebuild_fold_audit",
+)
 
 
 #: Fallback priority for everything OUTSIDE the explicit window (and a
