@@ -230,6 +230,39 @@ SHOWCASE = {
         "shuffle, no UDF, heterogeneous shapes handled by missing-path "
         "NULLs rather than a fixed schema."
     ),
+    # -- round 11/12 ------------------------------------------------------
+    "graph_label_propagation": (
+        "LPA round plan (round 11 rework, checkpoint neutralized for "
+        "the dump — production truncates lineage per round): the "
+        "decimal-packed argmax keeps BOTH aggregations in "
+        "whole-stage-codegen HashAggregate (no SortAggregate anywhere) "
+        "and ONE repartition(src) exchange per round satisfies both "
+        "groupBys; pinned by "
+        "test_plan_audit.py::test_lpa_rounds_stay_hashaggregate_single_exchange."
+    ),
+    "sk_hash_sample_quantiles": (
+        "Mergeable hash-sample quantile sketch: the sample side is the "
+        "same rank window over an 8x smaller frame behind a pushed-down "
+        "deterministic md5 filter; both windows ride one event_type "
+        "partitioning."
+    ),
+    "rng_type_burst_neighbors": (
+        "Symmetric band join: bounded 3-bucket explode + (type, bucket) "
+        "equi-join with the exact microsecond predicate — never a theta "
+        "join; DECIMAL-exact neighbor value mass."
+    ),
+    "asof_next_purchase_tolerance": (
+        "Forward as-of with tolerance (round 12): union-merge — ONE "
+        "user_id shuffle + per-user sort, first(ignorenulls) over the "
+        "FOLLOWING frame; no inequality join, tolerance is a "
+        "post-window projection."
+    ),
+    "scd2_rebuild_fold_audit": (
+        "SCD2 fold-rebuild audit (round 12): the folded dimension "
+        "(RDD scan — 7 localCheckpoint-ed key-partitioned merges) "
+        "unions the one-shot windowed build into one groupBy census; "
+        "the comparison itself adds a single exchange."
+    ),
 }
 
 
@@ -252,8 +285,22 @@ def main() -> None:
     ]
     for name, note in SHOWCASE.items():
         os.environ["SPARK_GRAFT_NO_CHECKPOINT"] = "1"
-        df = registry.QUERIES[name](spark, SF_DIR)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        if name == "graph_label_propagation":
+            # the per-round localCheckpoint truncates lineage, so the
+            # final plan is an RDD scan; neutralize it (like the plan
+            # audit test) to show the actual round plan
+            from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+            _orig = _CDF.localCheckpoint
+            _CDF.localCheckpoint = lambda self, *a, **k: self
+            try:
+                df = registry.QUERIES[name](spark, SF_DIR)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+            finally:
+                _CDF.localCheckpoint = _orig
+        else:
+            df = registry.QUERIES[name](spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
         os.environ.pop("SPARK_GRAFT_NO_CHECKPOINT", None)
         # trim huge expression lists for readability, keep structure
         lines = []
