@@ -601,7 +601,9 @@ def ld_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month",
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM"),
         )
-        orders.write.mode("overwrite").partitionBy("month").parquet(target)
+        orders.repartition("month").write.mode("overwrite").partitionBy(
+            "month"
+        ).parquet(target)
         fact = spark.read.parquet(target)
         dim = (
             fact.filter(
@@ -842,7 +844,9 @@ def ld_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
             "month",
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM"),
         )
-        orders.write.mode("overwrite").partitionBy("month").parquet(target)
+        orders.repartition("month").write.mode("overwrite").partitionBy(
+            "month"
+        ).parquet(target)
         correction = orders.filter(
             F.col("month").isin(*BACKFILL_MONTHS)
         ).withColumn(
@@ -850,7 +854,8 @@ def ld_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("o_totalprice").cast("decimal(14,2)") * 2).cast("double"),
         )
         (
-            correction.write.mode("overwrite")
+            correction.repartition("month")
+            .write.mode("overwrite")
             .partitionBy("month")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(target)
@@ -1013,7 +1018,9 @@ def ld_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM"),
         )
         base = os.path.join(root, "base")
-        orders.write.mode("overwrite").partitionBy("month").parquet(base)
+        orders.repartition("month").write.mode("overwrite").partitionBy(
+            "month"
+        ).parquet(base)
 
         def _data_files(d: str) -> list[str]:
             out = []
@@ -1036,9 +1043,9 @@ def ld_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "double"
             ),
         )
-        correction.write.mode("overwrite").partitionBy("month").parquet(
-            delta
-        )
+        correction.repartition("month").write.mode("overwrite").partitionBy(
+            "month"
+        ).parquet(delta)
         replaced = {f"month={m}" for m in BACKFILL_MONTHS}
         manifest_v2 = [
             f
@@ -1155,7 +1162,9 @@ def ld_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         base = os.path.join(root, "base")
-        orders.write.mode("overwrite").partitionBy("month").parquet(base)
+        orders.repartition("month").write.mode("overwrite").partitionBy(
+            "month"
+        ).parquet(base)
 
         def _data_files(d: str) -> list[str]:
             out = []
@@ -1177,9 +1186,9 @@ def ld_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         migrated = orders.filter(F.col("month") == DIFF_DROP_MONTH).withColumn(
             "o_orderkey", -F.col("o_orderkey")
         )
-        repriced.unionByName(migrated).write.mode("overwrite").partitionBy(
-            "month"
-        ).parquet(delta)
+        repriced.unionByName(migrated).repartition("month").write.mode(
+            "overwrite"
+        ).partitionBy("month").parquet(delta)
         dropped = {f"month={m}" for m in (*BACKFILL_MONTHS, DIFF_DROP_MONTH)}
         manifest_v2 = [
             f for f in manifest_v1 if not any(p in f for p in dropped)

@@ -675,32 +675,38 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     neigh = sym.select(F.col("d1").alias("doc_id"), F.col("d2").alias("nb"))
     for _ in range(MAX_CC_ITERATIONS):
-        nb_min = (
-            neigh.join(
-                labels.select(
-                    F.col("doc_id").alias("nb"), F.col("label").alias("nb_label")
-                ),
-                "nb",
-            )
-            .groupBy("doc_id")
-            .agg(F.min("nb_label").alias("nb_min"))
+        # r12 round shape (see graph_connected_components): self rows +
+        # neighbor contributions in ONE min() aggregation, previous
+        # label folded in as min(label WHERE is_self) — replaces the
+        # LEFT join per round; the convergence count reads the
+        # checkpointed blocks as before.
+        contrib = neigh.join(
+            labels.select(
+                F.col("doc_id").alias("nb"), F.col("label").alias("nb_label")
+            ),
+            "nb",
+        ).select(
+            "doc_id",
+            F.col("nb_label").alias("label"),
+            F.lit(False).alias("is_self"),
         )
-        updated = (
-            labels.join(nb_min, "doc_id", "left")
+        upd = (
+            labels.select("doc_id", "label", F.lit(True).alias("is_self"))
+            .unionByName(contrib)
+            .groupBy("doc_id")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("is_self"), F.col("label"))).alias("old"),
+            )
             .select(
                 "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
-                ).alias("new_label"),
                 "label",
+                (F.col("label") < F.col("old")).alias("changed"),
             )
+            .localCheckpoint()
         )
-        # checkpoint FIRST, then count from the checkpointed rows: the
-        # convergence count and next round's labels share one execution
-        # of the round's join (count-then-checkpoint ran it twice).
-        upd = updated.localCheckpoint()
-        changed = upd.filter(F.col("new_label") != F.col("label")).count()
-        labels = upd.select("doc_id", F.col("new_label").alias("label"))
+        changed = upd.filter("changed").count()
+        labels = upd.select("doc_id", "label")
         if changed == 0:
             break
     sizes = labels.groupBy("label").agg(

@@ -1072,30 +1072,31 @@ def mm_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     for _ in range(MM_CC_ROUNDS):
-        minl = (
-            edges.join(
-                labels.select(F.col("node").alias("src"), "label"), "src"
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("minl"))
+        # r12 round shape (see graph_connected_components): self rows +
+        # neighbor contributions in ONE min() aggregation, previous
+        # label folded in as min(label WHERE is_self), convergence count
+        # read from the checkpointed blocks — replaces a LEFT join and a
+        # separate count join per round.
+        contrib = edges.join(
+            labels.select(F.col("node").alias("src"), "label"), "src"
+        ).select(
+            F.col("dst").alias("node"), "label", F.lit(False).alias("is_self")
         )
         nxt = (
-            labels.join(minl, "node", "left")
+            labels.select("node", "label", F.lit(True).alias("is_self"))
+            .unionByName(contrib)
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("is_self"), F.col("label"))).alias("old"),
+            )
             .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("minl", F.col("label"))
-                ).alias("label"),
+                "node", "label", (F.col("label") < F.col("old")).alias("changed")
             )
             .localCheckpoint()
         )
-        n_changed = (
-            nxt.alias("a")
-            .join(labels.alias("b"), "node")
-            .filter(F.col("a.label") != F.col("b.label"))
-            .count()
-        )
-        labels = nxt
+        n_changed = nxt.filter("changed").count()
+        labels = nxt.select("node", "label")
         if n_changed == 0:
             break
     out = (

@@ -123,6 +123,27 @@ def build_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # -- driver hygiene for many-query sessions (r12, guide §5) --
+        # The app status store tracks every job/stage/SQL execution even
+        # with the UI off; a several-hundred-query batch session
+        # accumulates tens of thousands of entries whose retention
+        # cleanup churns the driver. Retained windows sized to "recent
+        # history only" — a production long-lived driver wants the same.
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "10000")
+        .config("spark.sql.ui.retainedExecutions", "50")
+        # -- join posture (r12, guide §3.1/§9) --
+        # Let the planner and AQE pick shuffled-hash over sort-merge
+        # when a build side fits per-partition: iterative Pregel-style
+        # loops join small vectors every round, and the sort in SMJ is
+        # pure overhead there. Size-gated (64 MB per partition), so at
+        # 100 TB an oversized build side degrades back to SMJ cleanly.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
     )
     for k, v in RUNTIME_SEMANTICS.items():
         builder = builder.config(k, v)
