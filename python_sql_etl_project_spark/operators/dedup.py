@@ -680,6 +680,9 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # label folded in as min(label WHERE is_self) — replaces the
         # LEFT join per round; the convergence count reads the
         # checkpointed blocks as before.
+        # PRECONDITION (ADVICE r12): the edge list must be symmetric so
+        # every neighbor is in the label vector — `sym` above unions
+        # both directions explicitly.
         contrib = neigh.join(
             labels.select(
                 F.col("doc_id").alias("nb"), F.col("label").alias("nb_label")

@@ -689,16 +689,37 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a Pregel peel converges in the same rounds; no node ever flows
     more than its id).
 
-    Profiled round 11 (the LPA-style audit, sf0.1): per round the plan
-    is already ONE pass over the cached edge list with two broadcast
-    membership probes, one partial-count exchange (plain bigint count —
-    HashAggregate, no struct/SortAggregate cliff) and the checkpoint;
-    measured 1.7-2.7 s/round on a loaded box with survivors shrinking
-    only 20000 → 19005 over all 6 rounds. Edge-list peeling cannot pay
-    (the subgraph keeps ~95 % of edges) and decrement-based peeling
-    still scans every cached edge per round (no adjacency index in this
-    execution model), so O(rounds × |E|-scan) IS the floor; the
-    remaining cost is the pinned round count itself.
+    DECREMENT-BASED peel (r13, guide §2.3/§2.4 — the r12 verdict's
+    "incremental peel without an adjacency index"): instead of
+    recomputing every survivor's degree from scratch each round (join
+    the full edge list against the node set TWICE, then HashAggregate
+    over every surviving edge — ~95 % of |E| every round, since the
+    peel removes only a few hundred of 20 000 nodes per round at
+    sf0.1), each round maintains the degree vector incrementally. A
+    node's degree within the surviving set changes ONLY by its edge
+    count into the nodes removed THIS round, so the per-round work is
+    one cached-edge pass probed by a broadcast of the (tiny) removed
+    set, aggregating just the matched edges, then a broadcast left
+    join of the loss counts onto the survivor vector. Same
+    O(rounds × |E|-scan) pass count, but the per-round HashAggregate
+    input drops from ~|E| rows to |edges incident to removed| and the
+    two 20 k-row membership broadcasts become one ~10²-row broadcast.
+    The final output is a projection of the maintained vector — the
+    old implementation's closing degree recount (one more full
+    edge-list pass with two joins) is gone entirely.
+
+    EXACT-equivalence argument (oracle unchanged): pairs is symmetric
+    by construction (src×dst double-explode), so every dst is a src
+    and round 0's "degree within n0" IS the raw degree. Round r of the
+    oracle keeps v iff its edge count into n_{r-1} is ≥ k (and ≥ 1
+    implicitly — GROUP BY drops zero-degree nodes); the maintained
+    vector after round r-1 holds exactly (v ∈ n_{r-1}, deg within
+    n_{r-1}), so the filter ``d >= k AND d > 0`` reproduces n_r
+    exactly, and subtracting each survivor's edges into
+    n_{r-1} \\ n_r yields deg within n_r. The output equals the
+    oracle's final recount because after the last round the vector
+    holds degrees within n_R, and the ``d > 0`` filter mirrors the
+    GROUP BY dropping members with no surviving edge.
     """
     pairs = _copurchase_pairs(spark, sf_dir).persist()
     deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -722,38 +743,40 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "part_key bigint, core_degree bigint, k_threshold bigint"
         )
-    # the node set IS deg's key set — reusing it instead of a separate
-    # distinct lets runtime exchange reuse serve round 0's probes from
-    # the aggregation already computed for k.
-    nodes = deg.select(F.col("src").alias("node"))
+    # degree vector within the current surviving set; init = raw degree
+    # (valid because pairs is symmetric — see equivalence note above).
+    cur = deg.select(F.col("src").alias("node"), F.col("deg").alias("d"))
+    cur = cur.localCheckpoint()
     # early exit on a fixed point is EXACTLY equivalent to running all
     # KCORE_ROUNDS (so the oracle's pinned-round unrolling still
     # matches): peeling only ever REMOVES nodes, so an unchanged count
     # means an unchanged set, and every later round is the identity.
+    survive = (F.col("d") >= k) & (F.col("d") > 0)
     for _ in range(KCORE_ROUNDS):
-        nodes = (
-            pairs.join(nodes.withColumnRenamed("node", "src"), "src")
-            .join(nodes.select(F.col("node").alias("dst")), "dst")
+        removed = cur.filter(~survive).select(F.col("node").alias("dst"))
+        loss = (
+            pairs.join(F.broadcast(removed), "dst")
             .groupBy("src")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= k)
-            .select(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("lost"))
+            .withColumnRenamed("src", "node")
+        )
+        cur = (
+            cur.filter(survive)
+            .join(F.broadcast(loss), "node", "left")
+            .select(
+                "node",
+                (F.col("d") - F.coalesce(F.col("lost"), F.lit(0))).alias("d"),
+            )
             .localCheckpoint()
         )
-        n = nodes.count()
+        n = cur.count()
         if n == n_prev:
             break
         n_prev = n
-    out = (
-        pairs.join(nodes.withColumnRenamed("node", "src"), "src")
-        .join(nodes.select(F.col("node").alias("dst")), "dst")
-        .groupBy("src")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
-        .select(
-            F.col("src").alias("part_key"),
-            "core_degree",
-            F.lit(k).cast("bigint").alias("k_threshold"),
-        )
+    out = cur.filter(F.col("d") > 0).select(
+        F.col("node").alias("part_key"),
+        F.col("d").cast("bigint").alias("core_degree"),
+        F.lit(k).cast("bigint").alias("k_threshold"),
     )
     res = finalize_unpersist(out)
     pairs.unpersist()
@@ -1137,6 +1160,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is_self) in the SAME HashAggregate, and the convergence count
         # reads the checkpointed blocks. A/B at sf0.1 (warm, min-of-3):
         # 0.892 s/round → 0.625 s/round.
+        # PRECONDITION (ADVICE r12): the edge list must be SYMMETRIC —
+        # every dst also appears as src (true for _copurchase_pairs by
+        # construction). An asymmetric list would inject dst-only nodes
+        # with old=NULL: excluded from the changed count (false early
+        # exit) yet present in the output.
         contrib = pairs.join(
             labels.select(F.col("node").alias("src"), "label"), "src"
         ).select(
@@ -1248,6 +1276,8 @@ def graph_cc_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pre-update vector). The old shape ran a LEFT join + the jump
         # join + a third count join; this runs the jump join only, and
         # the convergence count reads checkpointed blocks.
+        # PRECONDITION (ADVICE r12): pairs must be symmetric so every
+        # dst is in the label vector (holds for _copurchase_pairs).
         contrib = pairs.join(
             labels.select(F.col("node").alias("src"), "label"), "src"
         ).select(
@@ -1567,6 +1597,37 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub = e.select("s").distinct().withColumn(
         "hub", F.lit(HITS_SCALE).cast("bigint")
     )
+
+    def _normalize(raw_vec, key: str, out_col: str):
+        """L1-normalize a raw score vector: checkpoint the |V|-sized
+        raw aggregate ONCE, read its 1-row total off the checkpointed
+        blocks driver-side, and divide as a literal projection.
+
+        r13 (verdict item #4): the previous shape crossJoined a
+        broadcast of the total — a separate BroadcastExchange subtree
+        per half-iteration that re-planned (and without runtime
+        exchange reuse, re-ran) the whole raw aggregation, plus a
+        second checkpoint of the normalized vector. Checkpointing the
+        RAW vector instead makes the total a trivial scan of
+        checkpointed blocks and the normalized vector a lazy
+        projection needing no checkpoint of its own — per
+        half-iteration the plan loses the broadcast subtree and one
+        materialization. Bit-identical: same DECIMAL(38,0) integral
+        division by the same total, now injected as a literal (the
+        graph_kcore scalar precedent).
+        """
+        raw_ck = raw_vec.localCheckpoint()
+        tot = raw_ck.agg(F.sum("raw")).first()[0]
+        if tot is None:
+            tot = 1  # empty graph: the projection below runs on 0 rows
+        return raw_ck.select(
+            key,
+            F.expr(
+                f"CAST((CAST({HITS_SCALE} AS DECIMAL(38,0)) * raw)"
+                f" div CAST('{tot}' AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias(out_col),
+        )
+
     auth = None
     for _ in range(N_HITS_ITERS):
         # Widen BEFORE the sum (sum(CAST .. AS DECIMAL(38,0))), as
@@ -1574,43 +1635,19 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and would wrap at ~9.2e18 edge-mass, while DuckDB's natively
         # widens to HUGEINT — the docstring's ~10^32 headroom holds on
         # both sides only with the pre-widened accumulator.
-        a_raw = (
+        auth = _normalize(
             e.join(hub, "s")
             .groupBy("c")
-            .agg(F.expr("sum(CAST(hub AS DECIMAL(38,0)))").alias("raw"))
+            .agg(F.expr("sum(CAST(hub AS DECIMAL(38,0)))").alias("raw")),
+            "c",
+            "auth",
         )
-        a_tot = a_raw.agg(F.sum("raw").alias("tot"))
-        # localCheckpoint per half-iteration: each normalization
-        # references its raw vector twice (ratio + 1-row total), so an
-        # uncheckpointed chain duplicates subtrees 2^(half-iterations)
-        # times. The vector is |V|-sized — cheap to materialize.
-        auth = (
-            a_raw.crossJoin(F.broadcast(a_tot))
-            .select(
-                "c",
-                F.expr(
-                    f"CAST((CAST({HITS_SCALE} AS DECIMAL(38,0)) * raw)"
-                    " div tot AS BIGINT)"
-                ).alias("auth"),
-            )
-            .localCheckpoint()
-        )
-        h_raw = (
+        hub = _normalize(
             e.join(auth, "c")
             .groupBy("s")
-            .agg(F.expr("sum(CAST(auth AS DECIMAL(38,0)))").alias("raw"))
-        )
-        h_tot = h_raw.agg(F.sum("raw").alias("tot"))
-        hub = (
-            h_raw.crossJoin(F.broadcast(h_tot))
-            .select(
-                "s",
-                F.expr(
-                    f"CAST((CAST({HITS_SCALE} AS DECIMAL(38,0)) * raw)"
-                    " div tot AS BIGINT)"
-                ).alias("hub"),
-            )
-            .localCheckpoint()
+            .agg(F.expr("sum(CAST(auth AS DECIMAL(38,0)))").alias("raw")),
+            "s",
+            "hub",
         )
     out = hub.select(
         F.lit("supplier").alias("node_type"),

@@ -1077,6 +1077,9 @@ def mm_phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # label folded in as min(label WHERE is_self), convergence count
         # read from the checkpointed blocks — replaces a LEFT join and a
         # separate count join per round.
+        # PRECONDITION (ADVICE r12): every edge dst must be in the label
+        # vector — `edges` is symmetric (both directions unioned above)
+        # and the seed unions both endpoint columns of the uncapped set.
         contrib = edges.join(
             labels.select(F.col("node").alias("src"), "label"), "src"
         ).select(

@@ -133,12 +133,20 @@ def build_spark(
         .config("spark.ui.retainedStages", "200")
         .config("spark.ui.retainedTasks", "10000")
         .config("spark.sql.ui.retainedExecutions", "50")
-        # -- join posture (r12, guide §3.1/§9) --
+        # -- join posture (r12, guide §3.1/§9; r13 paired A/B: neutral
+        # on the sim family — kept as the guide-§9 baseline) --
         # Let the planner and AQE pick shuffled-hash over sort-merge
-        # when a build side fits per-partition: iterative Pregel-style
-        # loops join small vectors every round, and the sort in SMJ is
-        # pure overhead there. Size-gated (64 MB per partition), so at
-        # 100 TB an oversized build side degrades back to SMJ cleanly.
+        # when a build side fits per-partition. Two distinct gates
+        # (ADVICE r12): the AQE threshold below checks the ACTUAL
+        # per-partition build size at runtime and rewrites SMJ→SHJ only
+        # when every partition fits; the static planner gate behind
+        # preferSortMergeJoin=false checks total build-side ESTIMATE ×
+        # numShufflePartitions — an average, so a skewed build key can
+        # still oversize one partition's hash map. AQE skew-join
+        # handling (enabled above) splits such partitions for the
+        # runtime rewrites; if a statically planned SHJ ever OOMs on a
+        # skewed build, scope this conf to the iterative operators
+        # instead of the session.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",

@@ -90,7 +90,21 @@ def test_shared_memo_frame_is_not_released(spark, monkeypatch):
         spark.catalog.clearCache()
 
 
-def test_pair_grain_query_supports_caller_managed_release(spark):
+#: every pair-/batch-grain query returning a LAZY frame over a persisted
+#: stage must tag its caches for caller-managed release (r13: the full
+#: tag_release population, closing the r11 #2/#6 ledger item)
+PAIR_GRAIN_RELEASING = [
+    "dd_shingle_jaccard_pairs",
+    "dd_minhash_lsh_pairs",
+    "dd_semantic_confirmed_pairs",
+    "dd_incremental_minhash",
+    "dd_minhash_estimate_audit",
+    "dd_containment_pairs",
+]
+
+
+@pytest.mark.parametrize("name", PAIR_GRAIN_RELEASING)
+def test_pair_grain_query_supports_caller_managed_release(spark, name):
     """Round 12: pair-grain queries stay lazy and leave the shingle
     cache live (recompute-safety for further actions), but tag it on
     their result so a long-lived caller can free it with
@@ -98,7 +112,7 @@ def test_pair_grain_query_supports_caller_managed_release(spark):
     from python_sql_etl_project_spark.session import release_caches
 
     spark.catalog.clearCache()
-    out = registry.QUERIES["dd_shingle_jaccard_pairs"](spark, SF)
+    out = registry.QUERIES[name](spark, SF)
     out.count()
     # the cache is deliberately still live after the action...
     assert not _cache_manager_empty(spark)

@@ -41,9 +41,12 @@ def main() -> None:
     spark = build_spark(app_name="time_query", master=f"local[{cpus}]")
     queries = registry.all_queries()
 
-    # warm-up: JVM/codegen/parquet footers + Python worker pool
-    queries["q1_pricing_summary"](spark, args.sf).write.format("noop").mode("overwrite").save()
-    if "mm_feature_extract" in queries:
+    # warm-up: JVM/codegen/parquet footers + Python worker pool (both
+    # guarded — ADVICE r12: a missing query or SF dir should skip the
+    # warm-up, not throw)
+    if "q1_pricing_summary" in queries:
+        queries["q1_pricing_summary"](spark, args.sf).write.format("noop").mode("overwrite").save()
+    if "mm_feature_extract" in queries and os.path.isdir("/root/testdata/sf0.001"):
         queries["mm_feature_extract"](spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
