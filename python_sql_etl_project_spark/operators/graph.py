@@ -74,11 +74,21 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("parts"))
     )
-    pairs = (
+    # r13 (guide §2.3 — shuffle fewer bytes): dedupe the ORDERED half
+    # (src < dst) and mirror it afterwards. The symmetric closure of the
+    # distinct ordered pairs is exactly the old distinct symmetric set,
+    # but the distinct's exchange now carries half the rows; the mirror
+    # union is a narrow projection with no shuffle.
+    half = (
         parts_per_order.select(F.explode("parts").alias("src"), "parts")
-        .select("src", F.explode("parts").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            F.explode(F.expr("filter(parts, p -> p > src)")).alias("dst"),
+        )
         .distinct()
+    )
+    pairs = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     if shared:
         pairs = pairs.localCheckpoint()
@@ -405,12 +415,22 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = li.groupBy("l_orderkey", "p_brand").agg(
         F.collect_set("l_partkey").alias("parts")
     )
-    pairs = (
+    # r13 (guide §2.3): distinct on the ORDERED half only, mirrored for
+    # the adjacency build — halves the dedup exchange (the
+    # _copurchase_pairs pattern); the candidate anti-join probes the
+    # cached half DIRECTLY, since wedge candidates already carry a < b.
+    half = (
         per_order.select("p_brand", F.explode("parts").alias("src"), "parts")
-        .select("p_brand", "src", F.explode("parts").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "p_brand",
+            "src",
+            F.explode(F.expr("filter(parts, p -> p > src)")).alias("dst"),
+        )
         .distinct()
         .persist()
+    )
+    pairs = half.unionByName(
+        half.select("p_brand", F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     adj = pairs.groupBy("p_brand", "src").agg(
         F.sort_array(F.collect_set("dst")).alias("nbrs")
@@ -429,7 +449,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("cn")
     )
     nonadj = cand.join(
-        pairs.select(
+        half.select(
             "p_brand", F.col("src").alias("a"), F.col("dst").alias("b")
         ),
         ["p_brand", "a", "b"],
@@ -461,7 +481,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common_neighbors"), "p_brand", "part_a", "part_b")
         .limit(LINKPRED_TOP_K)
     )
-    return finalize_unpersist(out, pairs)
+    return finalize_unpersist(out, half)
 
 
 @query(
